@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{PipelineOps, Q, ReferenceSurface, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query inventory lives in three packs:
+  * - ReferenceSurface (r*): what /root/reference actually executes
+  *   (SURVEY.md §2 rows 1-11), generalized to the star schema.
+  * - Relational (s*): what its grammar accepts but never executes
+  *   (SURVEY.md §2.12) — run correctly here.
+  * - PipelineOps (x*): the LLM-data-pipeline extension surface
+  *   (SURVEY.md §7.4): dedup, similarity search, text analysis,
+  *   sessionization, multimodal plumbing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private lazy val packs: Seq[Q] =
+    ReferenceSurface.all ++ Relational.all ++ PipelineOps.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q3 shape: 3-way join + group + top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("s24_tpch_q3")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose engine-specific
+    * hashing (xxhash64 sketches, LSH buckets) has no cross-engine SQL
+    * equivalent — those get rows-only checks + ScalaTest ground truth.
+    */
+  lazy val oracleSql: Map[String, String] =
+    packs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog of the driver-generated star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's external-catalog idea (metadata.txt parsed at
+  * /root/reference/sqlengine.py:72-90) for the parquet world: one place that
+  * knows how to turn a table name into a DataFrame. The reference loads
+  * whole CSVs eagerly into Python lists (sqlengine.py:104-117); here a load
+  * is just a lazy parquet scan node — Catalyst prunes columns and pushes
+  * filters into it, so "loading" costs nothing until an action runs.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain long
+    * (legacy flag) and truncate to microseconds ourselves. `div` keeps the
+    * arithmetic integral — a double division would lose precision at
+    * 1.7e18 ns epochs (2^53 < 1.7e18).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Lazy scan of one table; schema comes from parquet metadata. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** Register every table as a temp view so `spark.sql` queries resolve —
+    * the Spark analogue of the reference's definedb()+populatedb() pair.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

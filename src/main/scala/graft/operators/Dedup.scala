@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus deduplication operators, each designed as the standard
+  * shuffle-shape for its algorithm at 100 TB:
+  *
+  * - exact: one hash-aggregate on a 16-byte text digest (never shuffle
+  *   raw text).
+  * - MinHash-LSH: per-row signatures (map-side only), then ONE shuffle on
+  *   (band, bandHash) to form candidate buckets, then pair verification —
+  *   the canonical shingle→minhash→band→bucket-join pipeline.
+  * - SimHash: per-row 64-bit sketch, candidate blocking on 16-bit chunks
+  *   (pigeonhole for Hamming<=3), verify with bit_count(xor).
+  * - token-set Jaccard: exact quadratic verifier for use inside small
+  *   blocks.
+  *
+  * All sketches are pure Catalyst higher-order-function expressions (no
+  * UDFs), so the map side stays inside whole-stage codegen. Hash
+  * arithmetic is kept under 2^62 (a,p < 2^31) because Spark 4 runs ANSI
+  * mode by default and a long overflow would throw instead of wrapping.
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  /** Exact dedup: group rows by content digest, keep the smallest id.
+    * Returns (keep_id, n_copies) per distinct content.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles as strings: ["a b c", "b c d", ...]; empty array when
+    * the document has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => array_join(slice(ts, i + 1, lit(k)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  // Deterministic 2-universal hash family: h_i(x) = (a_i*(x mod p)+b_i) mod p
+  // with p = 2^31-1, so every intermediate fits in a long under ANSI mode.
+  private val P = 2147483647L // 2^31 - 1
+  private def hashFamily(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Adds `sigCol` = MinHash signature (array<bigint>, length numHashes).
+    * The shingle-hash array is materialized as its own column first so the
+    * numHashes array_min passes each scan an attribute, not a re-computed
+    * expression (CollapseProject keeps non-cheap aliases un-inlined).
+    * Documents with no shingles are dropped (nothing to compare).
+    */
+  def withMinhashSignature(
+      docs: DataFrame, textCol: String, sigCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val hs = transform(shingles(col(textCol), shingleK),
+      s => pmod(xxhash64(s), lit(P)))
+    val mins = hashFamily(numHashes).map { case (a, b) =>
+      array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P))))
+    }
+    docs.withColumn("__hs", hs)
+      .filter(size(col("__hs")) > 0)
+      .withColumn(sigCol, array(mins: _*))
+      .drop("__hs")
+  }
+
+  /** LSH banding: candidate near-duplicate pairs (id_a < id_b) whose
+    * signatures collide in at least one of `bands` bands of width
+    * numHashes/bands. One shuffle on the band key.
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, "bands must divide numHashes")
+    val sig = withMinhashSignature(docs, textCol, "sig", shingleK, numHashes)
+      .select(col(idCol).as("id"), col("sig"))
+    val bandExprs = (0 until bands).map { bIdx =>
+      xxhash64(array_join(
+        transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
+        ","))
+    }
+    val banded = sig
+      .select(col("id"), posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
+    val a = banded.toDF("id_a", "band_a", "bhash_a")
+    val b = banded.toDF("id_b", "band_b", "bhash_b")
+    a.join(b, col("band_a") === col("band_b")
+        && col("bhash_a") === col("bhash_b")
+        && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity between the distinct-token sets of two
+    * text columns (rational arithmetic: |∩| / |∪|).
+    */
+  def jaccard(textA: Column, textB: Column): Column = {
+    val sa = array_distinct(tokens(textA))
+    val sb = array_distinct(tokens(textB))
+    size(array_intersect(sa, sb)).cast(DoubleType) /
+      size(array_union(sa, sb))
+  }
+
+  /** MinHash-LSH near-dup pipeline: LSH candidates verified with exact
+    * Jaccard (text joined back, pairs >= threshold kept).
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol)
+    val txt = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+    cands
+      .join(txt.toDF("jid_a", "text_a"), col("id_a") === col("jid_a"))
+      .join(txt.toDF("jid_b", "text_b"), col("id_b") === col("jid_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 votes from
+    * each token's xxhash64 bit, take the sign. One fold over the tokens;
+    * the 64 bit-extractions use Scala-literal shift amounts and the final
+    * bit-assembly runs once in the aggregate's finish lambda.
+    */
+  def simhash(text: Column): Column =
+    aggregate(
+      tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        val votes = (0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+        zip_with(acc, array(votes: _*), (a, v) => a + v)
+      },
+      votes => (0 until 64).map(i =>
+        when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)))
+
+  /** SimHash near-dup pairs: block on each of the four 16-bit chunks (a
+    * pair within Hamming distance 3 must agree exactly on >=1 chunk —
+    * pigeonhole), then verify bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunks = (0 until 4).map(bIdx =>
+      shiftright(col("sh"), bIdx * 16).bitwiseAND(lit(0xFFFFL)))
+    val blocked = sigs.select(col("id"), col("sh"),
+      posexplode(array(chunks: _*)).as(Seq("blk", "chunk")))
+    val a = blocked.toDF("id_a", "sh_a", "blk_a", "chunk_a")
+    val b = blocked.toDF("id_b", "sh_b", "blk_b", "chunk_b")
+    a.join(b, col("blk_a") === col("blk_b")
+        && col("chunk_a") === col("chunk_b")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact pairwise token-set Jaccard within a blocking key — the
+    * quadratic verifier, for use inside small blocks only.
+    */
+  def blockedJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val n = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+      col(blockCol).as("blk"))
+    val a = n.toDF("id_a", "text_a", "blk_a")
+    val b = n.toDF("id_b", "text_b", "blk_b")
+    a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+import Q._
+
+/** Tier-3: the LLM-training-data pipeline operators (BASELINE.json north
+  * star; SURVEY.md §7.4) over the documents / embeddings / events tables.
+  * Queries that hinge on engine-specific hashing (xxhash64 sketches, LSH
+  * bucketing) carry no SQL oracle — the driver records a rows-only check
+  * and the ScalaTest suites verify them against exact ground truth
+  * (Jaccard, brute-force top-k) instead.
+  */
+object PipelineOps {
+
+  private val stop = TextAnalysis.langMarkers("en") // the, a, of, and, to
+
+  /** Exact dedup by content digest (Dedup.exact). */
+  private val x01 = Q(
+    "x01_dedup_exact",
+    (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("digest"),
+    Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY digest"""))
+
+  /** Token statistics + canonical fingerprint per document. */
+  private val x02 = Q(
+    "x02_token_stats",
+    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_tok_len"),
+        round(TextAnalysis.wordRatio(col("text"), stop), 4).as("stop_ratio"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                   round(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len,
+                   round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+
+  /** Language-ID heuristic (argmax of function-word ratios; ties resolve
+    * to the lexicographically larger lang in both formulations).
+    */
+  private val x03 = Q(
+    "x03_lang_id",
+    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdGuess(col("text")).as("pred_lang"),
+        round(TextAnalysis.wordRatio(col("text"),
+          TextAnalysis.langMarkers("en")), 4).as("en_ratio"))
+      .orderBy("doc_id"),
+    Some("""WITH sc AS (
+              SELECT doc_id, lang,
+                CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(string_split(text,' ')) AS s_en,
+                CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','los'))) AS DOUBLE) / len(string_split(text,' ')) AS s_es,
+                CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les','des'))) AS DOUBLE) / len(string_split(text,' ')) AS s_fr,
+                CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das','ist'))) AS DOUBLE) / len(string_split(text,' ')) AS s_de
+              FROM documents WHERE doc_id < 200)
+            SELECT doc_id, lang,
+                   CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+                        WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+                        WHEN s_de > 0 THEN 'de'
+                        ELSE 'und' END AS pred_lang,
+                   round(s_en, 4) AS en_ratio
+            FROM sc ORDER BY doc_id"""))
+
+  /** Corpus quality scoring rolled up per source (exact decimal mean). */
+  private val x04 = Q(
+    "x04_quality_by_source",
+    (s, d) => {
+      val q = TextAnalysis.qualityScore(col("text"), stop)
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(q.cast(DecimalType(8, 4))).cast(DoubleType) / count(lit(1)))
+            .as("avg_quality"),
+          (sum(TextAnalysis.tokenCount(col("text")))
+            .cast(DoubleType) / count(lit(1))).as("avg_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH f AS (
+              SELECT source,
+                CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS ns
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CAST(round((least(n/50.0, 1.0) + nd/n + least(ns/n*10.0, 1.0)) / 3.0, 4) AS DECIMAL(8,4))) AS DOUBLE) / count(*) AS avg_quality,
+                   CAST(sum(n) AS DOUBLE) / count(*) AS avg_tokens
+            FROM f GROUP BY source ORDER BY source"""))
+
+  /** Exact pairwise token-set Jaccard inside lang blocks (the quadratic
+    * verifier — bounded block, oracle-checkable).
+    */
+  private val x05 = Q(
+    "x05_jaccard_pairs",
+    (s, d) => Dedup.blockedJaccardPairs(
+      t(s, d, "documents").filter(col("doc_id") < 150),
+      "doc_id", "text", "lang", 0.5)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH n AS (SELECT doc_id AS id, lang,
+                              list_distinct(string_split(text, ' ')) AS toks
+                       FROM documents WHERE doc_id < 150)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+            FROM n a JOIN n b ON a.lang = b.lang AND a.id < b.id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+            ORDER BY id_a, id_b"""))
+
+  /** MinHash-LSH near-dup candidates verified by exact Jaccard. xxhash64
+    * signatures are engine-specific -> no SQL oracle; DedupSpec asserts
+    * candidate recall against exact Jaccard ground truth.
+    */
+  private val x06 = Q(
+    "x06_dedup_minhash",
+    (s, d) => Dedup.minhashNearDups(
+      t(s, d, "documents").filter(col("doc_id") < 1000),
+      "doc_id", "text", 0.6)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dup pairs (blocked Hamming search). No oracle (xxhash64). */
+  private val x07 = Q(
+    "x07_dedup_simhash",
+    (s, d) => Dedup.simhashNearDups(
+      t(s, d, "documents").filter(col("doc_id") < 1000),
+      "doc_id", "text", 6)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** Brute-force exact ANN: top-5 cosine neighbors for 3 query vectors.
+    * The oracle recomputes the same double-precision fold in SQL.
+    */
+  private val x08 = Q(
+    "x08_ann_bruteforce",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(qs, corpus, 5)
+        .select("qid", "rank", "id", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.qid, e.vec_id AS id,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank,
+                   id, sim
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank"""))
+
+  /** ANN via random-hyperplane LSH (the scale path; recall vs brute force
+    * asserted in SimilaritySpec). No oracle.
+    */
+  private val x09 = Q(
+    "x09_ann_lsh",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(qs, corpus, 5, nPlanes = 8, dim = 64)
+        .select("qid", "rank", "id", "sim")
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs, exact within a bounded id
+    * range (oracle-checkable twin of the LSH-blocked variant).
+    */
+  private val x10 = Q(
+    "x10_embed_neardup",
+    (s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 150)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+        .filter(col("sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+                 p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+            ORDER BY id_a, id_b"""))
+
+  /** IVF-style cell assignment (centroids = every 97th vector): cell
+    * histogram. Argmin in deterministic double; no oracle (SimilaritySpec
+    * checks mass conservation + probe recall).
+    */
+  private val x11 = Q(
+    "x11_ann_ivf_cells",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val centroids = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](r.fieldIndex("embedding"))
+            .map(_.toDouble).toArray)
+        }.toSeq
+      Similarity.ivfAssign(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        "vec", centroids)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .orderBy("cell")
+    },
+    None)
+
+  /** Tumbling-window event aggregation (Structured-Streaming-compatible
+    * window() operator run in batch). Output keyed by epoch micros to stay
+    * timezone-free across engines.
+    */
+  private val x12 = Q(
+    "x12_events_hourly",
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_us", "event_type"),
+    Some("""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type"""))
+
+  /** Gaps-and-islands sessionization (30-min gap) — batch twin of the
+    * streaming session operator.
+    */
+  private val x13 = Q(
+    "x13_events_sessionize",
+    (s, d) => Sessionize.sessions(t(s, d, "events"), 1800L)
+      .orderBy("user_id", "session_seq"),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                       FROM events),
+                 g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                      OR tus - lag(tus) OVER w > 1800000000
+                                      THEN 1 ELSE 0 END AS new_s
+                       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+                 s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                       FROM g)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(tus) AS session_start_us, max(tus) AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq"""))
+
+  /** Semi-structured props: JSON field extraction + aggregation. */
+  private val x14 = Q(
+    "x14_events_json",
+    (s, d) => t(s, d, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).cast(LongType).as("sum_k"),
+        countDistinct(col("k")).as("n_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Multimodal binary plumbing: payload digest + byte length as native
+    * expressions (Multimodal.asBinary); decode stub exercised in
+    * MultimodalSpec via the partition-iterator path.
+    */
+  private val x15 = Q(
+    "x15_multimodal_binary",
+    (s, d) => Multimodal.asBinary(
+      t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      .select("media_id", "sha256", "byte_len")
+      .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id, sha256(text) AS sha256,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+            FROM documents WHERE doc_id < 200 ORDER BY media_id"""))
+
+  /** Decode/feature-extraction over partition iterators (stubbed codec,
+    * real plumbing): channel histogram of the fake-decoded metadata.
+    */
+  private val x16 = Q(
+    "x16_multimodal_decode",
+    (s, d) => {
+      val bin = Multimodal.asBinary(
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      Multimodal.decodeFeatures(s, bin).toDF()
+        .groupBy("channels").agg(count(lit(1)).as("n"),
+          max(col("width")).as("max_w"), max(col("height")).as("max_h"))
+        .orderBy("channels")
+    },
+    None)
+
+  /** Document fingerprint dup-groups per lang (rolling-hash variant; no
+    * oracle — xxhash64).
+    */
+  private val x17 = Q(
+    "x17_text_rolling_hash",
+    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))
+      .orderBy("doc_id"),
+    None)
+
+  val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
+    x11, x12, x13, x14, x15, x16, x17)
+}
