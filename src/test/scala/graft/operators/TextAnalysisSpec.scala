@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts and avg length") {
+    val df = Seq("the quick brown fox", "a a a").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.distinctTokenCount(col("text")),
+      TextAnalysis.avgTokenLen(col("text"))).collect()
+    assert(r(0).getInt(0) == 4 && r(0).getInt(1) == 4)
+    assert(math.abs(r(0).getDouble(2) - 16.0 / 4) < 1e-12)
+    assert(r(1).getInt(0) == 3 && r(1).getInt(1) == 1)
+  }
+
+  test("wordRatio counts stopword fraction") {
+    val df = Seq("the cat and the hat").toDF("text")
+    val r = df.select(TextAnalysis.wordRatio(col("text"),
+      Seq("the", "and"))).collect()(0).getDouble(0)
+    assert(math.abs(r - 3.0 / 5) < 1e-12)
+  }
+
+  test("fingerprint is invariant under token reordering and duplication") {
+    val df = Seq(("b a c", "c b a a"), ("x y", "x z")).toDF("t1", "t2")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2")))
+      .collect()
+    assert(r(0).getBoolean(0))  // same token set
+    assert(!r(1).getBoolean(0)) // different token set
+  }
+
+  test("rollingHash is order sensitive, fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val r = df.select(
+      TextAnalysis.rollingHash(col("t1")) === TextAnalysis.rollingHash(col("t2")),
+      TextAnalysis.fingerprint(col("t1")) === TextAnalysis.fingerprint(col("t2")))
+      .collect()(0)
+    assert(!r.getBoolean(0))
+    assert(r.getBoolean(1))
+  }
+
+  test("langIdGuess picks the language with the densest markers") {
+    val df = Seq(
+      "the cat of the house and a dog",
+      "el perro de la casa que los gatos",
+      "der hund und die katze das ist",
+      "blorp zxcv qwerty").toDF("text")
+    val langs = df.select(TextAnalysis.langIdGuess(col("text"))).collect()
+      .map(_.getString(0))
+    assert(langs(0) == "en" && langs(1) == "es" && langs(2) == "de"
+      && langs(3) == "und")
+  }
+
+  test("qualityScore is in [0,1] and penalizes degenerate repetition") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over a lazy dog and then the " +
+        "fox runs away to the forest with a bone of the hound"),
+      ("bad", "spam spam spam spam spam")).toDF("k", "text")
+    val r = df.select(col("k"), TextAnalysis.qualityScore(col("text"),
+      TextAnalysis.langMarkers("en"))).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(v => v >= 0 && v <= 1))
+    assert(r("good") > r("bad"))
+  }
+
+  test("features frame has one row per doc and no nulls") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val f = TextAnalysis.features(docs, TextAnalysis.langMarkers("en"))
+    assert(f.count() == 100)
+    assert(f.na.drop().count() == 100)
+  }
+}

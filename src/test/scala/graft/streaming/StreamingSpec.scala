@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Streaming operators driven through the real streaming engine: the
+  * batch events table is staged as a parquet file-stream source, results
+  * land in a memory sink, and the windowed aggregates are compared
+  * against their batch twins computed on the same data.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private lazy val batchEvents =
+    graft.Tables.load(spark, sfDir, "events")
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graftstream").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamEvents =
+    spark.readStream.schema(StreamOps.eventSchema).parquet(streamDir)
+
+  test("tumbling hourly counts: streaming equals batch") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.hourlyCounts(streamEvents), "hourly", "complete")
+      .select("hour_start", "event_type", "n", "sum_value")
+    val want = StreamOps.hourlyCounts(batchEvents)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sliding windows produce overlapping coverage") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.slidingRate(streamEvents), "sliding", "complete")
+    // 1h window / 15m slide -> each event lands in 4 windows
+    val total = got.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == batchEvents.count() * 4)
+  }
+
+  test("session windows close after the gap") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.sessionWindows(streamEvents, "30 minutes"), "sessions", "complete")
+    assert(got.count() > 0)
+    // session count matches the batch gaps-and-islands operator
+    val batchSessions = graft.operators.Sessionize
+      .sessions(batchEvents, 1800L).count()
+    assert(got.count() == batchSessions)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) emits closed " +
+    "sessions matching the batch operator") {
+    // run on the batch frame through the streaming state machine
+    val out = StreamOps.statefulSessions(spark, batchEvents, 1800L)
+    val batch = graft.operators.Sessionize.sessions(batchEvents, 1800L)
+    // closed sessions = all but the last session per user
+    val closedExpected = batch.count() - batch.select("user_id").distinct().count()
+    assert(out.count() == closedExpected)
+  }
+}
