@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text sketches.
+  *
+  * The pure higher-order-function formulations in Dedup.scala are correct
+  * but interpreted: Spark's lambda HOFs don't participate in whole-stage
+  * codegen, and a 64-bit simhash built from per-bit lambdas evaluates
+  * thousands of interpreted nodes per document. These expressions do one
+  * compiled pass over the UTF8 bytes per row (xxHash64 of each
+  * whitespace token, then the sketch fold in a tight loop) — the shape a
+  * 100 TB map-side must have. Hash family and semantics match
+  * graft.operators.Dedup exactly (asserted in SketchExpressionsSpec).
+  */
+object Sketches {
+
+  private val SEED = 42L
+
+  /** xxHash64 of a token's UTF-8 bytes with Spark's seed-42 variant —
+    * identical to functions.xxhash64(col) on a string.
+    */
+  @inline private def tokenHash(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, StringType, SEED)
+
+  /** One-pass 64-bit simhash over whitespace tokens. */
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = text.numBytes()
+    var start = 0
+    def consume(end: Int): Unit = {
+      if (end > start) {
+        val h = tokenHash(text.substring(start, end))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    while (i < n) {
+      // single-byte ' ' separator: substring on byte offsets is safe
+      if (text.getByte(i) == ' '.toByte) { consume(i); start = i + 1 }
+      i += 1
+    }
+    consume(n)
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  private val P = 2147483647L // 2^31 - 1, matches Dedup.hashFamily
+
+  /** MinHash signature over k-word shingles, one pass: shingle hashes are
+    * xxhash64 of the joined shingle text mod p, then numHashes
+    * (a*h+b) mod p minima. Coefficients regenerate Dedup.hashFamily
+    * (same seed-42 java Random stream).
+    */
+  def minhashSig(text: UTF8String, shingleK: Int, as: Array[Long],
+      bs: Array[Long]): ArrayData = {
+    // token boundaries
+    val n = text.numBytes()
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
+    bounds += -1
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) == ' '.toByte) bounds += i
+      i += 1
+    }
+    bounds += n
+    val nTokens = bounds.length - 1
+    if (nTokens < shingleK) return null
+    val numHashes = as.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t + shingleK <= nTokens) {
+      // shingle = bytes between (bounds(t)+1) and bounds(t+shingleK)
+      val sh = text.substring(bounds(t) + 1, bounds(t + shingleK))
+      val h = {
+        val x = tokenHash(sh) % P
+        if (x < 0) x + P else x
+      }
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * h + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** simhash(text): LongType. Null in -> null out. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhash64(input.asInstanceOf[UTF8String])
+  override def prettyName: String = "simhash64"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** minhash signature(text): array<bigint> of length numHashes, null when
+  * the document has fewer than shingleK tokens.
+  */
+case class MinHashSignature(child: Expression, shingleK: Int,
+    numHashes: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  // same coefficient stream as Dedup.hashFamily (seed 42)
+  @transient private lazy val (as, bs) = {
+    val rnd = new scala.util.Random(42)
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      b(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhashSig(input.asInstanceOf[UTF8String], shingleK, as, bs)
+  override def prettyName: String = "minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
+  def simhash64(c: Column): Column =
+    ColumnShim.toColumn(SimHash64(ColumnShim.toExpression(c)))
+
+  /** Column API: one-pass native minhash signature. */
+  def minhashSignature(c: Column, shingleK: Int, numHashes: Int): Column =
+    ColumnShim.toColumn(
+      MinHashSignature(ColumnShim.toExpression(c), shingleK, numHashes))
+}

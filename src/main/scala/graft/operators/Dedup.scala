@@ -53,24 +53,31 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Adds `sigCol` = MinHash signature (array<bigint>, length numHashes).
-    * The shingle-hash array is materialized as its own column first so the
-    * numHashes array_min passes each scan an attribute, not a re-computed
-    * expression (CollapseProject keeps non-cheap aliases un-inlined).
-    * Documents with no shingles are dropped (nothing to compare).
+  /** Adds `sigCol` = MinHash signature (array<bigint>, length numHashes)
+    * via the one-pass native expression (graft.functions.MinHashSignature
+    * — same hash family, compiled instead of interpreted lambdas).
+    * Documents with fewer than shingleK tokens are dropped (null
+    * signature: nothing to compare).
     */
   def withMinhashSignature(
       docs: DataFrame, textCol: String, sigCol: String,
-      shingleK: Int, numHashes: Int): DataFrame = {
-    val hs = transform(shingles(col(textCol), shingleK),
+      shingleK: Int, numHashes: Int): DataFrame =
+    docs.withColumn(sigCol, graft.functions.SketchFunctions
+        .minhashSignature(col(textCol), shingleK, numHashes))
+      .filter(col(sigCol).isNotNull)
+
+  /** Reference formulation of the signature as pure higher-order
+    * functions — semantically identical to the native expression (parity
+    * asserted in SketchExpressionsSpec), kept as the executable spec.
+    */
+  def minhashSignatureHof(text: Column, shingleK: Int,
+      numHashes: Int): Column = {
+    val hs = transform(shingles(text, shingleK),
       s => pmod(xxhash64(s), lit(P)))
     val mins = hashFamily(numHashes).map { case (a, b) =>
-      array_min(transform(col("__hs"), h => pmod(h * a + b, lit(P))))
+      array_min(transform(hs, h => pmod(h * a + b, lit(P))))
     }
-    docs.withColumn("__hs", hs)
-      .filter(size(col("__hs")) > 0)
-      .withColumn(sigCol, array(mins: _*))
-      .drop("__hs")
+    when(size(hs) > 0, array(mins: _*))
   }
 
   /** LSH banding: candidate near-duplicate pairs (id_a < id_b) whose
@@ -126,9 +133,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 votes from
-    * each token's xxhash64 bit, take the sign. One fold over the tokens;
-    * the 64 bit-extractions use Scala-literal shift amounts and the final
-    * bit-assembly runs once in the aggregate's finish lambda.
+    * each token's xxhash64 bit, take the sign.
+    *
+    * This is the executable spec as pure higher-order functions; the hot
+    * path uses the compiled one-pass twin
+    * graft.functions.SketchFunctions.simhash64 (bit-identical — asserted
+    * in SketchExpressionsSpec).
     */
   def simhash(text: Column): Column =
     aggregate(
@@ -151,7 +161,8 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.SketchFunctions.simhash64(col(textCol)).as("sh"))
     val chunks = (0 until 4).map(bIdx =>
       shiftright(col("sh"), bIdx * 16).bitwiseAND(lit(0xFFFFL)))
     val blocked = sigs.select(col("id"), col("sh"),
