@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan assertions: correctness tests prove the small-SF result;
+  * these prove the plan SHAPE survives a 1000x scale-up. Each assertion
+  * encodes a property that, if lost by a refactor, would silently turn a
+  * scalable plan into a cluster-killer (full scans instead of pruned
+  * columns, cartesian products instead of hash joins, global sorts
+  * instead of top-k).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("r01: filter and column pruning reach the parquet scan") {
+    val qe: QueryExecution = q("r01_scan_project").queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_partkey), LessThan(l_partkey,50)]")
+      || scan.contains("LessThan(l_partkey,50)"), s"no pushed filter:\n$scan")
+    // only the 5 referenced columns are read, not all 11
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("r08: declared cross join + equality filter becomes a real join") {
+    val plan = planOf(q("r08_cross_join_filter"))
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product survived optimization:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"))
+  }
+
+  test("r09: 3-way comma join plans as two hash joins, zero cartesians") {
+    val plan = planOf(q("r09_nway_join"))
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+  }
+
+  test("s03: ORDER BY + LIMIT is top-k (TakeOrderedAndProject), not a " +
+    "global sort") {
+    val plan = planOf(q("s03_orderby_limit"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("s04: dimension join broadcasts the small side") {
+    val plan = planOf(q("s04_join_inner"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("s01: grouped aggregation is partial (map-side) then final") {
+    val plan = planOf(q("s01_group_agg"))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair = map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("s24: q3 join tree = broadcast for customer, no cartesian, " +
+    "top-k tail") {
+    val plan = planOf(q("s24_tpch_q3"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("s25: all four dimensions of q5 broadcast") {
+    val plan = planOf(q("s25_tpch_q5"))
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+  }
+
+  test("s07/s08: exists/not-exists plan as semi/anti joins") {
+    assert(planOf(q("s07_semi_join")).contains("LeftSemi"))
+    assert(planOf(q("s08_anti_join")).contains("LeftAnti"))
+  }
+
+  test("x01: exact dedup shuffles the 16-byte digest, not raw text") {
+    val plan = planOf(q("x01_dedup_exact"))
+    // the pre-shuffle partial aggregate keys on md5(text); text itself
+    // must not be an exchange output column
+    val exchange = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchange.contains("text"), plan)
+  }
+
+  test("x06: minhash candidate generation has exactly one " +
+    "band-key exchange before the self-join") {
+    val df = operators.Dedup.minhashCandidates(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("x08: brute-force ANN broadcasts the query set over the corpus scan") {
+    val plan = planOf(q("x08_ann_bruteforce"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("whole-stage codegen covers the scan->filter->project spine") {
+    // AQE reports codegen spans only on the finalized plan -> execute first
+    val df = q("r03_filter_and_or")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Op" in the compact plan string
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\) ".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+}
