@@ -329,6 +329,44 @@ object PipelineOps {
       .orderBy("doc_id"),
     None)
 
+  /** As-of join (operators.AsOfJoin): each purchase event picks up the
+    * most recent click by the same user at-or-before its timestamp.
+    * Oracle = DuckDB's native ASOF LEFT JOIN.
+    */
+  private val x18 = Q(
+    "x18_asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.join(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .select("event_id", "user_id", "ts_us", "asof_ts_us", "asof_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_us(ts) AS cts, value AS cvalue
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   c.cts AS asof_ts_us, c.cvalue AS asof_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts_us >= c.cts
+            ORDER BY p.event_id"""))
+
+  /** Skew-safe salted aggregation (operators.Skew): two-phase count+sum
+    * must equal the direct group-by — oracle is the plain SQL aggregate.
+    */
+  private val x19 = Q(
+    "x19_salted_agg",
+    (s, d) => Skew.saltedCountSum(t(s, d, "events"), "event_type",
+      "value", "event_id", salts = 8)
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:05"), "t1"),
+    (2L, 10L, ts("2024-01-01 10:00:00"), "t2"), // exactly at quote q1
+    (3L, 10L, ts("2024-01-01 09:59:59"), "t3"), // before any quote
+    (4L, 20L, ts("2024-01-01 10:00:10"), "t4")
+  ).toDF("trade_id", "acct", "ts", "tag")
+
+  private lazy val quotes = Seq(
+    (10L, ts("2024-01-01 10:00:00"), 100.0), // q1
+    (10L, ts("2024-01-01 10:00:04"), 101.0), // q2
+    (20L, ts("2024-01-01 10:00:01"), 200.0)
+  ).toDF("acct", "ts", "px")
+
+  private def result = AsOfJoin.join(trades, quotes, "acct", "ts", "ts",
+    Seq("px")).select("trade_id", "asof_px", "asof_ts_us")
+    .collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+  test("picks the latest quote at or before each trade") {
+    assert(result(1L) == Some(101.0)) // 10:00:04 quote
+    assert(result(2L) == Some(100.0)) // equal timestamps match
+    assert(result(3L) == None)        // nothing before -> null
+    assert(result(4L) == Some(200.0))
+  }
+
+  test("tolerance nulls out stale matches") {
+    val r = AsOfJoin.join(trades, quotes, "acct", "ts", "ts", Seq("px"),
+      toleranceUs = 1000000L) // 1s lookback
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(r(1L) == Some(101.0)) // 1s gap: still in tolerance
+    assert(r(2L) == Some(100.0)) // 0s gap
+    assert(r(4L) == None)        // 9s gap: stale
+  }
+
+  test("plans with exactly one exchange (union-merge, not join)") {
+    val df = AsOfJoin.join(trades, quotes, "acct", "ts", "ts", Seq("px"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected single shuffle:\n$plan")
+  }
+}
