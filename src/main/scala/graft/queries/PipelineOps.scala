@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.CorpusStats
 import graft.operators._
 import Q._
 
@@ -367,6 +368,31 @@ object PipelineOps {
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Custom typed Aggregator (functions.CorpusStats) grouped per lang:
+    * partial-aggregating corpus statistics; oracle recomputes the same
+    * stats in plain SQL.
+    */
+  private val x20 = Q(
+    "x20_corpus_stats",
+    (s, d) => {
+      val stats = udaf(CorpusStats.agg)
+      t(s, d, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("toks"))
+        .groupBy("lang")
+        .agg(stats(col("toks")).as("st"))
+        .select(col("lang"), col("st.n_docs"), col("st.sum_tokens"),
+          col("st.min_tokens"), col("st.max_tokens"), col("st.avg_tokens"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+                   CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+                   CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE) AS avg_tokens
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
 }

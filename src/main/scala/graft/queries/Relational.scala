@@ -567,7 +567,75 @@ object Relational {
     (s, d) => { graft.Tables.registerAll(s, d); s.sql(s31SqlText) },
     Some(s31SqlText))
 
+  /** Subquery in FROM + table/column aliases (parser.py:95-104,98). */
+  private val s32SqlText =
+    """SELECT t.seg AS segment, t.n
+      |FROM (SELECT c_mktsegment AS seg, count(*) AS n
+      |      FROM customer GROUP BY c_mktsegment) t
+      |WHERE t.n > 10
+      |ORDER BY t.seg""".stripMargin
+  private val s32 = Q(
+    "s32_from_subquery",
+    (s, d) => { graft.Tables.registerAll(s, d); s.sql(s32SqlText) },
+    Some(s32SqlText))
+
+  /** JOIN ... USING and NATURAL JOIN (parser.py:90-102). nation/region
+    * share no column names, so USING runs on a renamed projection.
+    */
+  private val s33SqlText =
+    """SELECT n_name, r_name
+      |FROM (SELECT n_name, n_regionkey AS rk FROM nation)
+      |JOIN (SELECT r_name, r_regionkey AS rk FROM region) USING (rk)
+      |ORDER BY n_name""".stripMargin
+  private val s33 = Q(
+    "s33_join_using",
+    (s, d) => { graft.Tables.registerAll(s, d); s.sql(s33SqlText) },
+    Some(s33SqlText))
+
+  /** Bitwise operators (parser.py:74-77: << >> & |). */
+  private val s34 = Q(
+    "s34_bitwise",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(255).as("and255"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).as("or_ln"),
+        shiftleft(col("l_suppkey"), 2).as("shl2"),
+        shiftright(col("l_orderkey"), 3).as("shr3"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   l_orderkey & 255 AS and255,
+                   l_orderkey | CAST(l_linenumber AS BIGINT) AS or_ln,
+                   CAST(l_suppkey << 2 AS BIGINT) AS shl2,
+                   l_orderkey >> 3 AS shr3
+            FROM lineitem WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** IS NULL / IS NOT NULL (parser.py:73 ISNULL/NOTNULL) over the
+    * null-extending side of an outer join.
+    */
+  private val s35 = Q(
+    "s35_is_null",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull && col("c_acctbal").isNotNull)
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            WHERE o_orderkey IS NULL AND c_acctbal IS NOT NULL
+            ORDER BY c_custkey"""))
+
+  /** String concatenation via || (parser.py:74). */
+  private val s36SqlText =
+    """SELECT p_partkey, p_brand || ':' || p_type AS brand_type
+      |FROM part WHERE p_size >= 40 ORDER BY p_partkey""".stripMargin
+  private val s36 = Q(
+    "s36_concat_op",
+    (s, d) => { graft.Tables.registerAll(s, d); s.sql(s36SqlText) },
+    Some(s36SqlText))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
 }

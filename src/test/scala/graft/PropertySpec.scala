@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY.md §5.3): algebraic laws of the relational
+  * operators on generated integer tables, and invariants of the sketch
+  * functions on generated token streams.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // scalacheck generators sampled directly (the scalatest bridge artifact
+  // is not in the offline cache)
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(10).foreach(f)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    Iterator.continually(Gen.zip(g1, g2).sample).flatten.take(10)
+      .foreach { case (a, b) => f(a, b) }
+
+  private val rowsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(-50L, 50L),
+      Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 5L)))
+
+  private def df(rows: List[(Long, Long, Long)]): DataFrame =
+    rows.toDF("a", "b", "g")
+
+  test("filter(p).filter(q) == filter(p && q)") {
+    forAll(rowsGen) { rows =>
+      val d = df(rows)
+      val chained = d.filter(col("a") > 0).filter(col("b") <= 10).count()
+      val combined = d.filter(col("a") > 0 && col("b") <= 10).count()
+      assert(chained == combined)
+    }
+  }
+
+  test("distinct is idempotent and bounded by the input") {
+    forAll(rowsGen) { rows =>
+      val d = df(rows)
+      val once = d.distinct()
+      assert(once.distinct().count() == once.count())
+      assert(once.count() <= d.count())
+      assert(once.count() == rows.distinct.length)
+    }
+  }
+
+  test("groupBy sum equals per-key scala fold") {
+    forAll(rowsGen) { rows =>
+      val got = df(rows).groupBy("g").agg(sum("a")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._3).view.mapValues(_.map(_._1).sum).toMap
+      assert(got == want)
+    }
+  }
+
+  test("union row count is additive; intersect bounded by either side") {
+    forAll(rowsGen, rowsGen) { (r1, r2) =>
+      val d1 = df(r1).select("a")
+      val d2 = df(r2).select("a")
+      assert(d1.unionAll(d2).count() == d1.count() + d2.count())
+      val i = d1.intersect(d2).count()
+      assert(i <= d1.distinct().count() && i <= d2.distinct().count())
+    }
+  }
+
+  test("cross join count is multiplicative; equi-filtered subset of it") {
+    forAll(rowsGen, rowsGen) { (r1, r2) =>
+      val d1 = df(r1).select(col("a").as("x"))
+      val d2 = df(r2).select(col("a").as("y"))
+      val cross = d1.crossJoin(d2)
+      assert(cross.count() == d1.count() * d2.count())
+      assert(cross.filter(col("x") === col("y")).count() <= cross.count())
+    }
+  }
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta"))
+
+  test("fingerprint is permutation-invariant; rolling hash catches order") {
+    forAll(tokensGen) { toks =>
+      val text = toks.mkString(" ")
+      val shuffled = scala.util.Random.shuffle(toks).mkString(" ")
+      val r = Seq((text, shuffled)).toDF("t1", "t2").select(
+        operators.TextAnalysis.fingerprint(col("t1")) ===
+          operators.TextAnalysis.fingerprint(col("t2")),
+        operators.TextAnalysis.rollingHash(col("t1")),
+        operators.TextAnalysis.rollingHash(col("t2"))).collect()(0)
+      assert(r.getBoolean(0)) // same token multiset (as set) -> same fp
+      if (text != shuffled)
+        assert(r.getLong(1) != r.getLong(2) || toks.distinct.length == 1)
+    }
+  }
+
+  test("simhash expression: hamming(a,a)=0 and stability under self-union") {
+    forAll(tokensGen) { toks =>
+      val text = toks.mkString(" ")
+      val r = Seq(text).toDF("t").select(
+        functions.SketchFunctions.simhash64(col("t")),
+        functions.SketchFunctions.simhash64(col("t"))).collect()(0)
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+}
