@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+
+/** SparkSessionExtensions wiring: exposes the native graft expressions to
+  * the SQL surface, so `spark.sql("SELECT simhash64(text) ...")` works
+  * anywhere DataFrame code does. Activate with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit simhash of whitespace tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(text, k, n) - minhash over k-shingles, n hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, k, n) => MinHashSignature(t,
+          k.eval().asInstanceOf[Int], n.eval().asInstanceOf[Int])
+        case Seq(t) => MinHashSignature(t, 3, 32)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(text[, k, n])")
+      }))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}
+
+/** Session factory with the engine's standard configuration: the settings
+  * every entry point (Verify, Bench, Cli, tests) needs to behave
+  * identically — UTC, right-sized shuffle partitions for local mode, AQE,
+  * the events-nanos reader flag, and the graft SQL functions.
+  */
+object GraftSession {
+  def builder(master: String = "local[4]",
+      shufflePartitions: Int = 4): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+}

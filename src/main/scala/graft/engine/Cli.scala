@@ -16,12 +16,9 @@ object Cli {
     }
     val query = args(0)
     val dir = if (args.length > 1) args(1) else "."
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    val spark = graft.GraftSession
+      .builder(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try {

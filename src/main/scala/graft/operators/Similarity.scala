@@ -22,11 +22,16 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float>/array<double> columns, computed
-    * in double. Pure expression (zip_with + aggregate) — codegen-friendly,
-    * no UDF.
+  /** Cosine similarity: fused native expression (one pass, primitive
+    * double accumulation in index order — see functions.CosineSimilarity).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
+
+  /** Executable spec of cosine as pure higher-order functions; parity
+    * with the native expression is asserted in SimilaritySpec.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) =>
         u.cast(DoubleType) * v.cast(DoubleType)),

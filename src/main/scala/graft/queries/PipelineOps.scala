@@ -29,7 +29,7 @@ object PipelineOps {
   /** Token statistics + canonical fingerprint per document. */
   private val x02 = Q(
     "x02_token_stats",
-    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+    (s, d) => t(s, d, "documents")
       .select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -44,14 +44,14 @@ object PipelineOps {
                    round(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len,
                    round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
                    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+            FROM documents ORDER BY doc_id"""))
 
   /** Language-ID heuristic (argmax of function-word ratios; ties resolve
     * to the lexicographically larger lang in both formulations).
     */
   private val x03 = Q(
     "x03_lang_id",
-    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+    (s, d) => t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.langIdGuess(col("text")).as("pred_lang"),
         round(TextAnalysis.wordRatio(col("text"),
@@ -63,7 +63,7 @@ object PipelineOps {
                 CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','los'))) AS DOUBLE) / len(string_split(text,' ')) AS s_es,
                 CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les','des'))) AS DOUBLE) / len(string_split(text,' ')) AS s_fr,
                 CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das','ist'))) AS DOUBLE) / len(string_split(text,' ')) AS s_de
-              FROM documents WHERE doc_id < 200)
+              FROM documents)
             SELECT doc_id, lang,
                    CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
                         WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
@@ -125,8 +125,7 @@ object PipelineOps {
   private val x06 = Q(
     "x06_dedup_minhash",
     (s, d) => Dedup.minhashNearDups(
-      t(s, d, "documents").filter(col("doc_id") < 1000),
-      "doc_id", "text", 0.6)
+      t(s, d, "documents"), "doc_id", "text", 0.6)
       .orderBy("id_a", "id_b"),
     None)
 
@@ -134,8 +133,7 @@ object PipelineOps {
   private val x07 = Q(
     "x07_dedup_simhash",
     (s, d) => Dedup.simhashNearDups(
-      t(s, d, "documents").filter(col("doc_id") < 1000),
-      "doc_id", "text", 6)
+      t(s, d, "documents"), "doc_id", "text", 6)
       .orderBy("id_a", "id_b"),
     None)
 
@@ -296,13 +294,12 @@ object PipelineOps {
     */
   private val x15 = Q(
     "x15_multimodal_binary",
-    (s, d) => Multimodal.asBinary(
-      t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+    (s, d) => Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text")
       .select("media_id", "sha256", "byte_len")
       .orderBy("media_id"),
     Some("""SELECT doc_id AS media_id, sha256(text) AS sha256,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
-            FROM documents WHERE doc_id < 200 ORDER BY media_id"""))
+            FROM documents ORDER BY media_id"""))
 
   /** Decode/feature-extraction over partition iterators (stubbed codec,
     * real plumbing): channel histogram of the fake-decoded metadata.
@@ -310,8 +307,7 @@ object PipelineOps {
   private val x16 = Q(
     "x16_multimodal_decode",
     (s, d) => {
-      val bin = Multimodal.asBinary(
-        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      val bin = Multimodal.asBinary(t(s, d, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(s, bin).toDF()
         .groupBy("channels").agg(count(lit(1)).as("n"),
           max(col("width")).as("max_w"), max(col("height")).as("max_h"))
@@ -324,7 +320,7 @@ object PipelineOps {
     */
   private val x17 = Q(
     "x17_text_rolling_hash",
-    (s, d) => t(s, d, "documents").filter(col("doc_id") < 200)
+    (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id"),

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected SQL functions must resolve and agree with the Column API.
+  * Needs its own session (extensions bind at session build).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // a plain session may exist from other suites; extensions require a
+    // fresh one
+    SparkSession.getActiveSession.foreach(_ => ())
+    GraftSession.builder().appName("graft-ext-test").getOrCreate()
+  }
+
+  test("simhash64 / minhash_signature / cosine_sim resolve in SQL") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq(("a b c d", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("text", "va", "vb").createOrReplaceTempView("ext_t")
+    val r = spark.sql(
+      """SELECT simhash64(text) AS sh,
+        |       minhash_signature(text, 3, 8) AS sig,
+        |       cosine_sim(va, vb) AS cs
+        |FROM ext_t""".stripMargin).collect()(0)
+    assert(r.getLong(0) != 0L)
+    assert(r.getSeq[Long](1).length == 8)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // SQL result equals Column-API result
+    val viaCol = spark.table("ext_t")
+      .select(functions.SketchFunctions.simhash64($"text")).collect()(0).getLong(0)
+    assert(r.getLong(0) == viaCol)
+  }
+}

@@ -8,6 +8,16 @@ class SimilaritySpec extends SparkTestBase {
 
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("native cosine expression equals the HOF spec bit-for-bit") {
+    val pairs = emb.limit(50).select(col("embedding").as("a"))
+      .crossJoin(emb.limit(50).select(col("embedding").as("b")))
+    val diff = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(diff == 0)
+  }
+
   test("cosine matches a hand computation") {
     val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
       (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
