@@ -389,6 +389,23 @@ object PipelineOps {
                      / CAST(count(*) AS DOUBLE) AS avg_tokens
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** BPE-ish regex tokenization (letter runs / digit runs / single
+    * non-space symbols) — the cheap token-count proxy used before real BPE.
+    */
+  private val x21 = Q(
+    "x21_regex_tokens",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+          .as("n_word_tokens"),
+        size(expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+          .as("n_vowel_runs"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_word_tokens,
+                   CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
 }

@@ -635,7 +635,43 @@ object Relational {
     (s, d) => { graft.Tables.registerAll(s, d); s.sql(s36SqlText) },
     Some(s36SqlText))
 
+  /** Exact interpolated percentiles (median/quartiles). Spark percentile
+    * and DuckDB quantile_cont share the interpolation rule; quantity is
+    * whole-numbered so interpolated values are exact halves.
+    */
+  private val s37 = Q(
+    "s37_percentile",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Date arithmetic: day difference and interval shift. */
+  private val s38 = Q(
+    "s38_date_arith",
+    (s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_partkey") < 20)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_days"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"))
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_days,
+                   o_orderdate + INTERVAL 30 DAY AS due_date
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_partkey < 20
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
 }
