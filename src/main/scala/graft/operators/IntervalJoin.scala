@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: pair left rows with right rows of the same key
+  * whose timestamps lie within ±window of the left timestamp.
+  *
+  * Spark's planner turns `a JOIN b ON |a.ts - b.ts| <= w` into a
+  * broadcast-nested-loop or cartesian — O(n·m) per key. This operator
+  * buckets time into window-sized cells: a left row in cell c can only
+  * match right rows in cells {c-1, c, c+1}, so each left row explodes to
+  * 3 (cell, key) probes and the match becomes a plain equi-join + final
+  * range filter — O(n + matches) with one shuffle, the standard
+  * interval-join shape (cf. stream-stream interval joins in Flink/Spark
+  * Structured Streaming).
+  */
+object IntervalJoin {
+
+  /** @param left  rows with (key, leftTs); all columns kept
+    * @param right rows with (key, rightTs); `payload` columns attached
+    * @param windowUs half-width of the match window in microseconds
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      windowUs: Long): DataFrame = {
+    val lUs = unix_micros(col(leftTs))
+    val rUs = unix_micros(col(rightTs))
+    // left explodes to its cell ± 1 so any right row within ±window
+    // shares a probe cell
+    val l = left.withColumn("__lus", lUs)
+      .withColumn("__cell",
+        explode(array((-1 to 1).map(o =>
+          expr(s"(__lus div ${windowUs}L) + $o")): _*)))
+    val r = right.select(
+      (col(key).as("__rkey") +: rUs.as("__rus") +:
+        expr(s"(unix_micros(${rightTs}) div ${windowUs}L)").as("__rcell") +:
+        payload.map(c => col(c).as(s"match_$c"))): _*)
+    l.join(r, col(key) === col("__rkey") && col("__cell") === col("__rcell")
+        && abs(col("__lus") - col("__rus")) <= windowUs)
+      .drop("__cell", "__rkey", "__rcell")
+      .withColumnRenamed("__lus", s"${leftTs}_us")
+      .withColumnRenamed("__rus", s"match_ts_us")
+  }
+}

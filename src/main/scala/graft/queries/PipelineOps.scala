@@ -406,6 +406,36 @@ object PipelineOps {
                    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
             FROM documents ORDER BY doc_id"""))
 
+  /** Interval join (operators.IntervalJoin): purchases paired with clicks
+    * by the same user within ±10 minutes — bucketed equi-join instead of
+    * the nested-loop Spark would plan for the raw inequality. Oracle uses
+    * the plain inequality join (exact at sf scale).
+    */
+  private val x22 = Q(
+    "x22_interval_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      IntervalJoin.join(purchases, clicks, "user_id", "ts", "ts",
+        Seq("event_id", "value"), windowUs = 600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("match_event_id"), col("match_ts_us"), col("match_value"))
+        .orderBy("event_id", "match_event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+                              value FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.ts_us,
+                   c.cid AS match_event_id, c.cts AS match_ts_us,
+                   c.value AS match_value
+            FROM p JOIN c ON p.user_id = c.user_id
+                         AND abs(p.ts_us - c.cts) <= 600000000
+            ORDER BY p.event_id, match_event_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
 }

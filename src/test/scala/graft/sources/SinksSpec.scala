@@ -1,0 +1,50 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkTestBase {
+
+  test("partitioned sink prunes partitions on read") {
+    val out = Files.createTempDirectory("graftsink").toString + "/orders"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("y", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, out, Seq("y"))
+    val read = spark.read.parquet(out).filter(col("y") === 1997)
+    val plan = read.queryExecution.executedPlan.toString
+    // partition filter must be applied at the directory level, not as a
+    // row filter after a full scan
+    assert(plan.contains("PartitionFilters: [isnotnull(y"), plan)
+    assert(read.count() ==
+      orders.filter(col("y") === 1997).count())
+  }
+
+  test("bucketed tables join without an exchange") {
+    // warehouse dir is a static conf; the default (./spark-warehouse,
+    // gitignored) is fine for this test
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    val customer = graft.Tables.load(spark, sfDir, "customer")
+    Sinks.writeBucketed(orders.withColumnRenamed("o_custkey", "k"),
+      "b_orders", "k", 4)
+    Sinks.writeBucketed(customer.withColumnRenamed("c_custkey", "k"),
+      "b_customer", "k", 4)
+    val joined = spark.table("b_orders").join(
+      spark.table("b_customer"), "k")
+    // force a non-broadcast join so the bucketing is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.table("b_orders").join(spark.table("b_customer"), "k")
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 0, s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}
