@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("approx_top_k_ss"),
+      info("approx_top_k_ss",
+        "approx_top_k_ss(col, k, capacity) - SpaceSaving heavy hitters"),
+      (args: Seq[Expression]) => graft.functions.ApproxTopK(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
   }
 }
 

@@ -436,6 +436,32 @@ object PipelineOps {
                          AND abs(p.ts_us - c.cts) <= 600000000
             ORDER BY p.event_id, match_event_id"""))
 
+  /** Heavy hitters per language via the SpaceSaving
+    * TypedImperativeAggregate (functions.ApproxTopK). Sketch capacity
+    * exceeds the corpus vocabulary, so counts are exact here and the
+    * oracle is the true top-k; ApproxTopKSpec covers the lossy regime.
+    */
+  private val x23 = Q(
+    "x23_top_tokens",
+    (s, d) => t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.ApproxTopK.approxTopK(col("tok"), 5, 256).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("t.item").as("token"), col("t.count").as("cnt"))
+      .orderBy("lang", "rank"),
+    Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+                 c AS (SELECT lang, token, count(*) AS cnt
+                       FROM t GROUP BY 1, 2),
+                 r AS (SELECT lang, token, cnt,
+                              row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token ASC) AS rk
+                       FROM c)
+            SELECT lang, CAST(rk AS INT) AS rank, token, cnt
+            FROM r WHERE rk <= 5 ORDER BY lang, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
 }

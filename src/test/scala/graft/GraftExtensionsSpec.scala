@@ -35,4 +35,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(functions.SketchFunctions.simhash64($"text")).collect()(0).getLong(0)
     assert(r.getLong(0) == viaCol)
   }
+
+  test("approx_top_k_ss aggregate resolves in SQL") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("approx_top_k_ss"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq("a", "a", "b").toDF("v").createOrReplaceTempView("ext_agg_t")
+    val r = spark.sql(
+      "SELECT approx_top_k_ss(v, 2, 8) AS t FROM ext_agg_t").collect()(0)
+    val rows = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(rows.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("a", 2L), ("b", 1L)))
+  }
 }
