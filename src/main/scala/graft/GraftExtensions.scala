@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(session =>
+      graft.plans.IntervalJoinRewrite(session))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit simhash of whitespace tokens"),
       (args: Seq[Expression]) => SimHash64(args.head)))

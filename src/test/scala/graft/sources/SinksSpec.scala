@@ -23,7 +23,21 @@ class SinksSpec extends SparkTestBase {
 
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf; the default (./spark-warehouse,
-    // gitignored) is fine for this test
+    // gitignored) is fine for this test — but each JVM gets a fresh
+    // in-memory metastore, so clear stale table locations from disk first
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     val orders = graft.Tables.load(spark, sfDir, "orders")
     val customer = graft.Tables.load(spark, sfDir, "customer")
