@@ -58,4 +58,56 @@ object Multimodal {
         }
       }
   }
+
+  /** Resized-image metadata + a fixed-size feature vector. STUB resample:
+    * a real implementation hands the payload to a resize kernel; the fake
+    * derives a deterministic dim-`featDim` embedding from rolling byte
+    * windows so the downstream plumbing (fixed-width array schema, ANN
+    * compatibility) is exercised for real.
+    */
+  case class ResizedMedia(mediaId: Long, width: Int, height: Int,
+      features: Array[Float])
+
+  def resizeAndFeaturize(spark: SparkSession, binDf: DataFrame,
+      targetW: Int, targetH: Int, featDim: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    binDf.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val feats = new Array[Float](featDim)
+          var i = 0
+          while (i < bytes.length) {
+            feats(i % featDim) += (bytes(i) & 0xff) / 255.0f
+            i += 1
+          }
+          ResizedMedia(id, targetW, targetH, feats)
+        }
+      }
+  }
+
+  /** Frame sampling for video-ish payloads: emit every `stride`-th chunk
+    * of `frameBytes` bytes as its own row (media_id, frame_idx, digest,
+    * n_bytes) — the explode-shaped operator a frame pipeline needs. The
+    * chunking is the stub; the one-to-many row shape, per-frame digests,
+    * and ordering are the real plumbing.
+    */
+  case class Frame(mediaId: Long, frameIdx: Int, sha256: String,
+      nBytes: Int)
+
+  def sampleFrames(spark: SparkSession, binDf: DataFrame,
+      frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    binDf.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        (0 until bytes.length by frameBytes).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (off, i) =>
+            val end = math.min(off + frameBytes, bytes.length)
+            val chunk = java.util.Arrays.copyOfRange(bytes, off, end)
+            val hex = md.digest(chunk).map("%02x".format(_)).mkString
+            Frame(id, i, hex, end - off)
+          }
+      }
+  }
 }

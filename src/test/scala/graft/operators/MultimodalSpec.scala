@@ -37,4 +37,35 @@ class MultimodalSpec extends SparkTestBase {
     val x = "hello".getBytes("UTF-8")
     assert(Multimodal.fakeDecode(x) == Multimodal.fakeDecode(x.clone()))
   }
+
+  test("resizeAndFeaturize emits fixed-width vectors usable by the ANN ops") {
+    val out = Multimodal.resizeAndFeaturize(spark, bin, 224, 224, 16)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.features.length == 16))
+    assert(rows.forall(r => r.width == 224 && r.height == 224))
+    // vectors feed straight into the similarity operator
+    val df = out.toDF().select(col("mediaId").as("id"),
+      col("features").as("vec"))
+    val q = df.limit(1).select(col("id").as("qid"), col("vec").as("qvec"))
+    val top = Similarity.bruteForceTopK(q, df, 3)
+    assert(top.count() == 3)
+  }
+
+  test("sampleFrames explodes payloads into ordered per-frame rows") {
+    val frames = Multimodal.sampleFrames(spark, bin, frameBytes = 64,
+      stride = 2).collect()
+    assert(frames.nonEmpty)
+    // per media: frame indices are even (stride 2) and digests differ
+    val byMedia = frames.groupBy(_.mediaId)
+    byMedia.values.foreach { fs =>
+      assert(fs.forall(_.frameIdx % 2 == 0))
+      assert(fs.map(_.sha256).distinct.length == fs.length)
+      assert(fs.forall(_.nBytes <= 64))
+    }
+    // deterministic under repartitioning
+    val again = Multimodal.sampleFrames(spark, bin.repartition(5), 64, 2)
+      .collect().sortBy(f => (f.mediaId, f.frameIdx)).toSeq
+    assert(again == frames.sortBy(f => (f.mediaId, f.frameIdx)).toSeq)
+  }
 }
