@@ -56,6 +56,27 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: purchases matched to clicks by the same
+    * user within ±window. Watermarks on BOTH sides plus the two-sided
+    * time bound let the engine expire join state — without them a
+    * stream-stream join buffers forever. The batch twin is
+    * operators.IntervalJoin / the IntervalJoinRewrite optimizer rule.
+    */
+  def purchaseClickJoin(events: DataFrame, window: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts") + expr(s"INTERVAL $window"))
+  }
+
   // ---- custom state: explicit session tracking ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

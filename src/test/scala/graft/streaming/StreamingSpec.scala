@@ -51,6 +51,18 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == batchSessions)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.purchaseClickJoin(streamEvents, "10 minutes"), "ssjoin")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = StreamOps.purchaseClickJoin(batchEvents, "10 minutes")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) emits closed " +
     "sessions matching the batch operator") {
     // run on the batch frame through the streaming state machine
