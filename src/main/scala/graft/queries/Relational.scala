@@ -671,7 +671,23 @@ object Relational {
             WHERE l_partkey < 20
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** REGEXP matching (parser.py:81 accepts REGEXP; GLOB/MATCH are
+    * SQLite-isms with no ANSI equivalent — RLIKE is the executed form).
+    */
+  private val s39 = Q(
+    "s39_regexp",
+    (s, d) => t(s, d, "part")
+      .filter(col("p_name").rlike("^(small|large).*widget$"))
+      .select(col("p_partkey"), col("p_name"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name,
+                   regexp_extract(p_name, '^(\w+)', 1) AS first_word
+            FROM part WHERE regexp_matches(p_name, '^(small|large).*widget$')
+            ORDER BY p_partkey"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
+    s39)
 }
