@@ -20,10 +20,17 @@ object Bench {
             System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         }
     }
+    // A failing query must not masquerade as a fast success: log it and
+    // record a sentinel -1.0 so the JSON total goes visibly wrong.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,17 +19,32 @@ object Engine {
   /** Dialect pre-pass (SURVEY.md §7.3.3): the reference's grammar treats
     * `==` as `=` (sqlengine.py:139,178-179 / parser.py:77). Everything
     * else it accepts is already ANSI, so this is a single token rewrite —
-    * applied outside string literals only.
+    * applied outside string literals, line comments, and bracketed
+    * comments (an apostrophe inside a comment must not flip the
+    * string-literal state for the rest of the query).
     */
   def prePass(query: String): String = {
     val out = new StringBuilder
     var inStr = false
     var i = 0
-    while (i < query.length) {
+    val n = query.length
+    def at(j: Int, c: Char) = j < n && query.charAt(j) == c
+    while (i < n) {
       val c = query.charAt(i)
-      if (c == '\'') { inStr = !inStr; out += c; i += 1 }
-      else if (!inStr && c == '=' && i + 1 < query.length
-        && query.charAt(i + 1) == '=') { out += '='; i += 2 }
+      if (inStr) {
+        // '' is the escaped quote inside a literal: copy both, stay in
+        if (c == '\'' && at(i + 1, '\'')) { out ++= "''"; i += 2 }
+        else { if (c == '\'') inStr = false; out += c; i += 1 }
+      } else if (c == '\'') { inStr = true; out += c; i += 1 }
+      else if (c == '-' && at(i + 1, '-')) {
+        val end = query.indexOf('\n', i)
+        val stop = if (end < 0) n else end
+        out ++= query.substring(i, stop); i = stop
+      } else if (c == '/' && at(i + 1, '*')) {
+        val end = query.indexOf("*/", i + 2)
+        val stop = if (end < 0) n else end + 2
+        out ++= query.substring(i, stop); i = stop
+      } else if (c == '=' && at(i + 1, '=')) { out += '='; i += 2 }
       else { out += c; i += 1 }
     }
     out.toString

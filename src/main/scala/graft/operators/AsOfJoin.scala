@@ -54,12 +54,22 @@ object AsOfJoin {
 
     val w = Window.partitionBy(key).orderBy(commonTs, "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }.withColumn("asof_ts_us",
-      last(when(col("__side") === 0, col(commonTs)), ignoreNulls = true).over(w))
+    // Carry (ts, payload...) as ONE struct: the struct is non-null for
+    // every right row even when a payload FIELD is null, so the matched
+    // timestamp and its payload always come from the same right row (a
+    // per-column last(ignoreNulls) would resurrect an older non-null
+    // payload past a newer null one).
+    val rightStruct = when(col("__side") === 0,
+      struct(col(commonTs).as("ts") +:
+        payload.map(c => col(s"__p_$c").as(c)): _*))
+    val carried = unioned
+      .withColumn("__match", last(rightStruct, ignoreNulls = true).over(w))
+      .withColumn("asof_ts_us", col("__match.ts"))
+    val withPayload = payload.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__match.$c"))
+    }.drop("__match")
 
-    val matched = carried.filter(col("__side") === 1)
+    val matched = withPayload.filter(col("__side") === 1)
     val bounded =
       if (toleranceUs <= 0) matched
       else matched.withColumn("__stale",

@@ -142,7 +142,9 @@ object Dedup {
     */
   def simhash(text: Column): Column =
     aggregate(
-      tokens(text),
+      // empty tokens (consecutive/leading/trailing spaces) carry no
+      // content and are skipped — matching the native one-pass twin
+      filter(tokens(text), t => length(t) > 0),
       array_repeat(lit(0), 64),
       (acc, t) => {
         val h = xxhash64(t)

@@ -33,7 +33,13 @@ case class IntervalJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        splitConjunctivePredicates(cond) match {
+        // exactly two conjuncts, one equality + one abs-range, in either
+        // order (the rewritten join carries three conjuncts, so the rule
+        // cannot re-fire on its own output)
+        splitConjunctivePredicates(cond).sortBy {
+          case EqualTo(_, _) => 0
+          case _ => 1
+        } match {
           case Seq(eq @ EqualTo(_, _),
             range @ LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(w, t)))
               if isPositiveLong(w, t) && x.dataType == LongType

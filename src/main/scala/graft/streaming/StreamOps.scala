@@ -89,6 +89,13 @@ object StreamOps {
     * the imperative escape hatch (flatMapGroupsWithState) for session
     * semantics session_window can't express (e.g. emitting closed
     * sessions exactly once with custom close rules).
+    *
+    * A session also closes when its user goes quiet: the state times out
+    * after `gapSeconds` of processing time, the open session is emitted,
+    * and the state entry is removed — so state size tracks ACTIVE users,
+    * not all users ever seen. (Batch runs invoke each group exactly once
+    * and never fire timeouts, so in batch the final session per user
+    * stays un-emitted by design — StreamingSpec asserts exactly that.)
     */
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): Dataset[SessionOut] = {
@@ -97,6 +104,12 @@ object StreamOps {
 
     def update(user: Long, evs: Iterator[Ev],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // user went quiet: close and emit the open session, free the state
+        val st = state.get
+        state.remove()
+        return Iterator(SessionOut(user, st.startUs, st.lastUs, st.n, st.sum))
+      }
       var cur = state.getOption
       val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
       evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
@@ -112,7 +125,9 @@ object StreamOps {
         }
       }
       cur match {
-        case Some(st) => state.update(st)
+        case Some(st) =>
+          state.update(st)
+          if (!state.hasTimedOut) state.setTimeoutDuration(gapSeconds * 1000L)
         case None => state.remove()
       }
       closed.iterator
@@ -122,7 +137,7 @@ object StreamOps {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        GroupStateTimeout.ProcessingTimeTimeout)(update)
   }
 
   /** Run any of the above against a batch DataFrame through the real

@@ -8,12 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    // a plain session may exist from other suites; extensions require a
-    // fresh one
-    SparkSession.getActiveSession.foreach(_ => ())
+  // Every suite builds through GraftSession, so getOrCreate returns a
+  // session with the graft functions registered; the assume() guards
+  // below make the dependency explicit if that ever changes.
+  private lazy val spark: SparkSession =
     GraftSession.builder().appName("graft-ext-test").getOrCreate()
-  }
 
   test("simhash64 / minhash_signature / cosine_sim resolve in SQL") {
     import spark.implicits._

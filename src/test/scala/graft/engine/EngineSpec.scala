@@ -82,6 +82,20 @@ class EngineSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("pre-pass ignores comments and escaped quotes") {
+    // an apostrophe in a comment must not disable the rewrite below it
+    assert(Engine.prePass("select a from t -- don't\nwhere a == 5") ==
+      "select a from t -- don't\nwhere a = 5")
+    assert(Engine.prePass("select a /* isn't */ from t where a == 5") ==
+      "select a /* isn't */ from t where a = 5")
+    // '' escape inside a literal keeps the literal state
+    assert(Engine.prePass("select 'it''s == fine' from t where a == 1") ==
+      "select 'it''s == fine' from t where a = 1")
+    // == inside a comment is left alone
+    assert(Engine.prePass("select a from t -- x == y\nwhere a == 2") ==
+      "select a from t -- x == y\nwhere a = 2")
+  }
+
   // ---- deliberate deviations from reference bugs (SURVEY.md §7.5) ----
 
   test("deviation 1: aggregates respect WHERE (reference ignores it)") {

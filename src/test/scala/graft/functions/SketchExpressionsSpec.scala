@@ -28,6 +28,21 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("parity holds on degenerate whitespace (empty tokens skipped)") {
+    import spark.implicits._
+    val df = Seq("a  b", " a b ", "a b  c", "   ").toDF("text")
+    val diff = df.select(
+      Dedup.simhash(col("text")).as("spec"),
+      SketchFunctions.simhash64(col("text")).as("native"))
+      .filter(col("spec") =!= col("native")).count()
+    assert(diff == 0)
+    val mh = df.select(
+      Dedup.minhashSignatureHof(col("text"), 2, 8).as("spec"),
+      SketchFunctions.minhashSignature(col("text"), 2, 8).as("native"))
+      .filter(!(col("spec") <=> col("native"))).count()
+    assert(mh == 0)
+  }
+
   test("null and short-text behavior") {
     import spark.implicits._
     val df = Seq(Some("a b"), None, Some("a b c d")).toDF("text")

@@ -44,6 +44,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(r(4L) == None)        // 9s gap: stale
   }
 
+  test("a newer right row with NULL payload shadows an older non-null one") {
+    // quotes: (10:00:00, 100.0), (10:00:04, null). Trade at 10:00:05 must
+    // match the 10:00:04 quote and get px = NULL — not resurrect 100.0.
+    val quotesWithNull = Seq(
+      (10L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (10L, ts("2024-01-01 10:00:04"), None)
+    ).toDF("acct", "ts", "px")
+    val r = AsOfJoin.join(
+      trades.filter($"trade_id" === 1L), quotesWithNull,
+      "acct", "ts", "ts", Seq("px"))
+      .select("asof_px", "asof_ts_us").collect()(0)
+    assert(r.isNullAt(0), "older non-null payload leaked past newer null")
+    assert(r.getLong(1) ==
+      ts("2024-01-01 10:00:04").getTime * 1000L)
+  }
+
   test("plans with exactly one exchange (union-merge, not join)") {
     val df = AsOfJoin.join(trades, quotes, "acct", "ts", "ts", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString

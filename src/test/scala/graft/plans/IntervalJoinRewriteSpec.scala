@@ -50,6 +50,14 @@ class IntervalJoinRewriteSpec extends SparkTestBase {
     assert(!plan.contains("__ij_cell"))
   }
 
+  test("fires regardless of conjunct order (range first, equality second)") {
+    val rangeFirst = purchases.join(clicks,
+      abs(col("pus") - col("cus")) <= W && col("pu") === col("cu"))
+    val plan = rangeFirst.queryExecution.executedPlan.toString
+    assert(plan.contains("__ij_cell"), s"rewrite must not depend on conjunct order:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("strict inequality and flipped operand order also fire") {
     // abs(b - a) <= w with sides swapped inside the subtraction
     val flipped = purchases.join(clicks,
