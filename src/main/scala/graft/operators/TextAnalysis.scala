@@ -80,6 +80,23 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(2147483647L)),
         lit(2147483647L)))
 
+  /** Pipeline text cleanup: collapse whitespace, strip non-alphanumerics
+    * (keeping spaces), lowercase — the normalization pass before
+    * shingling/dedup so formatting noise doesn't defeat similarity.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Redaction pass: mask email-shaped and url-shaped spans (the
+    * rule-based PII scrub that precedes model-based scrubbing).
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "https?://[^ ]+", "<URL>")
+
   /** Full per-document feature frame used by the x-query pack. */
   def features(docs: DataFrame, stopwords: Seq[String]): DataFrame =
     docs.select(

@@ -462,6 +462,63 @@ object PipelineOps {
             SELECT lang, CAST(rk AS INT) AS rank, token, cnt
             FROM r WHERE rk <= 5 ORDER BY lang, rank"""))
 
+  /** Normalization + scrubbing (TextAnalysis.normalize/scrub): the text
+    * cleanup pass before dedup; digest proves byte-exact parity.
+    */
+  private val x24 = Q(
+    "x24_text_scrub",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalize(col("text"))).as("norm_digest"),
+        length(TextAnalysis.scrub(col("text"))).as("scrub_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest,
+                   CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g')) AS INT) AS scrub_len
+            FROM documents ORDER BY doc_id"""))
+
+  /** Vocabulary encoding: build the corpus vocab (tokens ranked by count,
+    * tie-broken by token), then re-encode each document as its id
+    * sequence. collect_list order is nondeterministic, so positions ride
+    * along and the final sequence is rebuilt with array_sort — the
+    * standard trick for order-stable sequence assembly after a shuffle.
+    */
+  private val x25 = Q(
+    "x25_vocab_encode",
+    (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(col("tok"), (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("tok").asc)) - 1).as("tok_id"))
+      toks.join(broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            e => e.getField("tok_id").cast(StringType)), " ").as("ids"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH arrs AS (
+              SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id, unnest(arr) AS tok,
+                     unnest(range(0, len(arr))) AS pos
+              FROM arrs),
+            vocab AS (
+              SELECT tok,
+                     row_number() OVER (ORDER BY count(*) DESC, tok ASC) - 1
+                       AS tok_id
+              FROM toks GROUP BY tok)
+            SELECT t.doc_id,
+                   array_to_string(list(v.tok_id ORDER BY t.pos), ' ') AS ids
+            FROM toks t JOIN vocab v USING (tok)
+            GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23)
+    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
+    x25)
 }

@@ -67,6 +67,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r("good") > r("bad"))
   }
 
+  test("normalize collapses noise; scrub masks emails and urls") {
+    val df = Seq(
+      ("  Hello,   WORLD!! 42 ", "mail me at a.b+c@ex-ample.org now"),
+      ("clean text", "see https://example.com/x?q=1 and http://a.b ok"))
+      .toDF("t1", "t2")
+    val r = df.select(TextAnalysis.normalize(col("t1")),
+      TextAnalysis.scrub(col("t2"))).collect()
+    assert(r(0).getString(0) == "hello world 42")
+    assert(r(0).getString(1) == "mail me at <EMAIL> now")
+    assert(r(1).getString(0) == "clean text")
+    assert(r(1).getString(1) == "see <URL> and <URL> ok")
+  }
+
   test("features frame has one row per doc and no nulls") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val f = TextAnalysis.features(docs, TextAnalysis.langMarkers("en"))
