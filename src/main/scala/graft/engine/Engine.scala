@@ -32,8 +32,10 @@ object Engine {
     while (i < n) {
       val c = query.charAt(i)
       if (inStr) {
-        // '' is the escaped quote inside a literal: copy both, stay in
-        if (c == '\'' && at(i + 1, '\'')) { out ++= "''"; i += 2 }
+        // '' and \' are escaped quotes inside a literal (Spark's lexer
+        // accepts both); copy the escape pair and stay inside
+        if (c == '\\' && i + 1 < n) { out += c; out += query.charAt(i + 1); i += 2 }
+        else if (c == '\'' && at(i + 1, '\'')) { out ++= "''"; i += 2 }
         else { if (c == '\'') inStr = false; out += c; i += 1 }
       } else if (c == '\'') { inStr = true; out += c; i += 1 }
       else if (c == '-' && at(i + 1, '-')) {
@@ -41,9 +43,15 @@ object Engine {
         val stop = if (end < 0) n else end
         out ++= query.substring(i, stop); i = stop
       } else if (c == '/' && at(i + 1, '*')) {
-        val end = query.indexOf("*/", i + 2)
-        val stop = if (end < 0) n else end + 2
-        out ++= query.substring(i, stop); i = stop
+        // bracketed comments nest in Spark's lexer
+        var depth = 1
+        var j = i + 2
+        while (j < n && depth > 0) {
+          if (at(j, '/') && at(j + 1, '*')) { depth += 1; j += 2 }
+          else if (at(j, '*') && at(j + 1, '/')) { depth -= 1; j += 2 }
+          else j += 1
+        }
+        out ++= query.substring(i, j); i = j
       } else if (c == '=' && at(i + 1, '=')) { out += '='; i += 2 }
       else { out += c; i += 1 }
     }

@@ -59,14 +59,16 @@ object AsOfJoin {
     // timestamp and its payload always come from the same right row (a
     // per-column last(ignoreNulls) would resurrect an older non-null
     // payload past a newer null one).
+    // internal field names are prefixed so a payload column named "ts"
+    // (or anything else) cannot collide inside the struct
     val rightStruct = when(col("__side") === 0,
-      struct(col(commonTs).as("ts") +:
-        payload.map(c => col(s"__p_$c").as(c)): _*))
+      struct(col(commonTs).as("__asof_ts") +:
+        payload.map(c => col(s"__p_$c").as(s"__pf_$c")): _*))
     val carried = unioned
       .withColumn("__match", last(rightStruct, ignoreNulls = true).over(w))
-      .withColumn("asof_ts_us", col("__match.ts"))
+      .withColumn("asof_ts_us", col("__match.__asof_ts"))
     val withPayload = payload.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"__match.$c"))
+      df.withColumn(s"asof_$c", col(s"__match.__pf_$c"))
     }.drop("__match")
 
     val matched = withPayload.filter(col("__side") === 1)

@@ -95,7 +95,7 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text,
         "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-      "https?://[^ ]+", "<URL>")
+      "https?://\\S+", "<URL>") // \S, not [^ ]: must stop at newlines/tabs
 
   /** Full per-document feature frame used by the x-query pack. */
   def features(docs: DataFrame, stopwords: Seq[String]): DataFrame =

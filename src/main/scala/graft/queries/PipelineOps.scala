@@ -474,7 +474,7 @@ object PipelineOps {
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
                    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_digest,
-                   CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), 'https?://[^ ]+', '<URL>', 'g')) AS INT) AS scrub_len
+                   CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), 'https?://\S+', '<URL>', 'g')) AS INT) AS scrub_len
             FROM documents ORDER BY doc_id"""))
 
   /** Vocabulary encoding: build the corpus vocab (tokens ranked by count,

@@ -90,12 +90,16 @@ object StreamOps {
     * semantics session_window can't express (e.g. emitting closed
     * sessions exactly once with custom close rules).
     *
-    * A session also closes when its user goes quiet: the state times out
-    * after `gapSeconds` of processing time, the open session is emitted,
-    * and the state entry is removed — so state size tracks ACTIVE users,
-    * not all users ever seen. (Batch runs invoke each group exactly once
-    * and never fire timeouts, so in batch the final session per user
-    * stays un-emitted by design — StreamingSpec asserts exactly that.)
+    * A session also closes when its user goes quiet: the state carries an
+    * EVENT-time timeout at lastUs + gap, so the session is emitted when
+    * the watermark passes the gap — the same clock the gap predicate
+    * uses, which is what keeps timeout-closes consistent with the batch
+    * twin (a processing-time timeout could close a session that an
+    * in-gap event would still extend, double-emitting it). Streaming
+    * callers must withWatermark the input; state size tracks ACTIVE
+    * users only. (Batch runs invoke each group exactly once and never
+    * fire timeouts, so in batch the final session per user stays
+    * un-emitted by design — StreamingSpec asserts exactly that.)
     */
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): Dataset[SessionOut] = {
@@ -127,7 +131,8 @@ object StreamOps {
       cur match {
         case Some(st) =>
           state.update(st)
-          if (!state.hasTimedOut) state.setTimeoutDuration(gapSeconds * 1000L)
+          // close when the event-time watermark passes the gap horizon
+          state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
         case None => state.remove()
       }
       closed.iterator
@@ -137,7 +142,7 @@ object StreamOps {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.ProcessingTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Run any of the above against a batch DataFrame through the real

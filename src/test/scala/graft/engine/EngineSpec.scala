@@ -94,6 +94,12 @@ class EngineSpec extends SparkTestBase {
     // == inside a comment is left alone
     assert(Engine.prePass("select a from t -- x == y\nwhere a == 2") ==
       "select a from t -- x == y\nwhere a = 2")
+    // backslash-escaped quote keeps the literal open; == inside survives
+    assert(Engine.prePass("select 'don\\'t == x' from t where a == 1") ==
+      "select 'don\\'t == x' from t where a = 1")
+    // nested bracketed comments close at the OUTER terminator
+    assert(Engine.prePass("/* o /* i */ don't */ select 'a == b' where x == 1") ==
+      "/* o /* i */ don't */ select 'a == b' where x = 1")
   }
 
   // ---- deliberate deviations from reference bugs (SURVEY.md §7.5) ----

@@ -60,6 +60,16 @@ class AsOfJoinSpec extends SparkTestBase {
       ts("2024-01-01 10:00:04").getTime * 1000L)
   }
 
+  test("payload column named 'ts' does not collide with internals") {
+    // both sides call their time column ts AND the payload is also a ts
+    val q2 = quotes.withColumn("ts2", col("ts"))
+    val r = AsOfJoin.join(trades, q2, "acct", "ts", "ts", Seq("ts2", "px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(r(1L) == Some(101.0) && r(3L) == None)
+  }
+
   test("plans with exactly one exchange (union-merge, not join)") {
     val df = AsOfJoin.join(trades, quotes, "acct", "ts", "ts", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString
