@@ -518,7 +518,41 @@ object PipelineOps {
             FROM toks t JOIN vocab v USING (tok)
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** Int8 embedding quantization (operators.Quantize): per-vector scale +
+    * code statistics, arithmetic replicated exactly in the oracle
+    * (floor(x+0.5), not engine round()).
+    */
+  private val x26 = Q(
+    "x26_quantize_int8",
+    (s, d) => Quantize.withInt8(
+      t(s, d, "embeddings"), "embedding", "scale", "codes")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
+      .orderBy("vec_id"),
+    Some("""WITH q AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+                     embedding
+              FROM embeddings),
+                 c AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(embedding, x -> 0)
+                     ELSE
+                       list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+                     END AS codes
+              FROM q)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+                   CAST(list_min(codes) AS INT) AS min_code,
+                   CAST(list_max(codes) AS INT) AS max_code
+            FROM c ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25)
+    x25, x26)
 }
