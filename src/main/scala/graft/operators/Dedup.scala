@@ -180,6 +180,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Character n-gram set of a text column (["abc","bcd",...]) — the
+    * tokenization-free similarity unit, robust to scripts with no word
+    * boundaries. Empty below n chars.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Jaccard over character n-gram sets. */
+  def charNgramJaccard(textA: Column, textB: Column, n: Int): Column = {
+    val (sa, sb) = (charNgrams(textA, n), charNgrams(textB, n))
+    size(array_intersect(sa, sb)).cast(DoubleType) /
+      size(array_union(sa, sb))
+  }
+
   /** Exact pairwise token-set Jaccard within a blocking key — the
     * quadratic verifier, for use inside small blocks only.
     */

@@ -552,7 +552,42 @@ object PipelineOps {
                    CAST(list_max(codes) AS INT) AS max_code
             FROM c ORDER BY vec_id"""))
 
+  /** Character-trigram Jaccard near-dup pairs (tokenization-free variant
+    * of x05) — gram sets computed once per document BEFORE the pair join,
+    * which is the shape that scales: per-row feature extraction map-side,
+    * quadratic verify only inside lang blocks.
+    */
+  private val x27 = Q(
+    "x27_char_ngram_pairs",
+    (s, d) => {
+      val g = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"), col("lang"),
+          Dedup.charNgrams(col("text"), 3).as("gs"))
+      val a = g.toDF("id_a", "lang_a", "gs_a")
+      val b = g.toDF("id_b", "lang_b", "gs_b")
+      a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("gs_a"), col("gs_b")))
+            .cast(DoubleType) /
+            size(array_union(col("gs_a"), col("gs_b"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id AS id, lang,
+                     list_distinct(list_transform(range(1, length(text) - 1),
+                       i -> substr(text, CAST(i AS INT), 3))) AS gs
+              FROM documents WHERE doc_id < 100),
+                 p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.gs, b.gs))), 4)
+                       AS jaccard
+              FROM g a JOIN g b ON a.lang = b.lang AND a.id < b.id)
+            SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+            ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26)
+    x25, x26, x27)
 }

@@ -88,6 +88,23 @@ class DedupSpec extends SparkTestBase {
     assert(rows(1).isEmpty)
   }
 
+  test("charNgrams: n-L+1 distinct grams, empty below n") {
+    val df = Seq("abcd", "ab", "aaaa").toDF("t")
+      .select(Dedup.charNgrams(col("t"), 3).as("g"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("abc", "bcd"))
+    assert(rows(1).isEmpty)
+    assert(rows(2) == Seq("aaa")) // distinct
+  }
+
+  test("charNgramJaccard: identical=1, disjoint=0, order-insensitive-ish") {
+    val df = Seq(("abcabc", "abcabc", "xyzxyz")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.charNgramJaccard(col("t1"), col("t2"), 3),
+      Dedup.charNgramJaccard(col("t1"), col("t3"), 3)).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
   test("jaccard is 1 for identical, 0 for disjoint token sets") {
     val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
     val r = df.select(Dedup.jaccard(col("t1"), col("t2")),
