@@ -109,12 +109,8 @@ object Dedup {
   /** Exact Jaccard similarity between the distinct-token sets of two
     * text columns (rational arithmetic: |∩| / |∪|).
     */
-  def jaccard(textA: Column, textB: Column): Column = {
-    val sa = array_distinct(tokens(textA))
-    val sb = array_distinct(tokens(textB))
-    size(array_intersect(sa, sb)).cast(DoubleType) /
-      size(array_union(sa, sb))
-  }
+  def jaccard(textA: Column, textB: Column): Column =
+    setJaccard(array_distinct(tokens(textA)), array_distinct(tokens(textB)))
 
   /** MinHash-LSH near-dup pipeline: LSH candidates verified with exact
     * Jaccard (text joined back, pairs >= threshold kept).
@@ -190,12 +186,16 @@ object Dedup {
         i => text.substr(i, lit(n)))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Jaccard over character n-gram sets. */
-  def charNgramJaccard(textA: Column, textB: Column, n: Int): Column = {
-    val (sa, sb) = (charNgrams(textA, n), charNgrams(textB, n))
+  /** Jaccard of two precomputed element-set columns — the shared core of
+    * every set-similarity verifier here (token sets, char-gram sets).
+    */
+  def setJaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)).cast(DoubleType) /
       size(array_union(sa, sb))
-  }
+
+  /** Jaccard over character n-gram sets. */
+  def charNgramJaccard(textA: Column, textB: Column, n: Int): Column =
+    setJaccard(charNgrams(textA, n), charNgrams(textB, n))
 
   /** Exact pairwise token-set Jaccard within a blocking key — the
     * quadratic verifier, for use inside small blocks only.

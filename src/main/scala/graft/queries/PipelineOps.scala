@@ -567,9 +567,7 @@ object PipelineOps {
       val b = g.toDF("id_b", "lang_b", "gs_b")
       a.join(b, col("lang_a") === col("lang_b") && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("gs_a"), col("gs_b")))
-            .cast(DoubleType) /
-            size(array_union(col("gs_a"), col("gs_b"))), 4).as("jaccard"))
+          round(Dedup.setJaccard(col("gs_a"), col("gs_b")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .orderBy("id_a", "id_b")
     },

@@ -131,8 +131,16 @@ object StreamOps {
       cur match {
         case Some(st) =>
           state.update(st)
-          // close when the event-time watermark passes the gap horizon
-          state.setTimeoutTimestamp(st.lastUs / 1000L + gapSeconds * 1000L)
+          // close when the event-time watermark passes the gap horizon.
+          // A late-but-allowed event can put lastUs+gap BEHIND the
+          // current watermark, which Spark rejects — clamp forward.
+          // (getCurrentWatermarkMs throws in batch, where timeouts never
+          // fire anyway.)
+          val base = st.lastUs / 1000L + gapSeconds * 1000L
+          val ts =
+            try math.max(state.getCurrentWatermarkMs() + 1L, base)
+            catch { case _: UnsupportedOperationException => base }
+          state.setTimeoutTimestamp(ts)
         case None => state.remove()
       }
       closed.iterator
