@@ -32,10 +32,16 @@ object Bench {
         }
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the JSON line SHORT (<~2.5 KB): the harness captures only the
+    // tail of stdout, and a line that starts before the capture window is
+    // unparseable (round-1 BENCH had parsed:null for exactly this reason).
+    // 3-decimal (ms) resolution is plenty for per-query seconds.
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,8 +52,6 @@ object AsOfJoin {
         lCols.filterNot(_ == key).map(col): _*)
     val unioned = r.unionByName(l)
 
-    val w = Window.partitionBy(key).orderBy(commonTs, "__side")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry (ts, payload...) as ONE struct: the struct is non-null for
     // every right row even when a payload FIELD is null, so the matched
     // timestamp and its payload always come from the same right row (a
@@ -64,6 +62,15 @@ object AsOfJoin {
     val rightStruct = when(col("__side") === 0,
       struct(col(commonTs).as("__asof_ts") +:
         payload.map(c => col(s"__p_$c").as(s"__pf_$c")): _*))
+    // (ts, side) alone is not a total order when several right rows share
+    // a (key, ts): last() would then pick a partition-order-dependent row.
+    // Adding the payload struct as the final sort key makes ties resolve
+    // to the LARGEST payload tuple, deterministically on every engine and
+    // partition count. Left rows carry a null struct (sorts first within
+    // their tie group — harmless, they only consume).
+    val w = Window.partitionBy(key).orderBy(col(commonTs), col("__side"),
+        rightStruct)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__match", last(rightStruct, ignoreNulls = true).over(w))
       .withColumn("asof_ts_us", col("__match.__asof_ts"))

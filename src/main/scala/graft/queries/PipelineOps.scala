@@ -328,7 +328,10 @@ object PipelineOps {
 
   /** As-of join (operators.AsOfJoin): each purchase event picks up the
     * most recent click by the same user at-or-before its timestamp.
-    * Oracle = DuckDB's native ASOF LEFT JOIN.
+    * Oracle = DuckDB's native ASOF LEFT JOIN. AsOfJoin breaks equal-
+    * timestamp ties toward the LARGEST payload, so the oracle collapses
+    * clicks to max(value) per (user, ts) first — DuckDB's own ASOF
+    * tiebreak is arbitrary and would flake the hash-compare otherwise.
     */
   private val x18 = Q(
     "x18_asof_join",
@@ -344,8 +347,10 @@ object PipelineOps {
     },
     Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
                        FROM events WHERE event_type = 'purchase'),
-                 c AS (SELECT user_id, epoch_us(ts) AS cts, value AS cvalue
-                       FROM events WHERE event_type = 'click')
+                 c AS (SELECT user_id, epoch_us(ts) AS cts,
+                              max(value) AS cvalue
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1, 2)
             SELECT p.event_id, p.user_id, p.ts_us,
                    c.cts AS asof_ts_us, c.cvalue AS asof_value
             FROM p ASOF LEFT JOIN c

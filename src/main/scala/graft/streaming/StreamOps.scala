@@ -81,7 +81,19 @@ object StreamOps {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Full-microsecond event time. getTime is ms-truncated; the sub-ms
+    * part lives in getNanos — dropping it would ms-quantize the *_us
+    * session bounds and make gap comparisons diverge from the batch twin
+    * (Sessionize uses unix_micros, which keeps the full µs).
+    */
+  private[streaming] def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  /** sumCents: money doubles are 2-decimal; accumulating raw doubles
+    * drifts (0.1-style error) and diverges from the batch twin's exact
+    * decimal(18,2) sum. Cents-as-Long is exact and order-independent.
+    */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, sum_value: Double)
 
@@ -108,24 +120,28 @@ object StreamOps {
 
     def update(user: Long, evs: Iterator[Ev],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      def emit(st: SessionState): SessionOut =
+        SessionOut(user, st.startUs, st.lastUs, st.n, st.sumCents / 100.0)
       if (state.hasTimedOut) {
         // user went quiet: close and emit the open session, free the state
         val st = state.get
         state.remove()
-        return Iterator(SessionOut(user, st.startUs, st.lastUs, st.n, st.sum))
+        return Iterator(emit(st))
       }
       var cur = state.getOption
       val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-      evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-        val us = e.ts.getTime * 1000L
+      evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+        val us = tsMicros(e.ts)
+        val cents = math.round(e.value * 100.0)
         cur match {
           case Some(st) if us - st.lastUs <= gapUs =>
-            cur = Some(st.copy(lastUs = us, n = st.n + 1, sum = st.sum + e.value))
+            cur = Some(st.copy(lastUs = us, n = st.n + 1,
+              sumCents = st.sumCents + cents))
           case Some(st) =>
-            closed += SessionOut(user, st.startUs, st.lastUs, st.n, st.sum)
-            cur = Some(SessionState(us, us, 1, e.value))
+            closed += emit(st)
+            cur = Some(SessionState(us, us, 1, cents))
           case None =>
-            cur = Some(SessionState(us, us, 1, e.value))
+            cur = Some(SessionState(us, us, 1, cents))
         }
       }
       cur match {

@@ -70,6 +70,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(r(1L) == Some(101.0) && r(3L) == None)
   }
 
+  test("equal-timestamp right rows resolve to the largest payload " +
+    "(deterministic tiebreak)") {
+    // two quotes at the SAME (acct, ts): without a total window order the
+    // match would be partition-order dependent. The contract: max payload
+    // tuple wins, on every partitioning.
+    val dupQuotes = Seq(
+      (10L, ts("2024-01-01 10:00:04"), 101.0),
+      (10L, ts("2024-01-01 10:00:04"), 99.0),
+      (10L, ts("2024-01-01 10:00:04"), 103.0)
+    ).toDF("acct", "ts", "px")
+    (1 to 4).foreach { parts =>
+      val r = AsOfJoin.join(
+        trades.filter($"trade_id" === 1L).repartition(parts),
+        dupQuotes.repartition(parts), "acct", "ts", "ts", Seq("px"))
+        .select("asof_px").collect()(0).getDouble(0)
+      assert(r == 103.0, s"tiebreak not deterministic at $parts partitions")
+    }
+  }
+
   test("plans with exactly one exchange (union-merge, not join)") {
     val df = AsOfJoin.join(trades, quotes, "acct", "ts", "ts", Seq("px"))
     val plan = df.queryExecution.executedPlan.toString

@@ -64,12 +64,38 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("stateful sessionization (flatMapGroupsWithState) emits closed " +
-    "sessions matching the batch operator") {
+    "sessions matching the batch operator row-for-row (µs precision)") {
     // run on the batch frame through the streaming state machine
     val out = StreamOps.statefulSessions(spark, batchEvents, 1800L)
+      .collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events, s.sum_value)).toSet
     val batch = graft.operators.Sessionize.sessions(batchEvents, 1800L)
-    // closed sessions = all but the last session per user
-    val closedExpected = batch.count() - batch.select("user_id").distinct().count()
-    assert(out.count() == closedExpected)
+    // closed sessions = all but the last (max session_seq) per user; the
+    // session BOUNDS must agree to the microsecond with the batch twin
+    // (unix_micros), not just the counts — guards the getTime*1000
+    // ms-quantization regression.
+    val lastSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val want = batch
+      .withColumn("max_seq", max("session_seq").over(lastSeq))
+      .filter(col("session_seq") < col("max_seq"))
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(want.nonEmpty)
+    assert(out == want)
+  }
+
+  test("event timestamps carry sub-millisecond precision into tsMicros") {
+    // the events table is µs-truncated nanos: if every ts were ms-round,
+    // the row-for-row test above couldn't catch quantization. Prove the
+    // data really exercises the sub-ms path.
+    import spark.implicits._
+    val subMs = batchEvents.select($"ts").as[java.sql.Timestamp]
+      .take(1000).count(t => StreamOps.tsMicros(t) % 1000L != 0L)
+    assert(subMs > 0, "test data has no sub-ms timestamps; µs guard is moot")
   }
 }
