@@ -113,18 +113,28 @@ object Dedup {
     setJaccard(array_distinct(tokens(textA)), array_distinct(tokens(textB)))
 
   /** MinHash-LSH near-dup pipeline: LSH candidates verified with exact
-    * Jaccard (text joined back, pairs >= threshold kept).
+    * Jaccard (pairs >= threshold kept).
+    *
+    * The verifier joins back each document's DISTINCT TOKEN SET, computed
+    * once map-side — not the raw text. Tokenizing inside the pair join
+    * would redo O(candidate-pairs) string splits instead of O(docs); with
+    * a hot near-dup cluster the same document is verified against many
+    * partners, so the precomputed-set shape is the one that survives a
+    * 100x scale-up. (The sets are NOT carried through the band explode —
+    * that would multiply the shuffled bytes by the band count; they travel
+    * through this narrow post-candidate join only.)
     */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol)
-    val txt = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+    val toks = docs.select(col(idCol).as("jid"),
+      array_distinct(tokens(col(textCol))).as("jtoks"))
     cands
-      .join(txt.toDF("jid_a", "text_a"), col("id_a") === col("jid_a"))
-      .join(txt.toDF("jid_b", "text_b"), col("id_b") === col("jid_b"))
+      .join(toks.toDF("jid_a", "toks_a"), col("id_a") === col("jid_a"))
+      .join(toks.toDF("jid_b", "toks_b"), col("id_b") === col("jid_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
+        round(setJaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -590,7 +590,27 @@ object PipelineOps {
             SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
             ORDER BY id_a, id_b"""))
 
+  /** Bloom-filtered join (operators.BloomJoin): orders pre-filtered by a
+    * broadcast Bloom filter of the rich-customer key set before the exact
+    * join. The exact join scrubs false positives, so the result — and the
+    * oracle — is the plain inner join.
+    */
+  private val x28 = Q(
+    "x28_bloom_join",
+    (s, d) => {
+      val dim = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+      BloomJoin.join(t(s, d, "orders"), dim, "o_custkey", "c_custkey",
+        expectedItems = 20000L)
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 9000
+            ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27)
+    x25, x26, x27, x28)
 }

@@ -686,8 +686,184 @@ object Relational {
             FROM part WHERE regexp_matches(p_name, '^(small|large).*widget$')
             ORDER BY p_partkey"""))
 
+  /** TPC-H Q13 shape (custdist): left join preserving zero-order
+    * customers, per-customer count, then the count-of-counts histogram.
+    * Two aggregations, each a single hash-shuffle on its key; the second
+    * input (one row per customer) is tiny at any scale.
+    */
+  private val s40 = Q(
+    "s40_tpch_q13",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                    ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING-filtered aggregate over
+    * the fact table joined back to orders + broadcast customer, top-100.
+    * The heavy side aggregates BEFORE the join (one row per qualifying
+    * order), so the join input is already reduced ~100x.
+    */
+  private val s41 = Q(
+    "s41_tpch_q18",
+    (s, d) => {
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(isum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey,
+                         CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING CAST(sum(l_quantity) AS BIGINT) > 250) big
+              ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""))
+
+  /** PIVOT: status columns per priority. Explicit pivot values keep the
+    * plan a single pass (no distinct-values pre-query); empty cells are
+    * coalesced to 0 because Spark's pivot-count yields NULL where the
+    * FILTERed count yields 0.
+    */
+  private val s42 = Q(
+    "s42_pivot",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
+  /** UNPIVOT (melt): wide part metrics to long form. Value columns are
+    * pre-cast to a common type (unpivot requires it); the oracle is the
+    * UNION ALL expansion.
+    */
+  private val s43 = Q(
+    "s43_unpivot",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast(DoubleType).as("psize"),
+        col("p_retailprice").cast(DoubleType).as("retail"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("psize"), col("retail")), "metric", "val")
+      .orderBy("p_partkey", "metric"),
+    Some("""SELECT p_partkey, 'psize' AS metric, CAST(p_size AS DOUBLE) AS val
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'retail' AS metric,
+                   CAST(p_retailprice AS DOUBLE) AS val
+            FROM part
+            ORDER BY p_partkey, metric"""))
+
+  /** Array aggregation: per-customer sorted order-key list plus array
+    * functions over it (size / element_at / join). collect_list order is
+    * partition-dependent, so sort_array pins it — same convention as
+    * x25's sequence assembly.
+    */
+  private val s44 = Q(
+    "s44_array_agg",
+    (s, d) => t(s, d, "orders")
+      .filter(col("o_custkey") < 100)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("okeys"))
+      .select(col("o_custkey"),
+        size(col("okeys")).as("n_orders"),
+        element_at(col("okeys"), 1).as("first_key"),
+        array_join(transform(col("okeys"), _.cast(StringType)), ",")
+          .as("keys_csv"))
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey,
+                   CAST(len(list(o_orderkey ORDER BY o_orderkey)) AS INT)
+                     AS n_orders,
+                   (list(o_orderkey ORDER BY o_orderkey))[1] AS first_key,
+                   array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                     AS keys_csv
+            FROM orders WHERE o_custkey < 100
+            GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** Ranking-function family: ntile / percent_rank / cume_dist over a
+    * total per-partition order (unique tiebreak keeps the doubles
+    * engine-identical: with no rank ties both engines compute the same
+    * (rank-1)/(n-1) and rank/n divisions).
+    */
+  private val s45 = Q(
+    "s45_window_rank_funcs",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ORDER BY o_orderstatus, o_orderkey"""))
+
+  /** Deterministic stratified sampling: every 10th row per status stratum
+    * in key order. Oracle-checkable (unlike rand()-based TABLESAMPLE).
+    * This window formulation is the exact-spacing variant; at 100 TB the
+    * shuffle-free form is a hash-mod predicate (pmod(xxhash64(key), 10)=0
+    * — map-side only, no global numbering), which trades exact stratum
+    * spacing for zero data movement.
+    */
+  private val s46 = Q(
+    "s46_stratified_sample",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn") - 1, lit(10)) === 0)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey, o_totalprice
+            FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_orderkey) AS rn
+                  FROM orders)
+            WHERE (rn - 1) % 10 = 0
+            ORDER BY o_orderkey"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39)
+    s39, s40, s41, s42, s43, s44, s45, s46)
 }
