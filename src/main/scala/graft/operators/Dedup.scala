@@ -26,6 +26,19 @@ object Dedup {
 
   import TextAnalysis.tokens
 
+  /** Spread a thin input across the cluster before CPU-heavy per-row
+    * sketching. A small corpus file arrives as one scan partition (one
+    * parquet rowgroup = one split), which would pin the whole map side to
+    * a single core; the shuffle this inserts moves only the raw text —
+    * trivially cheap next to the hashing it parallelizes. Guarded so a
+    * properly-split big input (the 100 TB case: thousands of splits)
+    * passes through untouched, shuffle-free.
+    */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: group rows by content digest, keep the smallest id.
     * Returns (keep_id, n_copies) per distinct content.
     */
@@ -62,7 +75,7 @@ object Dedup {
   def withMinhashSignature(
       docs: DataFrame, textCol: String, sigCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    docs.withColumn(sigCol, graft.functions.SketchFunctions
+    fanOut(docs).withColumn(sigCol, graft.functions.SketchFunctions
         .minhashSignature(col(textCol), shingleK, numHashes))
       .filter(col(sigCol).isNotNull)
 
@@ -80,9 +93,27 @@ object Dedup {
     when(size(hs) > 0, array(mins: _*))
   }
 
+  /** All (a, b) pairs with a-before-b from a SORTED member array — the
+    * in-bucket pair generator shared by every LSH/blocking pipeline here.
+    * Pure codegen'd higher-order functions; quadratic only in the bucket
+    * size, which banding keeps small by construction.
+    */
+  private def memberPairs(ms: Column): Column =
+    flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** LSH banding: candidate near-duplicate pairs (id_a < id_b) whose
     * signatures collide in at least one of `bands` bands of width
-    * numHashes/bands. One shuffle on the band key.
+    * numHashes/bands.
+    *
+    * Shape: ONE shuffle of the (band, bandHash, id) triples into buckets,
+    * then pairs are generated inside each bucket (collect_list +
+    * memberPairs). The textbook alternative — self-joining the banded
+    * frame with itself — would recompute the whole shingle+signature scan
+    * for BOTH join sides (Spark materializes nothing between them); the
+    * signature pass dominates this pipeline, so the bucket formulation
+    * halves the map-side work on top of moving strictly fewer bytes.
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -96,14 +127,14 @@ object Dedup {
         transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
         ","))
     }
-    val banded = sig
+    sig
       .select(col("id"), posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
-    val a = banded.toDF("id_a", "band_a", "bhash_a")
-    val b = banded.toDF("id_b", "band_b", "bhash_b")
-    a.join(b, col("band_a") === col("band_b")
-        && col("bhash_a") === col("bhash_b")
-        && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("band", "bhash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(memberPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity between the distinct-token sets of two
@@ -169,19 +200,23 @@ object Dedup {
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = fanOut(docs).select(col(idCol).as("id"),
       graft.functions.SketchFunctions.simhash64(col(textCol)).as("sh"))
     val chunks = (0 until 4).map(bIdx =>
       shiftright(col("sh"), bIdx * 16).bitwiseAND(lit(0xFFFFL)))
-    val blocked = sigs.select(col("id"), col("sh"),
-      posexplode(array(chunks: _*)).as(Seq("blk", "chunk")))
-    val a = blocked.toDF("id_a", "sh_a", "blk_a", "chunk_a")
-    val b = blocked.toDF("id_b", "sh_b", "blk_b", "chunk_b")
-    a.join(b, col("blk_a") === col("blk_b")
-        && col("chunk_a") === col("chunk_b")
-        && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // Same bucket-join shape as minhashCandidates: one shuffle of
+    // (block, chunk, {id, sh}), pairs generated inside each bucket —
+    // never a self-join that would rescan and re-sketch the corpus twice.
+    // sort_array orders the structs by id (first field), so a.id < b.id.
+    sigs
+      .select(struct(col("id"), col("sh")).as("m"),
+        posexplode(array(chunks: _*)).as(Seq("blk", "chunk")))
+      .groupBy("blk", "chunk")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(memberPairs(col("ms"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.operators._
+
+/** Dev-only stage profiler for the sketch pipelines: times each stage of
+  * the slowest bench queries in isolation so optimization targets the
+  * real bottleneck instead of the guessed one. Aggregate-and-collect
+  * forcing (not .count()) so Catalyst cannot prune the probed stage out
+  * of the plan. Not part of the driver contract.
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .appName("graft-prof").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.3f  $name (n=$n)")
+    }
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.cache().count()
+    time("scan only")(docs.count())
+    time("tokens")(docs.select(explode(TextAnalysis.tokens(col("text")))).count())
+    val sig = Dedup.withMinhashSignature(docs, "text", "sig", 3, 32)
+    time("minhash sig (forced)")(
+      sig.agg(sum(element_at(col("sig"), 1))).collect().length.toLong)
+    time("minhash sig again")(
+      sig.agg(sum(element_at(col("sig"), 1))).collect().length.toLong)
+    val banded = {
+      val r = 4
+      val bandExprs = (0 until 8).map { bIdx =>
+        xxhash64(array_join(
+          transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
+          ","))
+      }
+      sig.select(col("doc_id").as("id"),
+        posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
+    }
+    time("banded (forced)")(
+      banded.agg(sum(pmod(col("bhash"), lit(1000000)))).collect().length.toLong)
+    time("buckets")(banded.groupBy("band", "bhash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count())
+    time("minhash candidates")(Dedup.minhashCandidates(
+      docs, "doc_id", "text").count())
+    time("minhash neardups")(Dedup.minhashNearDups(
+      docs, "doc_id", "text", 0.6).count())
+    time("simhash sig (forced)")(docs.select(
+      graft.functions.SketchFunctions.simhash64(col("text")).as("sh"))
+      .agg(sum(pmod(col("sh"), lit(1000000)))).collect().length.toLong)
+    time("simhash neardups")(Dedup.simhashNearDups(
+      docs, "doc_id", "text", 6).count())
+    docs.unpersist()
+    spark.stop()
+  }
+}
