@@ -43,4 +43,34 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Header'd CSV export, `files` output files. CSV is the interchange
+    * sink (no schema, no types beyond strings) — reads back only with an
+    * explicit schema, which `readCsv` enforces. Quoting matches the
+    * reference dialect (quoted and unquoted values both round-trip —
+    * /root/reference PDF §Dataset.1.ii).
+    */
+  def writeCsv(df: DataFrame, path: String, files: Int = 1): Unit =
+    df.coalesce(files).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** Schema-enforced CSV read-back (no inference pass: inference costs a
+    * full extra scan and guesses types — never acceptable at scale).
+    */
+  def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** JSON-lines export: self-describing rows for downstream consumers
+    * that can't read parquet. Null fields are kept so the schema is
+    * stable row-to-row.
+    */
+  def writeJson(df: DataFrame, path: String, files: Int = 1): Unit =
+    df.coalesce(files).write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "false").json(path)
+
+  /** Schema-enforced JSON-lines read-back. */
+  def readJson(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

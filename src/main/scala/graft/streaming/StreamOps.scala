@@ -77,6 +77,28 @@ object StreamOps {
         col("c_ts") <= col("p_ts") + expr(s"INTERVAL $window"))
   }
 
+  /** Stream-static join: each micro-batch of the stream is enriched
+    * against a static (batch) dimension. No join state is kept — the
+    * static side is (re)resolved per micro-batch, so a refreshed dim
+    * table is picked up mid-stream; broadcast keeps the streaming side
+    * shuffle-free, which is the only sane shape when the stream is the
+    * 100 TB/day firehose and the dim is the small side.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Streaming exact dedup keyed on event_id with watermark-bounded
+    * state: dropDuplicatesWithinWatermark holds a key only until the
+    * event-time watermark passes it, so dedup state is O(keys per
+    * watermark horizon), not O(stream history) — the unbounded-state
+    * trap plain dropDuplicates falls into on streams.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom state: explicit session tracking ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

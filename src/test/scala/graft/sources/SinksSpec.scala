@@ -21,6 +21,21 @@ class SinksSpec extends SparkTestBase {
       orders.filter(col("y") === 1997).count())
   }
 
+  test("csv and json sinks round-trip rows and types under an explicit schema") {
+    val base = Files.createTempDirectory("graftfmt").toString
+    val customer = graft.Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    Sinks.writeCsv(customer, s"$base/csv")
+    Sinks.writeJson(customer, s"$base/json")
+    val csvBack = Sinks.readCsv(spark, s"$base/csv", customer.schema)
+    val jsonBack = Sinks.readJson(spark, s"$base/json", customer.schema)
+    for (back <- Seq(csvBack, jsonBack)) {
+      assert(back.schema == customer.schema)
+      assert(back.exceptAll(customer).isEmpty
+        && customer.exceptAll(back).isEmpty)
+    }
+  }
+
   test("bucketed tables join without an exchange") {
     // warehouse dir is a static conf; the default (./spark-warehouse,
     // gitignored) is fine for this test — but each JVM gets a fresh

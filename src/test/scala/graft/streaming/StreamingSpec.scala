@@ -89,6 +89,33 @@ class StreamingSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  test("stream-static join enriches each micro-batch against the dim") {
+    val dim = batchEvents.select(col("user_id").as("d_user")).distinct()
+      .withColumn("tier",
+        when(col("d_user") % 2 === 0, "even").otherwise("odd"))
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.enrichWithDim(streamEvents, dim, "user_id", "d_user"),
+      "enriched")
+    assert(got.count() == batchEvents.count()) // left join keeps every event
+    assert(got.filter(col("tier").isNull).count() == 0) // dim covers all users
+    val wantEven = batchEvents.filter(col("user_id") % 2 === 0).count()
+    assert(got.filter(col("tier") === "even").count() == wantEven)
+  }
+
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // stage the events TWICE (two files, same rows) to simulate an
+    // at-least-once source re-delivering every event
+    val dir = Files.createTempDirectory("graftdup").toString
+    batchEvents.coalesce(1).write.mode("append").parquet(dir)
+    batchEvents.coalesce(1).write.mode("append").parquet(dir)
+    val dupStream = spark.readStream.schema(StreamOps.eventSchema)
+      .parquet(dir)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupEvents(dupStream, "4 hours"), "deduped")
+    assert(got.count() == batchEvents.count(),
+      s"expected ${batchEvents.count()} unique events, got ${got.count()}")
+  }
+
   test("event timestamps carry sub-millisecond precision into tsMicros") {
     // the events table is µs-truncated nanos: if every ts were ms-round,
     // the row-for-row test above couldn't catch quantization. Prove the
