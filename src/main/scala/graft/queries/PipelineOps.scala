@@ -610,7 +610,31 @@ object PipelineOps {
             WHERE c_acctbal > 9000
             ORDER BY o_orderkey"""))
 
+  /** Skew-safe salted JOIN (operators.Skew.saltedJoin): events joined to
+    * a tiny per-type dimension on a 5-value key — the textbook hot-key
+    * join. The small side replicates `salts` times, the big side salts
+    * deterministically, so each hot key fans over 8 tasks; result is
+    * provably the plain join (the oracle).
+    */
+  private val x29 = Q(
+    "x29_salted_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      Skew.saltedJoin(ev.filter(col("event_id") < 5000)
+          .select("event_id", "event_type"),
+        dim, "event_type", "event_id", salts = 8)
+        .select("event_id", "event_type", "n_type")
+        .orderBy("event_id")
+    },
+    Some("""WITH d AS (SELECT event_type, count(*) AS n_type
+                       FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type, d.n_type
+            FROM events e JOIN d USING (event_type)
+            WHERE e.event_id < 5000
+            ORDER BY e.event_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28)
+    x25, x26, x27, x28, x29)
 }

@@ -862,8 +862,130 @@ object Relational {
             WHERE (rn - 1) % 10 = 0
             ORDER BY o_orderkey"""))
 
+  /** TPC-H Q4 shape: correlated EXISTS with a cross-side predicate
+    * (a lineitem shipped 60+ days after its order date), planned as a
+    * left-semi join — the dedup-free way to ask "has at least one".
+    */
+  private val s47 = Q(
+    "s47_tpch_q4",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= ntz("1996-01-01")
+          && col("o_orderdate") < ntz("1996-07-01"))
+      val l = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q10 shape (returned items): fact filtered on the return flag,
+    * joined up the star to customer + nation, top-20 by lost revenue.
+    */
+  private val s48 = Q(
+    "s48_tpch_q10",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= ntz("1996-01-01")
+            && col("o_orderdate") < ntz("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""))
+
+  /** MapType surface: per-status map of priority -> order count
+    * (map_from_entries over a sorted entry list so key order is pinned),
+    * probed with element_at / map_keys. The map itself is exported as its
+    * sorted key list + a looked-up value — engine map renderings differ,
+    * scalar probes of the map do not.
+    */
+  private val s49 = Q(
+    "s49_map_funcs",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderstatus")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("o_orderpriority"), col("cnt")))))
+        .as("prio_map"))
+      .select(col("o_orderstatus"),
+        element_at(col("prio_map"), "1-URGENT").as("urgent_cnt"),
+        size(col("prio_map")).as("n_prios"),
+        array_join(map_keys(col("prio_map")), ",").as("prios"))
+      .orderBy("o_orderstatus"),
+    Some("""WITH pc AS (SELECT o_orderstatus, o_orderpriority,
+                               count(*) AS cnt
+                        FROM orders GROUP BY 1, 2)
+            SELECT o_orderstatus,
+                   max(cnt) FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS urgent_cnt,
+                   CAST(count(*) AS INT) AS n_prios,
+                   string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                     AS prios
+            FROM pc GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Generator surface: a month spine from sequence()+explode left-joined
+    * to monthly order counts — spine months with no orders survive with
+    * n=0. The spine is generated, not scanned, so the pattern costs
+    * nothing at any scale and fixes the "missing month" hole in
+    * time-series rollups.
+    */
+  private val s50 = Q(
+    "s50_date_spine",
+    (s, d) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          ntz("1995-01-01"), ntz("2002-06-01"),
+          expr("INTERVAL 1 MONTH"))).as("month_start"))
+      val monthly = t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(monthly, col("month_start") === col("m"), "left")
+        .select(col("month_start"),
+          coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("month_start")
+    },
+    Some("""WITH spine AS (
+              SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                       TIMESTAMP '2002-06-01', INTERVAL 1 MONTH))
+                AS month_start),
+                 monthly AS (
+              SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt
+              FROM orders GROUP BY 1)
+            SELECT month_start, coalesce(cnt, 0) AS n_orders
+            FROM spine LEFT JOIN monthly ON month_start = m
+            ORDER BY month_start"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50)
 }

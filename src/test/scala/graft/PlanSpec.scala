@@ -87,20 +87,56 @@ class PlanSpec extends SparkTestBase {
     assert(!exchange.contains("text"), plan)
   }
 
-  test("x06: minhash candidate generation has exactly one " +
-    "band-key exchange before the self-join") {
+  test("x06: minhash candidates are a bucket-join (no self-join that " +
+    "would rescan the corpus for each side)") {
     val df = operators.Dedup.minhashCandidates(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text")
     val plan = planOf(df)
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
-      || plan.contains("BroadcastHashJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // one grouped exchange on the band key + in-bucket pair explode;
+    // any Join node would mean the upstream signature scan runs twice
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan) // explode(memberPairs)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate")
+      || plan.contains("ObjectHashAggregate"), plan) // collect_list buckets
   }
 
   test("x08: brute-force ANN broadcasts the query set over the corpus scan") {
     val plan = planOf(q("x08_ann_bruteforce"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("s41: q18 aggregates lineitem BEFORE joining orders (reduced side)") {
+    val plan = planOf(q("s41_tpch_q18"))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("s47: cross-side EXISTS plans as a semi join, not a distinct+join") {
+    val plan = planOf(q("s47_tpch_q4"))
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("s50: the month spine is generated, never scanned from a table") {
+    val plan = planOf(q("s50_date_spine"))
+    assert(plan.contains("Generate"), plan) // explode(sequence(...))
+  }
+
+  test("x28: bloom pre-filter sits below the join on the fact side") {
+    val plan = planOf(q("x28_bloom_join"))
+    // the UDF filter must appear (BatchEvalPython-free scala udf renders
+    // inside a Filter) and the join must still be a real hash join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.toLowerCase.contains("filter"), plan)
+  }
+
+  test("x29: salted join spreads a 5-value key over salts tasks") {
+    val plan = planOf(q("x29_salted_join"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // join key must include the salt, not just event_type
+    assert(plan.contains("__salt") || plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {
