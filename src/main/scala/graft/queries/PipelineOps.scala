@@ -634,7 +634,76 @@ object PipelineOps {
             WHERE e.event_id < 5000
             ORDER BY e.event_id"""))
 
+  /** Incremental dedup: a new crawl batch deduped against the historical
+    * corpus by content digest — anti join on the 16-byte digest, never
+    * the text, then exact dedup within the batch itself. The daily-ingest
+    * shape: history side is a digest-only table that can be billions of
+    * rows and still shuffle cheaply.
+    */
+  private val x30 = Q(
+    "x30_dedup_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest")).distinct()
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .join(hist, Seq("digest"), "left_anti")
+        .groupBy("digest")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("digest")
+    },
+    Some("""WITH hist AS (SELECT DISTINCT md5(text) AS digest
+                          FROM documents WHERE doc_id < 250),
+                 batch AS (SELECT doc_id, md5(text) AS digest
+                           FROM documents WHERE doc_id >= 250)
+            SELECT digest, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM batch
+            WHERE digest NOT IN (SELECT digest FROM hist)
+            GROUP BY digest ORDER BY digest"""))
+
+  /** Token-budget sequence packing: documents are packed, in stable
+    * doc_id order per language, into training sequences of <= 2048
+    * tokens (prefix-sum bucketing: a doc's pack is its preceding token
+    * mass div the budget — deterministic, single window pass). Per-lang
+    * windows parallelize across languages; at corpus scale the partition
+    * key becomes (lang, shard) so no single window sees the world.
+    */
+  private val x31 = Q(
+    "x31_sequence_pack",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "pack_id")
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                AS n_tok
+                       FROM documents),
+                 c AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang
+                                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum
+                       FROM t)
+            SELECT lang, (cum - n_tok) // 2048 AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY lang, pack_id
+            ORDER BY lang, pack_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29)
+    x25, x26, x27, x28, x29, x30, x31)
 }
