@@ -93,33 +93,60 @@ object Dedup {
     when(size(hs) > 0, array(mins: _*))
   }
 
-  /** All (a, b) pairs with a-before-b from a SORTED member array — the
-    * in-bucket pair generator shared by every LSH/blocking pipeline here.
-    * Pure codegen'd higher-order functions; quadratic only in the bucket
-    * size, which banding keeps small by construction.
+  /** All (a, b) pairs with a-before-b from each bucket's SORTED member
+    * array — the in-bucket pair generator shared by every LSH/blocking
+    * pipeline here. Two chained Generates: explode the members, then each
+    * member's strict successors. The O(k^2) pair set is therefore
+    * STREAMED as rows, never built as one array value — a degenerate hot
+    * bucket (a corpus that skipped exact dedup and carries 100k identical
+    * docs) degrades to many cheap rows exactly like the self-join
+    * formulation would, instead of assembling a multi-GB single value
+    * and dying on Spark's 2GB value limit. (The right tool for such a
+    * corpus is still an x01-style exact-dedup pass first; this keeps the
+    * blocking pipeline from being the thing that falls over.)
     */
-  private def memberPairs(ms: Column): Column =
-    flatten(transform(ms, (x, i) =>
-      transform(slice(ms, i + 2, size(ms)),
-        y => struct(x.as("a"), y.as("b")))))
+  private def explodeMemberPairs(buckets: DataFrame, msCol: String): DataFrame =
+    buckets
+      .select(col(msCol), posexplode(col(msCol)).as(Seq("__i", "a")))
+      .select(col("a"),
+        explode(slice(col(msCol), col("__i") + lit(2), size(col(msCol))))
+          .as("b"))
 
   /** LSH banding: candidate near-duplicate pairs (id_a < id_b) whose
     * signatures collide in at least one of `bands` bands of width
     * numHashes/bands.
     *
     * Shape: ONE shuffle of the (band, bandHash, id) triples into buckets,
-    * then pairs are generated inside each bucket (collect_list +
-    * memberPairs). The textbook alternative — self-joining the banded
-    * frame with itself — would recompute the whole shingle+signature scan
-    * for BOTH join sides (Spark materializes nothing between them); the
-    * signature pass dominates this pipeline, so the bucket formulation
-    * halves the map-side work on top of moving strictly fewer bytes.
+    * then pairs are generated inside each bucket (collect_list + streamed
+    * explodeMemberPairs). The textbook alternative — self-joining the
+    * banded frame with itself — would recompute the whole
+    * shingle+signature scan for BOTH join sides (Spark materializes
+    * nothing between them); the signature pass dominates this pipeline,
+    * so the bucket formulation halves the map-side work on top of moving
+    * strictly fewer bytes.
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    val buckets = bandedFrame(docs, idCol, textCol, shingleK, numHashes, bands)
+      .groupBy("band", "bhash")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    explodeMemberPairs(buckets, "ids")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
+  }
+
+  /** The banded (id, band, bhash) frame minhashCandidates buckets on —
+    * factored out so the stage profiler (tools.Prof) measures the exact
+    * shape the engine runs rather than a hand-copied twin.
+    */
+  private[graft] def bandedFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    require(bands * r == numHashes, "bands must divide numHashes")
     val sig = withMinhashSignature(docs, textCol, "sig", shingleK, numHashes)
       .select(col(idCol).as("id"), col("sig"))
     val bandExprs = (0 until bands).map { bIdx =>
@@ -127,14 +154,8 @@ object Dedup {
         transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
         ","))
     }
-    sig
-      .select(col("id"), posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
-      .groupBy("band", "bhash")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(memberPairs(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .distinct()
+    sig.select(col("id"),
+      posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
   }
 
   /** Exact Jaccard similarity between the distinct-token sets of two
@@ -208,15 +229,15 @@ object Dedup {
     // (block, chunk, {id, sh}), pairs generated inside each bucket —
     // never a self-join that would rescan and re-sketch the corpus twice.
     // sort_array orders the structs by id (first field), so a.id < b.id.
-    sigs
+    val buckets = sigs
       .select(struct(col("id"), col("sh")).as("m"),
         posexplode(array(chunks: _*)).as(Seq("blk", "chunk")))
       .groupBy("blk", "chunk")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)
-      .select(explode(memberPairs(col("ms"))).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        bit_count(col("p.a.sh").bitwiseXOR(col("p.b.sh"))).as("hamming"))
+    explodeMemberPairs(buckets, "ms")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -51,7 +51,9 @@ object Sinks {
     * /root/reference PDF §Dataset.1.ii).
     */
   def writeCsv(df: DataFrame, path: String, files: Int = 1): Unit =
-    df.coalesce(files).write.mode(SaveMode.Overwrite)
+    // repartition, not coalesce: coalesce(1) would collapse the WHOLE
+    // upstream stage to one task; repartition funnels only the write.
+    df.repartition(files).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
   /** Schema-enforced CSV read-back (no inference pass: inference costs a
@@ -66,7 +68,7 @@ object Sinks {
     * stable row-to-row.
     */
   def writeJson(df: DataFrame, path: String, files: Int = 1): Unit =
-    df.coalesce(files).write.mode(SaveMode.Overwrite)
+    df.repartition(files).write.mode(SaveMode.Overwrite)
       .option("ignoreNullFields", "false").json(path)
 
   /** Schema-enforced JSON-lines read-back. */

@@ -30,16 +30,9 @@ object Prof {
       sig.agg(sum(element_at(col("sig"), 1))).collect().length.toLong)
     time("minhash sig again")(
       sig.agg(sum(element_at(col("sig"), 1))).collect().length.toLong)
-    val banded = {
-      val r = 4
-      val bandExprs = (0 until 8).map { bIdx =>
-        xxhash64(array_join(
-          transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
-          ","))
-      }
-      sig.select(col("doc_id").as("id"),
-        posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
-    }
+    // the exact banded frame the engine buckets on (shared builder — a
+    // hand-copied twin here would silently drift from Dedup's real shape)
+    val banded = Dedup.bandedFrame(docs, "doc_id", "text", 3, 32, 8)
     time("banded (forced)")(
       banded.agg(sum(pmod(col("bhash"), lit(1000000)))).collect().length.toLong)
     time("buckets")(banded.groupBy("band", "bhash")

@@ -125,18 +125,21 @@ class PlanSpec extends SparkTestBase {
 
   test("x28: bloom pre-filter sits below the join on the fact side") {
     val plan = planOf(q("x28_bloom_join"))
-    // the UDF filter must appear (BatchEvalPython-free scala udf renders
-    // inside a Filter) and the join must still be a real hash join
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan)
-    assert(plan.toLowerCase.contains("filter"), plan)
+    // the scala-udf bloom probe must survive as a Filter: a generic
+    // "contains(filter)" would match the join's implicit isnotnull
+    // filters and miss the bloom being dropped entirely
+    assert(plan.contains("UDF("), plan)
   }
 
   test("x29: salted join spreads a 5-value key over salts tasks") {
     val plan = planOf(q("x29_salted_join"))
     assert(!plan.contains("CartesianProduct"), plan)
-    // join key must include the salt, not just event_type
-    assert(plan.contains("__salt") || plan.contains("BroadcastHashJoin"), plan)
+    // the physical join key must include the salt, not just event_type —
+    // a BroadcastHashJoin alone proves nothing (the replicated small
+    // side always broadcasts at this scale)
+    assert(plan.contains("__salt"), plan)
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {
