@@ -142,6 +142,12 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("s48: q10's return-flag filter is pushed into the lineitem scan") {
+    val plan = planOf(q("s48_tpch_q10"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -80,6 +80,23 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("hot bucket streams: 400 identical docs yield all C(400,2) pairs " +
+    "without building the pair set as one value") {
+    // every doc identical -> every band maps all 400 ids to ONE bucket;
+    // the streamed pair generation must emit all 79800 ordered pairs
+    // (the array-building formulation would have assembled an 8x-duplicated
+    // 638400-struct value per band here, and at corpus scale would OOM)
+    val n = 400
+    val hot = (0 until n)
+      .map(i => (i.toLong, "the same document body repeated verbatim " +
+        "across the whole crawl with enough tokens to shingle"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(hot, "doc_id", "text")
+    assert(cands.count() == n.toLong * (n - 1) / 2)
+    // a<b orientation holds for every emitted pair
+    assert(cands.filter(col("id_a") >= col("id_b")).count() == 0)
+  }
+
   test("shingles produce n-k+1 grams and empty below k") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("sh"))
