@@ -116,6 +116,17 @@ object Dedup {
     * signatures collide in at least one of `bands` bands of width
     * numHashes/bands.
     *
+    * Tuning (bands b, rows-per-band r = numHashes/b): a pair with true
+    * Jaccard s collides with probability 1 - (1 - s^r)^b, an S-curve with
+    * threshold ~ (1/b)^(1/r). The default (b=8, r=4) puts the knee at
+    * ~0.59 — matched to the 0.6 verify threshold the x06 query uses.
+    * More bands (b=16, r=2 -> knee ~0.25) buys recall for fuzzier dups at
+    * the cost of more candidate pairs to verify; fewer, wider bands
+    * (b=4, r=8 -> knee ~0.84) is the near-exact-dup regime. Cost scales
+    * as b in shuffle volume and as the bucket collision mass in verify
+    * work — tune b/r to put the knee just below the verify threshold so
+    * the verifier, not the blocker, draws the line.
+    *
     * Shape: ONE shuffle of the (band, bandHash, id) triples into buckets,
     * then pairs are generated inside each bucket (collect_list + streamed
     * explodeMemberPairs). The textbook alternative — self-joining the

@@ -99,6 +99,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent micro-batch sink: foreachBatch landing every micro-batch
+    * in a batchId-addressed directory with overwrite semantics. After a
+    * crash the streaming engine replays the last uncommitted batch with
+    * the SAME batchId, so the rewrite hits the same path and the output
+    * stays exactly-once at the directory level — the standard pattern
+    * when the target is a plain object store with no transactional table
+    * format underneath. Readers consume baseDir/batch_* as one dataset.
+    */
+  def toIdempotentParquet(stream: DataFrame, baseDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$baseDir/batch_$id")
+      }
+      .start()
+
   // ---- custom state: explicit session tracking ----
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

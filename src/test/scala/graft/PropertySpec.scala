@@ -78,6 +78,54 @@ class PropertySpec extends SparkTestBase {
     Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
       "zeta", "eta", "theta"))
 
+  test("saltedJoin equals the plain join for any salt count") {
+    forAll(rowsGen, Gen.chooseNum(1, 16)) { (rows, salts) =>
+      val big = df(rows).withColumn("uid",
+        monotonically_increasing_id())
+      val small = rows.map(_._3).distinct.map(g => (g, g * 10))
+        .toDF("g", "w")
+      val salted = operators.Skew.saltedJoin(big, small, "g", "uid", salts)
+        .select("a", "b", "g", "w")
+      val plain = big.join(small, "g").select("a", "b", "g", "w")
+      assert(salted.exceptAll(plain).isEmpty
+        && plain.exceptAll(salted).isEmpty)
+    }
+  }
+
+  test("sequence packing conserves docs and tokens; packs are contiguous " +
+    "id ranges per group") {
+    forAll(rowsGen) { rows =>
+      // treat (g, uid, |a| + 1) as (lang, doc_id, n_tok)
+      val docs = rows.zipWithIndex
+        .map { case ((a, _, g), i) => (g, i.toLong, math.abs(a) + 1L) }
+        .toDF("lang", "doc_id", "n_tok")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val packed = docs
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 60"))
+      val agg = packed.groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .collect()
+      // conservation: every doc and every token lands in exactly one pack
+      assert(agg.map(_.getAs[Long]("n_docs")).sum == docs.count())
+      assert(agg.map(_.getAs[Long]("pack_tokens")).sum ==
+        rows.map(r => math.abs(r._1) + 1L).sum)
+      // contiguity: within a lang, packs tile the doc_id axis in order
+      agg.groupBy(_.getAs[Long]("lang")).foreach { case (_, packs) =>
+        val sorted = packs.sortBy(_.getAs[Long]("pack_id"))
+        sorted.sliding(2).foreach {
+          case Array(p, q) =>
+            assert(p.getAs[Long]("last_doc") < q.getAs[Long]("first_doc"))
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("fingerprint is permutation-invariant; rolling hash catches order") {
     forAll(tokensGen) { toks =>
       val text = toks.mkString(" ")

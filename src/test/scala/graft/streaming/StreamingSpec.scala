@@ -116,6 +116,17 @@ class StreamingSpec extends SparkTestBase {
       s"expected ${batchEvents.count()} unique events, got ${got.count()}")
   }
 
+  test("idempotent foreachBatch sink lands every event exactly once") {
+    val out = Files.createTempDirectory("graftsink").toString
+    val q = StreamOps.toIdempotentParquet(
+      streamEvents.select("event_id", "event_type", "value"), out)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$out/batch_*")
+    assert(landed.count() == batchEvents.count())
+    assert(landed.select("event_id").distinct().count() == batchEvents.count())
+  }
+
   test("event timestamps carry sub-millisecond precision into tsMicros") {
     // the events table is µs-truncated nanos: if every ts were ms-round,
     // the row-for-row test above couldn't catch quantization. Prove the
