@@ -142,6 +142,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("s19: window top-k is group-limited on BOTH sides of the shuffle " +
+    "(Partial WindowGroupLimit prunes map-side, like a combiner)") {
+    // Spark 4's InferWindowGroupLimit turns row_number()+filter(rn<=k)
+    // into partial+final WindowGroupLimit — each map task forwards only
+    // its local top-k per group before the exchange. This is why the
+    // engine composes window+filter instead of shipping a custom top-k
+    // SparkPlan: the built-in plan already has the scale-out shape.
+    val plan = planOf(q("s19_window_topk"))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
   test("s48: q10's return-flag filter is pushed into the lineitem scan") {
     val plan = planOf(q("s48_tpch_q10"))
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
