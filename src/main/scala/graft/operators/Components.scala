@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the last mile of near-dup
+  * dedup: candidate pairs (x05/x06-style) only RELATE documents; keeping
+  * one document per duplicate CLUSTER needs the transitive closure
+  * (a~b, b~c => keep one of {a,b,c}).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labelled with itself; each round every node takes the minimum of its
+  * own label and its neighbors' labels; at fixpoint each component is
+  * labelled with its smallest member id. Rounds = graph diameter —
+  * near-dup graphs are dense cliques with tiny diameters (2-3 rounds),
+  * which is why propagation is the right tool here and the fancier
+  * O(log n) star-contraction variants are not worth their constant
+  * factors. Each round is one join + one aggregate, all shuffles on the
+  * node id; lineage is cut with localCheckpoint every round so the plan
+  * does not grow exponentially across iterations (the classic iterative-
+  * Spark trap).
+  *
+  * The reference has nothing transitive at all (its only "join" is the
+  * materialized cross product, /root/reference/sqlengine.py:120-135);
+  * this is extension surface, oracle-checked against DuckDB's recursive
+  * CTE in x32.
+  */
+object Components {
+
+  /** Label every node with the minimum node id of its connected
+    * component. `nodes`: one column `id`; `edges`: columns (`a`, `b`) —
+    * undirected, any orientation, self-loops and duplicates tolerated.
+    * Returns (id, cluster) with cluster = min id reachable (including
+    * itself, so isolated nodes label themselves).
+    */
+  def minLabel(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    // symmetric adjacency: propagate across the edge in both directions
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // each node's best neighbor label this round
+      val nbrBest = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels
+        .join(nbrBest, labels("id") === nbrBest("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
+  /** Dedup keep-list from near-dup pairs: one row per cluster with the
+    * keeper (min id) and the cluster size. Docs with no near-dup partner
+    * form singleton clusters and are always kept.
+    */
+  def dedupClusters(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    minLabel(nodes, pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+}

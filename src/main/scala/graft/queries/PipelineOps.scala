@@ -703,7 +703,40 @@ object PipelineOps {
             FROM c GROUP BY lang, pack_id
             ORDER BY lang, pack_id"""))
 
+  /** Near-dup CLUSTERS (operators.Components): the x05 pair list closed
+    * transitively by min-label propagation, labelling every doc with its
+    * cluster's smallest id — the keep-one-per-cluster step of dedup.
+    * Oracle is DuckDB's recursive-CTE reachability closure.
+    */
+  private val x32 = Q(
+    "x32_dedup_clusters",
+    (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 150)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Components.minLabel(docs.select(col("doc_id").as("id")), pairs)
+        .orderBy("id")
+    },
+    Some("""WITH RECURSIVE
+              n AS (SELECT doc_id AS id, lang,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents WHERE doc_id < 150),
+              p AS (SELECT a.id AS id_a, b.id AS id_b
+                    FROM n a JOIN n b ON a.lang = b.lang AND a.id < b.id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.toks, b.toks)))
+                          >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION SELECT id_b, id_a FROM p),
+              reach(id, x) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN e ON r.x = e.a
+              )
+            SELECT id, min(x) AS cluster
+            FROM reach GROUP BY id ORDER BY id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31)
+    x25, x26, x27, x28, x29, x30, x31, x32)
 }

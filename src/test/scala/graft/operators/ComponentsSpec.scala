@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labelsOf(nodes: Seq[Long], edges: Seq[(Long, Long)]) =
+    Components.minLabel(nodes.toDF("id"), edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path, pair, and singleton resolve to min-id components") {
+    val got = labelsOf(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("a long path converges (propagation crosses the full diameter)") {
+    val n = 12L
+    val got = labelsOf(1L to n, (1L until n).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("edge orientation and duplicate edges do not matter") {
+    val a = labelsOf(Seq(1L, 2L, 3L), Seq((3L, 1L), (1L, 3L), (2L, 3L)))
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupClusters sizes: clique of 3 + pair + singleton") {
+    val sizes = Components.dedupClusters(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+}
