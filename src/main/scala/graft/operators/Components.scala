@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * one document per duplicate CLUSTER needs the transitive closure
   * (a~b, b~c => keep one of {a,b,c}).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labelled with itself; each round every node takes the minimum of its
-  * own label and its neighbors' labels; at fixpoint each component is
-  * labelled with its smallest member id. Rounds = graph diameter —
-  * near-dup graphs are dense cliques with tiny diameters (2-3 rounds),
-  * which is why propagation is the right tool here and the fancier
-  * O(log n) star-contraction variants are not worth their constant
-  * factors. Each round is one join + one aggregate, all shuffles on the
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Every node starts labelled with itself; each round every node takes
+  * the minimum of its own label, its neighbors' labels, and its LABEL'S
+  * label (the pointer jump — following the representative's own
+  * representative halves chain lengths every round). Propagation alone
+  * converges in diameter rounds; the jump makes it O(log diameter), so
+  * the iteration cap is a formality for any physically possible graph
+  * (2^25 diameter) rather than a correctness cliff for long chains.
+  * Near-dup graphs are dense cliques that finish in 2-3 rounds either
+  * way. Each round is two joins + one aggregate, all shuffles on the
   * node id; lineage is cut with localCheckpoint every round so the plan
   * does not grow exponentially across iterations (the classic iterative-
   * Spark trap).
@@ -51,11 +53,20 @@ object Components {
         .join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels
+      val propagated = labels
         .join(nbrBest, labels("id") === nbrBest("nid"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
+      // pointer jump: my representative's representative is at least as
+      // small as mine (labels only ever decrease), so chase one hop
+      val reps = propagated
+        .select(col("id").as("rid"), col("cluster").as("rcluster"))
+      val next = propagated
+        .join(reps, propagated("cluster") === reps("rid"), "left")
+        .select(propagated("id"),
+          least(propagated("cluster"),
+            coalesce(col("rcluster"), propagated("cluster"))).as("cluster"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).count()

@@ -18,9 +18,15 @@ class ComponentsSpec extends SparkTestBase {
       4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("a long path converges (propagation crosses the full diameter)") {
+  test("a long path converges in logarithmic rounds (pointer jumping)") {
+    // diameter 11: plain propagation needs 11 rounds; with the pointer
+    // jump the label chain halves each round, so 6 rounds must suffice
     val n = 12L
-    val got = labelsOf(1L to n, (1L until n).map(i => (i, i + 1)))
+    val got = Components.minLabel(
+      (1L to n).toDF("id"),
+      (1L until n).map(i => (i, i + 1)).toDF("a", "b"),
+      maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(1L))
   }
 
