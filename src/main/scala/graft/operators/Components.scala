@@ -68,8 +68,13 @@ object Components {
           least(propagated("cluster"),
             coalesce(col("rcluster"), propagated("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
+      // round 1 always changes something on any graph with an edge, so
+      // the convergence probe (a join + count action) starts at round 2;
+      // an edgeless input just pays one extra no-op round
+      val changed =
+        if (it == 0) 1L
+        else next.join(labels.withColumnRenamed("cluster", "old"), "id")
+          .filter(col("cluster") =!= col("old")).count()
       labels = next
       converged = changed == 0
       it += 1

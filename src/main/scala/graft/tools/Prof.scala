@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
 import graft.operators._
 
 /** Dev-only stage profiler for the sketch pipelines: times each stage of
