@@ -22,7 +22,10 @@ object Bench {
     }
     // A failing query must not masquerade as a fast success: log it and
     // record a sentinel -1.0 so the JSON total goes visibly wrong.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed sorted order: deterministic run-to-run and round-to-round, so
+    // per-query deltas are comparable and any cross-query interference
+    // (cache pressure, GC) hits the same neighbors every time.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -32,16 +35,19 @@ object Bench {
         }
       name -> elapsed
     }
-    // Keep the JSON line SHORT (<~2.5 KB): the harness captures only the
-    // tail of stdout, and a line that starts before the capture window is
-    // unparseable (round-1 BENCH had parsed:null for exactly this reason).
-    // 3-decimal (ms) resolution is plenty for per-query seconds.
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The harness captures only the LAST ~2000 chars of stdout. With 90+
+    // queries the combined map outgrows that window, so a single line with
+    // the total at its head gets its head cut off (rounds 1 AND 2 both
+    // produced parsed:null this way). Emit the big per-query map on its own
+    // line FIRST, then a short, self-contained, total-only line LAST — the
+    // tail then always ends with a complete parseable JSON object.
+    println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

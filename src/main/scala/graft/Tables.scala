@@ -53,8 +53,17 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (registeredDir.put(key, dir) != dir)
+    // sessionUUID is unique per session for the JVM's lifetime — unlike an
+    // identityHashCode, which a fresh session can collide with after a
+    // stopped one is GC'd, silently skipping registration. Registration
+    // runs BEFORE the memo write so a throw is not memoized as success.
+    // One small entry per session ever created; sessions are few and
+    // long-lived in every flow here, so the map stays tiny.
+    val key = org.apache.spark.sql.graftshim.SessionShim.sessionUUID(spark)
+      .getOrElse(System.identityHashCode(spark).toString)
+    if (registeredDir.get(key) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredDir.put(key, dir)
+    }
   }
 }

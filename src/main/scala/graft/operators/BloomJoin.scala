@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filtered join: the standard large-cluster pattern for joining a
@@ -30,19 +33,30 @@ object BloomJoin {
 
   /** Inner-join `fact` to `dim` on a long key, Bloom-pre-filtering the
     * fact side. Result == `fact.join(dim, factKey === dimKey)`.
+    *
+    * The probe is Catalyst's own BloomFilterMightContain — the expression
+    * Spark's AQE runtime filters compile to — over the serialized filter
+    * as a binary literal, so the probe side stays inside whole-stage
+    * codegen (a Scala UDF here would fence the one stage whose throughput
+    * the operator exists to protect). stat.bloomFilter inserts raw longs
+    * via putLong and BloomFilterMightContain evals mightContainLong on
+    * the same org.apache.spark.util.sketch format, so the pairing is
+    * exact. The literal rides in the plan: fine for the operator's
+    * contract (a key SET of a few MB); a dim too big for that is broadcast
+    * -hash-join territory anyway.
     */
   def join(
       fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bf: BloomFilter = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    // The one UDF in this codebase that earns its keep: BloomFilter has no
-    // Column-expression API, and the call sits BEFORE the shuffle where it
-    // deletes ~(1-selectivity) of the exchange bytes — worth leaving
-    // whole-stage codegen for one stage.
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mightContain = graftshim.ColumnShim.toColumn(
+      expressions.BloomFilterMightContain(
+        expressions.Literal(bos.toByteArray, BinaryType),
+        graftshim.ColumnShim.toExpression(col(factKey).cast(LongType))))
     fact
-      .filter(col(factKey).isNotNull && mightContain(col(factKey)))
+      .filter(col(factKey).isNotNull && mightContain)
       .join(dim, col(factKey) === col(dimKey))
   }
 }

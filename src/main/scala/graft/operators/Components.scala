@@ -34,6 +34,13 @@ object Components {
     * undirected, any orientation, self-loops and duplicates tolerated.
     * Returns (id, cluster) with cluster = min id reachable (including
     * itself, so isolated nodes label themselves).
+    *
+    * Precondition: edge endpoints ⊆ `nodes` — an edge mentioning an id
+    * absent from `nodes` contributes propagation through that id's LABEL
+    * (it has none) and is effectively ignored; callers derive `edges`
+    * from the same frame as `nodes` (as x32 does), which satisfies this
+    * by construction. Throws if maxIter rounds pass without convergence
+    * rather than returning a partially-propagated labelling.
     */
   def minLabel(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25): DataFrame = {
@@ -47,6 +54,11 @@ object Components {
       .localCheckpoint(true)
     var converged = false
     var it = 0
+    // Checkpoint blocks superseded inside the loop are freed eagerly:
+    // each round caches one copy of the label table, so a run that never
+    // unpersisted would hold rounds+2 cached tables at once — on a real
+    // cluster that evicts working storage blocks, and across a 90-query
+    // bench loop it accumulates into JVM-wide memory pressure.
     while (!converged && it < maxIter) {
       // each node's best neighbor label this round
       val nbrBest = sym
@@ -75,10 +87,23 @@ object Components {
         if (it == 0) 1L
         else next.join(labels.withColumnRenamed("cluster", "old"), "id")
           .filter(col("cluster") =!= col("old")).count()
+      // `next` is materialized (eager checkpoint) and the probe above was
+      // the last reader of the previous round's table — free it now.
+      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
+    sym.unpersist()
+    if (!converged)
+      // Partially-propagated labels are silently WRONG clusterings; with
+      // pointer jumping maxIter=25 covers diameter 2^25, so hitting the
+      // cap means a pathological input, not a tuning problem.
+      throw new IllegalStateException(
+        s"Components.minLabel did not converge in $maxIter rounds")
+    // The returned frame is backed by the final checkpoint block (its
+    // lineage is cut, so it must stay cached to remain readable); it is
+    // freed by the ContextCleaner once the caller drops the reference.
     labels
   }
 

@@ -105,7 +105,8 @@ object Dedup {
     * corpus is still an x01-style exact-dedup pass first; this keeps the
     * blocking pipeline from being the thing that falls over.)
     */
-  private def explodeMemberPairs(buckets: DataFrame, msCol: String): DataFrame =
+  private[operators] def explodeMemberPairs(
+      buckets: DataFrame, msCol: String): DataFrame =
     buckets
       .select(col(msCol), posexplode(col(msCol)).as(Seq("__i", "a")))
       .select(col("a"),
@@ -176,29 +177,40 @@ object Dedup {
     setJaccard(array_distinct(tokens(textA)), array_distinct(tokens(textB)))
 
   /** MinHash-LSH near-dup pipeline: LSH candidates verified with exact
-    * Jaccard (pairs >= threshold kept).
+    * Jaccard over the SHINGLE sets — the same similarity the MinHash
+    * signature estimates. Verifying in the sketch's own space is what
+    * makes the S-curve analysis in minhashCandidates meaningful (an
+    * earlier version verified token-set Jaccard, a different metric:
+    * shared-vocabulary corpora have high token overlap with near-zero
+    * shingle overlap, so candidates and verifier disagreed about what
+    * "similar" means) — and it makes the pipeline oracle-checkable
+    * against exact shingle-Jaccard SQL (x06).
     *
-    * The verifier joins back each document's DISTINCT TOKEN SET, computed
-    * once map-side — not the raw text. Tokenizing inside the pair join
-    * would redo O(candidate-pairs) string splits instead of O(docs); with
-    * a hot near-dup cluster the same document is verified against many
-    * partners, so the precomputed-set shape is the one that survives a
-    * 100x scale-up. (The sets are NOT carried through the band explode —
+    * The verifier joins back each document's DISTINCT SHINGLE SET,
+    * computed once map-side — not the raw text. Re-shingling inside the
+    * pair join would redo O(candidate-pairs) splits instead of O(docs);
+    * with a hot near-dup cluster the same document is verified against
+    * many partners, so the precomputed-set shape is the one that survives
+    * a 100x scale-up. (The sets are NOT carried through the band explode —
     * that would multiply the shuffled bytes by the band count; they travel
     * through this narrow post-candidate join only.)
     */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol)
-    val toks = docs.select(col(idCol).as("jid"),
-      array_distinct(tokens(col(textCol))).as("jtoks"))
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleK)
+    val sets = docs.select(col(idCol).as("jid"),
+      array_distinct(shingles(col(textCol), shingleK)).as("jset"))
     cands
-      .join(toks.toDF("jid_a", "toks_a"), col("id_a") === col("jid_a"))
-      .join(toks.toDF("jid_b", "toks_b"), col("id_b") === col("jid_b"))
+      .join(sets.toDF("jid_a", "set_a"), col("id_a") === col("jid_a"))
+      .join(sets.toDF("jid_b", "set_b"), col("id_b") === col("jid_b"))
+      // threshold the UNROUNDED similarity (round only for display): a
+      // pair in [threshold - 5e-5, threshold) must not round its way in,
+      // or the engine and a SQL oracle filtering the raw ratio disagree
+      // on boundary pairs
+      .filter(setJaccard(col("set_a"), col("set_b")) >= threshold)
       .select(col("id_a"), col("id_b"),
-        round(setJaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(setJaccard(col("set_a"), col("set_b")), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 votes from
@@ -285,8 +297,9 @@ object Dedup {
     val a = n.toDF("id_a", "text_a", "blk_a")
     val b = n.toDF("id_b", "text_b", "blk_b")
     a.join(b, col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
+      // unrounded threshold, rounded display — see minhashNearDups
+      .filter(jaccard(col("text_a"), col("text_b")) >= threshold)
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("text_a"), col("text_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 }

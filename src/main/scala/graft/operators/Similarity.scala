@@ -134,4 +134,50 @@ object Similarity {
         round(cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Axis-sign LSH band signatures: band k packs the sign bits of
+    * `rowsPerBand` consecutive coordinates (coords k*r+1 .. k*r+r,
+    * 1-based) into one int. Sign tests against the coordinate hyperplanes
+    * ARE hyperplane LSH (planes = the axes), with one property the
+    * gaussian variant (lshBucket) lacks: the signature reads the SIGN of
+    * a stored float — zero float arithmetic — so an external engine
+    * reproduces the blocking bit-for-bit. That is what makes the blocked
+    * near-dup pipeline below oracle-checkable end to end.
+    */
+  def signBandSigs(vec: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { k =>
+      (0 until rowsPerBand).map { r =>
+        when(element_at(vec, k * rowsPerBand + r + 1) >= 0, lit(1 << r))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Embedding near-dup pairs at scale: candidates = pairs colliding on
+    * ANY sign band (banding trades precision for recall exactly as in
+    * MinHash banding), verified with exact cosine >= threshold. ONE
+    * shuffle of (band, sig, id) triples into buckets, pairs streamed
+    * per bucket (Dedup.explodeMemberPairs — hot-bucket safe), vectors
+    * joined back only for surviving candidates. Never a cross product:
+    * the x10 PlanSpec pins that.
+    */
+  def signBandNearDupPairs(
+      corpus: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val banded = corpus.select(col("id"),
+      posexplode(signBandSigs(col("vec"), bands, rowsPerBand))
+        .as(Seq("band", "sig")))
+    val buckets = banded.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = Dedup.explodeMemberPairs(buckets, "ids")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col("id").as("vid"), col("vec").as("vv"))
+    cands
+      .join(vecs.toDF("vid_a", "vec_a"), col("id_a") === col("vid_a"))
+      .join(vecs.toDF("vid_b", "vec_b"), col("id_b") === col("vid_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

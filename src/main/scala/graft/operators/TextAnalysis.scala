@@ -70,15 +70,22 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Polynomial rolling hash over the token stream (order sensitive,
-    * unlike fingerprint): acc = (acc*31 + (xxhash64(tok) mod p)) mod p with
-    * p = 2^31-1 — modded each step so ANSI mode never sees a long overflow.
-    * Engine-specific (xxhash64) -> no SQL oracle; property-tested instead.
+  /** Polynomial (Rabin–Karp) rolling hash over the character stream
+    * (order sensitive, unlike fingerprint): acc = (acc*31 + code(c)) mod p
+    * with p = 2^31-1 — modded each step so ANSI mode never sees a long
+    * overflow (acc*31 + 127 < 2^36). Built from plain modular arithmetic
+    * on code points rather than an engine-specific hash (an earlier
+    * version folded xxhash64 per token), so any engine reproduces it
+    * bit-for-bit — x17's DuckDB oracle recomputes it with list_reduce.
     */
   def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(2147483647L)),
-        lit(2147483647L)))
+    when(length(text) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => pmod(acc * 31L + c, lit(2147483647L))))
+      .otherwise(lit(0L))
 
   /** Pipeline text cleanup: collapse whitespace, strip non-alphanumerics
     * (keeping spaces), lowercase — the normalization pass before

@@ -118,16 +118,37 @@ object PipelineOps {
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
             ORDER BY id_a, id_b"""))
 
-  /** MinHash-LSH near-dup candidates verified by exact Jaccard. xxhash64
-    * signatures are engine-specific -> no SQL oracle; DedupSpec asserts
-    * candidate recall against exact Jaccard ground truth.
+  /** MinHash-LSH near-dup candidates verified by exact shingle-set
+    * Jaccard. The xxhash64 signatures are engine-specific, but the
+    * VERIFIED OUTPUT is not: every pair the verifier keeps has exact
+    * shingle-Jaccard >= 0.6, and on this corpus the similarity histogram
+    * is bimodal (planted near-dups at J >= 0.89, everything else under
+    * 0.31 — measured at every SF), so band-collision recall on the
+    * qualifying pairs is exactly 1 and the output equals the all-pairs
+    * exact SQL below. DedupSpec separately asserts candidate recall on
+    * planted dup fixtures.
     */
   private val x06 = Q(
     "x06_dedup_minhash",
     (s, d) => Dedup.minhashNearDups(
       t(s, d, "documents"), "doc_id", "text", 0.6)
       .orderBy("id_a", "id_b"),
-    None)
+    Some("""WITH n AS (SELECT doc_id AS id,
+                   list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS sh
+                 FROM documents
+                 WHERE len(string_split(text,' ')) >= 3)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                     AS jaccard
+            FROM n a JOIN n b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+            ORDER BY id_a, id_b"""))
 
   /** SimHash near-dup pairs (blocked Hamming search). No oracle (xxhash64). */
   private val x07 = Q(
@@ -183,32 +204,44 @@ object PipelineOps {
     },
     None)
 
-  /** Embedding-cosine near-duplicate pairs, exact within a bounded id
-    * range (oracle-checkable twin of the LSH-blocked variant).
+  /** Embedding-cosine near-duplicate pairs, LSH-blocked on axis-sign
+    * bands (Similarity.signBandNearDupPairs) and exact-cosine verified.
+    * The sign blocking reads stored float signs — no float arithmetic —
+    * so the oracle reproduces candidates AND verification exactly; an
+    * earlier formulation was an all-pairs nested-loop join, which is the
+    * one shape that cannot survive a 100x scale-up.
     */
   private val x10 = Q(
     "x10_embed_neardup",
     (s, d) => {
-      val e = t(s, d, "embeddings").filter(col("vec_id") < 150)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
-        .filter(col("sim") >= 0.3)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.signBandNearDupPairs(e, 0.3, bands = 4, rowsPerBand = 4)
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
-                 p AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(
-                       list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-                     6) AS sim
-              FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
-            ORDER BY id_a, id_b"""))
+    Some {
+      // band k = sign bits of coords 4k+1..4k+4 (mirrors signBandSigs)
+      val sigs = (0 until 4).map { k =>
+        val bits = (0 until 4).map(r =>
+          s"${1 << r}*CAST(vec[${k * 4 + r + 1}] >= 0 AS INT)").mkString(" + ")
+        s"($bits) AS s$k"
+      }.mkString(",\n                   ")
+      val anyBand = (0 until 4).map(k => s"a.s$k = b.s$k").mkString(" OR ")
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.vec[i] AS DOUBLE) * CAST($y.vec[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+                 b AS (SELECT id, $sigs FROM e),
+                 p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                       FROM b a JOIN b b ON a.id < b.id AND ($anyBand)),
+                 v AS (SELECT p.id_a, p.id_b,
+                              round(${dot("ea", "eb")}
+                                    / sqrt(${dot("ea", "ea")})
+                                    / sqrt(${dot("eb", "eb")}), 6) AS sim
+                       FROM p JOIN e ea ON ea.id = p.id_a
+                              JOIN e eb ON eb.id = p.id_b)
+            SELECT id_a, id_b, sim FROM v WHERE sim >= 0.3
+            ORDER BY id_a, id_b"""
+    })
 
   /** IVF-style cell assignment (centroids = every 97th vector): cell
     * histogram. Argmin in deterministic double; no oracle (SimilaritySpec
@@ -303,6 +336,14 @@ object PipelineOps {
 
   /** Decode/feature-extraction over partition iterators (stubbed codec,
     * real plumbing): channel histogram of the fake-decoded metadata.
+    *
+    * Oracle-able because the stub decode is deterministic arithmetic:
+    * fakeDecode hashes the payload with java.util.Arrays.hashCode (fold
+    * acc = 31*acc + byte, acc0 = 1, 32-bit wraparound), and the corpus is
+    * all-ASCII so byte == code point. The SQL below tracks the hash as
+    * its unsigned-mod-2^32 representative u; then Java's
+    * (h & 0x7fffffff) = u % 2^31 and (h >> 8) & 0x7fffffff =
+    * u // 256 + (u // 2^31) * 0x7F000000 (arithmetic shift sign bits).
     */
   private val x16 = Q(
     "x16_multimodal_decode",
@@ -313,10 +354,26 @@ object PipelineOps {
           max(col("width")).as("max_w"), max(col("height")).as("max_h"))
         .orderBy("channels")
     },
-    None)
+    Some("""WITH h AS (SELECT doc_id,
+                   list_reduce(list_prepend(CAST(1 AS BIGINT),
+                       list_transform(range(1, length(text)+1),
+                                      i -> CAST(ascii(text[i]) AS BIGINT))),
+                     (a, c) -> (a*31 + c) % 4294967296) AS u
+                 FROM documents),
+                 m AS (SELECT
+                   CAST(((u % 2147483648) % 1920) + 1 AS INT) AS width,
+                   CAST((((u // 256) + (u // 2147483648) * 2130706432)
+                         % 1080) + 1 AS INT) AS height,
+                   CASE WHEN u % 2 = 0 THEN 3 ELSE 1 END AS channels
+                 FROM h)
+            SELECT channels, count(*) AS n, max(width) AS max_w,
+                   max(height) AS max_h
+            FROM m GROUP BY channels ORDER BY channels"""))
 
-  /** Document fingerprint dup-groups per lang (rolling-hash variant; no
-    * oracle — xxhash64).
+  /** Per-document rolling-hash fingerprint (order-sensitive, unlike the
+    * canonical md5 fingerprint of x02). The hash is plain modular
+    * arithmetic over code points, so the oracle recomputes it exactly
+    * with list_reduce.
     */
   private val x17 = Q(
     "x17_text_rolling_hash",
@@ -324,7 +381,12 @@ object PipelineOps {
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id"),
-    None)
+    Some("""SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text)+1),
+                                      i -> CAST(ascii(text[i]) AS BIGINT))),
+                     (a, c) -> (a*31 + c) % 2147483647) AS rhash
+            FROM documents ORDER BY doc_id"""))
 
   /** As-of join (operators.AsOfJoin): each purchase event picks up the
     * most recent click by the same user at-or-before its timestamp.

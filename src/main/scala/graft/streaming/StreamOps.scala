@@ -101,15 +101,20 @@ object StreamOps {
 
   /** Idempotent micro-batch sink: foreachBatch landing every micro-batch
     * in a batchId-addressed directory with overwrite semantics. After a
-    * crash the streaming engine replays the last uncommitted batch with
-    * the SAME batchId, so the rewrite hits the same path and the output
-    * stays exactly-once at the directory level — the standard pattern
-    * when the target is a plain object store with no transactional table
-    * format underneath. Readers consume baseDir/batch_* as one dataset.
+    * crash the engine restarts from `checkpointDir` and replays the last
+    * uncommitted batch with the SAME batchId, so the rewrite hits the
+    * same path and the output stays exactly-once at the directory level —
+    * the standard pattern when the target is a plain object store with no
+    * transactional table format underneath. The durable checkpoint is
+    * what makes that hold: without one, foreachBatch gets a temporary
+    * checkpoint that dies with the process and a restart re-reads from
+    * offset zero with fresh batchIds. Readers consume baseDir/batch_* as
+    * one dataset.
     */
-  def toIdempotentParquet(stream: DataFrame, baseDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+  def toIdempotentParquet(stream: DataFrame, baseDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.write.mode("overwrite").parquet(s"$baseDir/batch_$id")
       }

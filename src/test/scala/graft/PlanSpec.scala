@@ -123,14 +123,23 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("Generate"), plan) // explode(sequence(...))
   }
 
-  test("x28: bloom pre-filter sits below the join on the fact side") {
+  test("x28: bloom pre-filter sits below the join on the fact side, " +
+    "as a codegen expression (never a Scala UDF)") {
     val plan = planOf(q("x28_bloom_join"))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan)
-    // the scala-udf bloom probe must survive as a Filter: a generic
-    // "contains(filter)" would match the join's implicit isnotnull
-    // filters and miss the bloom being dropped entirely
-    assert(plan.contains("UDF("), plan)
+    // the probe must be Catalyst's BloomFilterMightContain (prettyName
+    // might_contain) — a ScalaUDF would fence whole-stage codegen on the
+    // one stage the operator exists to protect
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF("), plan)
+  }
+
+  test("x10: embedding near-dup pairs never plan a cross product " +
+    "(LSH bucket join, not all-pairs)") {
+    val plan = planOf(q("x10_embed_neardup"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("x29: salted join spreads a 5-value key over salts tasks") {

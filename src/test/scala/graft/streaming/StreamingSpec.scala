@@ -118,8 +118,9 @@ class StreamingSpec extends SparkTestBase {
 
   test("idempotent foreachBatch sink lands every event exactly once") {
     val out = Files.createTempDirectory("graftsink").toString
+    val ckpt = Files.createTempDirectory("graftsinkckpt").toString
     val q = StreamOps.toIdempotentParquet(
-      streamEvents.select("event_id", "event_type", "value"), out)
+      streamEvents.select("event_id", "event_type", "value"), out, ckpt)
     q.processAllAvailable()
     q.stop()
     val landed = spark.read.parquet(s"$out/batch_*")
