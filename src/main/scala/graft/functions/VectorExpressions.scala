@@ -69,9 +69,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** hyperplane_bucket(vec): LongType LSH bucket id — bit i is the sign of
+  * dot(vec, planes(i)), doubles accumulated in ascending index order
+  * (identical to the aggregate/zip_with spec in Similarity.lshBucketHof;
+  * parity asserted in SimilaritySpec). One fused pass over the vector per
+  * row instead of nPlanes interpreted lambda folds — the map-side cost of
+  * every LSH ANN query, which is why it is native.
+  */
+case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  @transient private lazy val childFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planeArr.length) {
+      val plane = planeArr(p)
+      val n = math.min(v.numElements(), plane.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        d += x * plane(i)
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: fused native cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.toColumn(CosineSimilarity(
       ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+
+  /** Column API: fused native hyperplane LSH bucket. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnShim.toColumn(HyperplaneBucket(ColumnShim.toExpression(vec), planes))
 }

@@ -186,21 +186,26 @@ object Dedup {
     * "similar" means) — and it makes the pipeline oracle-checkable
     * against exact shingle-Jaccard SQL (x06).
     *
-    * The verifier joins back each document's DISTINCT SHINGLE SET,
-    * computed once map-side — not the raw text. Re-shingling inside the
-    * pair join would redo O(candidate-pairs) splits instead of O(docs);
-    * with a hot near-dup cluster the same document is verified against
-    * many partners, so the precomputed-set shape is the one that survives
-    * a 100x scale-up. (The sets are NOT carried through the band explode —
-    * that would multiply the shuffled bytes by the band count; they travel
-    * through this narrow post-candidate join only.)
+    * The verifier joins back each document's DISTINCT SHINGLE SET as
+    * sorted 64-bit shingle hashes (functions.ShingleHashSet — one
+    * compiled pass; Jaccard over hash sets equals Jaccard over string
+    * sets, collisions being ~n^2/2^64), computed once map-side — not the
+    * raw text. Re-shingling inside the pair join would redo
+    * O(candidate-pairs) splits instead of O(docs); with a hot near-dup
+    * cluster the same document is verified against many partners, so the
+    * precomputed-set shape is the one that survives a 100x scale-up.
+    * Hashes instead of strings cut the set-join bytes ~10x. (The sets
+    * are NOT carried through the band explode — that would multiply the
+    * shuffled bytes by the band count; they travel through this narrow
+    * post-candidate join only.)
     */
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleK)
     val sets = docs.select(col(idCol).as("jid"),
-      array_distinct(shingles(col(textCol), shingleK)).as("jset"))
+      graft.functions.SketchFunctions.shingleHashSet(col(textCol), shingleK)
+        .as("jset"))
     cands
       .join(sets.toDF("jid_a", "set_a"), col("id_a") === col("jid_a"))
       .join(sets.toDF("jid_b", "set_b"), col("id_b") === col("jid_b"))

@@ -66,9 +66,18 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1) for a vector:
-    * bit i = sign of dot(vec, plane_i).
+    * bit i = sign of dot(vec, plane_i). Native fused expression
+    * (functions.HyperplaneBucket) — one pass over the vector per row.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.hyperplaneBucket(
+      vec, hyperplanes(nPlanes, dim).map(_.toSeq))
+
+  /** Executable spec of lshBucket as pure higher-order functions (same
+    * planes, same ascending-index double fold); parity with the native
+    * expression is asserted in SimilaritySpec.
+    */
+  def lshBucketHof(vec: Column, nPlanes: Int, dim: Int): Column = {
     val planes = hyperplanes(nPlanes, dim)
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit(_)): _*)

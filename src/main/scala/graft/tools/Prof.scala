@@ -38,6 +38,12 @@ object Prof {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).count())
     time("minhash candidates")(Dedup.minhashCandidates(
       docs, "doc_id", "text").count())
+    // the verify-side per-doc shingle-set materialization in isolation
+    // (native hash-set pass — what minhashNearDups joins back); the HOF
+    // string formulation it replaced measured ~4x slower here
+    time("shingle hash sets (forced)")(docs.select(
+      graft.functions.SketchFunctions.shingleHashSet(col("text"), 3).as("s"))
+      .agg(sum(size(col("s")))).collect().length.toLong)
     time("minhash neardups")(Dedup.minhashNearDups(
       docs, "doc_id", "text", 0.6).count())
     time("simhash sig (forced)")(docs.select(

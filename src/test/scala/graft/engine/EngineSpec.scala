@@ -167,6 +167,62 @@ class EngineSpec extends SparkTestBase {
     assert(out.linesIterator.toSeq == Seq("A", "No Results Found"))
   }
 
+  test("golden replay: requirements/sample_output.txt queries through " +
+    "Engine + ResultFormatter") {
+    // /root/reference/requirements/sample_output.txt:1-30 is the
+    // reference's only golden file: two queries over the requirements/
+    // fixture tables. Replay both and compare VALUES verbatim. Two
+    // documented format deviations from the golden file itself:
+    // - its rows are comma-joined with no space; the reference PROGRAM
+    //   prints ', '.join (sqlengine.py:240) — we normalize separators.
+    // - its query-1 header (sample_output.txt:5) is `table1.B,table2.D`,
+    //   attributing table2's own B column to table1 — the golden file's
+    //   known header bug (SURVEY.md §2.7); neither the reference program
+    //   (which would print table2.B — fetchAllColumns, sqlengine.py:
+    //   358-363) nor this engine reproduces it. We assert our header
+    //   (unqualified single-table star) and golden VALUES.
+    withRef()
+    val golden = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$refDir/requirements/sample_output.txt"))
+    // block k = the run of nonempty, non-"N." lines after "output:"
+    // marker k, values normalized to no-space comma separation
+    val lines = golden.linesIterator.toVector
+    val blocks = lines.zipWithIndex
+      .filter(_._1.trim.toLowerCase.startsWith("output"))
+      .map { case (_, i) =>
+        lines.drop(i + 1)
+          .takeWhile(l => l.trim.nonEmpty && !l.matches("^\\d+\\..*"))
+          .map(_.trim.replace(", ", ","))
+      }
+    assert(blocks.length == 2, s"golden file parse drift: $blocks")
+    val req = Engine.forDirectory(spark, s"$refDir/requirements")
+    def rendered(q: String): Seq[String] =
+      ResultFormatter.render(req(q)).linesIterator
+        .map(_.replace(", ", ",")).toSeq
+    val out1 = rendered("Select * from table2")
+    assert(out1.head == "B,D") // corrected header, see above
+    assert(out1.tail.sorted == blocks(0).tail.sorted, s"q1 values: $out1")
+    val out2 = rendered("Select A from table1")
+    assert(out2.head == "A")
+    assert(out2.tail.sorted == blocks(1).tail.sorted, s"q2 values: $out2")
+  }
+
+  test("star over a comma join keeps BOTH copies of a shared column name " +
+    "(reference prints join keys twice — sqlengine.py:260-265, SURVEY §2.7)") {
+    // table3(A,B,C) x table4(B,D): star expansion must yield 5 columns
+    // with B appearing once per table, not a deduplicated 4
+    val cross = run("select * from table3, table4")
+    assert(cross.columns.toSeq == Seq("A", "B", "C", "B", "D"))
+    assert(cross.count() == 8) // 2 x 4 rows
+    val eq = run("select * from table3, table4 where table3.C = table4.B")
+    assert(eq.columns.toSeq == Seq("A", "B", "C", "B", "D"))
+    val rows = eq.collect()
+    assert(rows.length == 1 &&
+      rows(0).toSeq == Seq(1L, 2L, 3L, 3L, 4L))
+    // the duplicate header survives the formatter verbatim
+    assert(ResultFormatter.render(eq).linesIterator.next() == "A, B, C, B, D")
+  }
+
   test("catalog parser handles synthetic metadata with blank lines") {
     val cat = Catalog.parse(Iterator(
       "<begin_table>", "t", "x", "y", "<end_table>", "",

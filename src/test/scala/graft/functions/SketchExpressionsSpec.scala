@@ -28,6 +28,40 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("ShingleHashSet: Jaccard over hash sets equals Jaccard over " +
+    "string shingle sets on real documents") {
+    // cross a 40-doc slice with itself: every pair's hash-set Jaccard
+    // must equal the string-set Jaccard (64-bit collisions would differ)
+    val sl = docs.filter(col("doc_id") < 40)
+    val a = sl.select(col("doc_id").as("ia"), col("text").as("ta"))
+    val b = sl.select(col("doc_id").as("ib"), col("text").as("tb"))
+    val diff = a.crossJoin(b)
+      .select(
+        Dedup.setJaccard(
+          SketchFunctions.shingleHashSet(col("ta"), 3),
+          SketchFunctions.shingleHashSet(col("tb"), 3)).as("hashj"),
+        Dedup.setJaccard(
+          array_distinct(Dedup.shingles(col("ta"), 3)),
+          array_distinct(Dedup.shingles(col("tb"), 3))).as("strj"))
+      .filter(col("hashj") =!= col("strj")).count()
+    assert(diff == 0)
+  }
+
+  test("ShingleHashSet: set size matches distinct string shingles; " +
+    "empty below k; sorted ascending") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x x x x x", "a  b c").toDF("text")
+    val rows = df.select(
+      SketchFunctions.shingleHashSet(col("text"), 3).as("hs"),
+      size(array_distinct(Dedup.shingles(col("text"), 3))).as("n"))
+      .collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      assert(hs.length == r.getInt(1))
+      assert(hs == hs.sorted)
+    }
+  }
+
   test("parity holds on degenerate whitespace (empty tokens skipped)") {
     import spark.implicits._
     val df = Seq("a  b", " a b ", "a b  c", "   ").toDF("text")

@@ -30,6 +30,14 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(sims(2) + 1.0) < 1e-12)
   }
 
+  test("native hyperplane bucket equals the HOF spec on real embeddings") {
+    val diff = emb.select(
+      Similarity.lshBucket(col("embedding"), 8, 64).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 8, 64).as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(diff == 0)
+  }
+
   test("bruteForceTopK: a planted duplicate vector is its own top-1") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val dupQuery = emb.filter(col("vec_id") === 7)
