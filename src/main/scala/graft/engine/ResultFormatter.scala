@@ -14,16 +14,30 @@ import org.apache.spark.sql.DataFrame
   */
 object ResultFormatter {
 
-  def render(df: DataFrame): String = {
+  /** Render the full result (reference parity: it prints everything).
+    * Streams rows through toLocalIterator instead of collect(), so the
+    * driver holds one PARTITION at a time, not the whole result — the
+    * difference between "slow" and "OOM" if the shell is pointed at a
+    * big table. `maxRows` caps output for interactive use; the default
+    * keeps reference semantics.
+    */
+  def render(df: DataFrame, maxRows: Long = Long.MaxValue): String = {
     val header = df.columns.mkString(", ")
-    val rows = df.collect()
-    if (rows.isEmpty) s"$header\nNo Results Found"
-    else {
-      val body = rows.map(_.toSeq.map {
+    val sb = new StringBuilder(header)
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext && n < maxRows) {
+      sb += '\n'
+      sb ++= it.next().toSeq.map {
         case null => "NULL"
         case v => v.toString
-      }.mkString(", "))
-      (header +: body).mkString("\n")
+      }.mkString(", ")
+      n += 1
+    }
+    if (n == 0) s"$header\nNo Results Found"
+    else {
+      if (it.hasNext) sb ++= s"\n... (output capped at $maxRows rows)"
+      sb.toString
     }
   }
 }
