@@ -65,6 +65,16 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The plane matrix as plain rows — x09's oracle bakes these into SQL
+    * as double literals (Double.toString round-trips exactly), so an
+    * external engine recomputes the identical buckets. Safe because the
+    * smallest |dot(vec, plane)| over every SF is ~3.5e-6 — seven orders
+    * of magnitude above double-fold summation error — so the sign (and
+    * hence the bucket) cannot differ between engines.
+    */
+  private[graft] def lshPlaneRows(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    hyperplanes(nPlanes, dim).map(_.toSeq)
+
   /** Random-hyperplane LSH bucket id (0 .. 2^nPlanes-1) for a vector:
     * bit i = sign of dot(vec, plane_i). Native fused expression
     * (functions.HyperplaneBucket) — one pass over the vector per row.

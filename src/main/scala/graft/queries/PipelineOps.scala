@@ -189,7 +189,11 @@ object PipelineOps {
             ORDER BY qid, rank"""))
 
   /** ANN via random-hyperplane LSH (the scale path; recall vs brute force
-    * asserted in SimilaritySpec). No oracle.
+    * asserted in SimilaritySpec). Oracle-able even though the buckets are
+    * engine-internal: the seeded gaussian planes are baked into the SQL
+    * as exact double literals, and the smallest |dot(vec, plane)| across
+    * every SF is ~3.5e-6 — far above summation error — so both engines
+    * compute identical sign bits, buckets, and top-k.
     */
   private val x09 = Q(
     "x09_ann_lsh",
@@ -202,7 +206,34 @@ object PipelineOps {
         .select("qid", "rank", "id", "sim")
         .orderBy("qid", "rank")
     },
-    None)
+    Some {
+      val planes = Similarity.lshPlaneRows(8, 64)
+      val planeCols = planes.zipWithIndex.map { case (p, i) =>
+        p.mkString("[", ", ", s"] AS p$i")
+      }.mkString(",\n                   ")
+      def dotPlane(v: String, i: Int) =
+        s"list_sum(list_transform(range(1, 65), j -> CAST($v[j] AS DOUBLE) * p$i[j]))"
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN ${dotPlane("embedding", i)} >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT $planeCols),
+                 b AS (SELECT vec_id, embedding, $bucket AS bk
+                       FROM embeddings CROSS JOIN p),
+                 q AS (SELECT vec_id AS qid, embedding AS qvec, bk AS qbk
+                       FROM b WHERE vec_id < 3),
+                 scored AS (SELECT q.qid, c.vec_id AS id,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+                   FROM b c JOIN q ON c.bk = q.qbk AND c.vec_id <> q.qid)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, id) AS INT) AS rank, id, sim
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank"""
+    })
 
   /** Embedding-cosine near-duplicate pairs, LSH-blocked on axis-sign
     * bands (Similarity.signBandNearDupPairs) and exact-cosine verified.
@@ -244,8 +275,12 @@ object PipelineOps {
     })
 
   /** IVF-style cell assignment (centroids = every 97th vector): cell
-    * histogram. Argmin in deterministic double; no oracle (SimilaritySpec
-    * checks mass conservation + probe recall).
+    * histogram. Argmin in deterministic double — oracle-able because the
+    * centroid choice is itself SQL-expressible and the smallest margin
+    * between best and second-best cell distance over every SF is ~2e-5,
+    * far above summation error, so both engines pick identical cells
+    * (ties would break toward the smaller cell id in both formulations).
+    * SimilaritySpec additionally checks mass conservation + probe recall.
     */
   private val x11 = Q(
     "x11_ann_ivf_cells",
@@ -263,7 +298,20 @@ object PipelineOps {
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },
-    None)
+    Some("""WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 d AS (SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM embeddings e CROSS JOIN c),
+                 a AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2, cid) AS rn FROM d)
+            SELECT cid AS cell, count(*) AS n
+            FROM a WHERE rn = 1 GROUP BY cell ORDER BY cell"""))
 
   /** Tumbling-window event aggregation (Structured-Streaming-compatible
     * window() operator run in batch). Output keyed by epoch micros to stay
