@@ -118,22 +118,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Squared L2 distance to a literal centroid, double accumulation in
+    * ascending index order (the same fold the SQL oracles replay).
+    */
+  private def sqDist(vec: Column, cvec: Array[Double]): Column = {
+    val cLit = array(cvec.map(lit(_)): _*)
+    aggregate(zip_with(vec, cLit, (u, v) =>
+      (u.cast(DoubleType) - v) * (u.cast(DoubleType) - v)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  private def centroidStructs(vec: Column,
+      centroids: Seq[(Int, Array[Double])]): Seq[Column] =
+    centroids.map { case (cid, cvec) =>
+      struct(sqDist(vec, cvec).as("dist"), lit(cid).as("cid"))
+    }
+
   /** IVF-style coarse quantization: assign every vector to its nearest
     * centroid (argmin over a broadcast literal centroid set), so search
     * probes only matching cells. Centroid choice is the caller's (sampled
     * or trained upstream); this operator is the partition-and-probe step.
-    * Returns the corpus with a `cell` column.
+    * Returns the corpus with a `cell` column. Ties break toward the
+    * smaller centroid id (struct comparison is (dist, cid)).
     */
   def ivfAssign(corpus: DataFrame, vecCol: String,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val scored = centroids.map { case (cid, cvec) =>
-      val cLit = array(cvec.map(lit(_)): _*)
-      val d = aggregate(zip_with(col(vecCol), cLit, (u, v) =>
-        (u.cast(DoubleType) - v) * (u.cast(DoubleType) - v)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d.as("dist"), lit(cid).as("cid"))
-    }
-    corpus.withColumn("cell", least(scored: _*).getField("cid"))
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    corpus.withColumn("cell",
+      least(centroidStructs(col(vecCol), centroids): _*).getField("cid"))
+
+  /** The `nprobe` nearest centroid ids for a vector, nearest first —
+    * the query-side half of IVF search.
+    */
+  def ivfProbeCells(vec: Column, centroids: Seq[(Int, Array[Double])],
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroidStructs(vec, centroids): _*)),
+        1, nprobe),
+      s => s.getField("cid"))
+
+  /** IVF probe search: exact top-k cosine, but each query scores ONLY
+    * the vectors assigned to its `nprobe` nearest cells — the standard
+    * recall/cost dial of IVF ANN (nprobe = all cells degenerates to
+    * brute force). Corpus side is one map pass (cell assignment is a
+    * per-row argmin over broadcast literals); the query side explodes to
+    * (query, cell) pairs and broadcasts, so the only shuffle is the
+    * final tiny top-k window — the same shape as bruteForceTopK with the
+    * scan mass divided by nlist/nprobe.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int,
+      k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, "vec", centroids)
+    val qProbe = queries.withColumn("cell",
+      explode(ivfProbeCells(col("qvec"), centroids, nprobe)))
+    val scored = assigned.join(broadcast(qProbe), Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** Pairwise near-duplicate vectors: all (a<b) pairs with cosine >=

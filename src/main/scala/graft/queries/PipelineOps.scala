@@ -286,15 +286,9 @@ object PipelineOps {
     "x11_ann_ivf_cells",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      val centroids = e.filter(pmod(col("vec_id"), lit(97)) === 0)
-        .orderBy("vec_id").limit(16)
-        .collect().zipWithIndex.map { case (r, i) =>
-          (i, r.getSeq[Float](r.fieldIndex("embedding"))
-            .map(_.toDouble).toArray)
-        }.toSeq
       Similarity.ivfAssign(
         e.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        "vec", centroids)
+        "vec", ivfCentroids(s, d))
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .orderBy("cell")
     },
@@ -846,7 +840,93 @@ object PipelineOps {
             SELECT id, min(x) AS cluster
             FROM reach GROUP BY id ORDER BY id"""))
 
+  /** Centroid set shared by x11/x33: every 97th vector in id order. */
+  private def ivfCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Int, Array[Double])] =
+    t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(97)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+
+  /** IVF probe SEARCH (the full index path, completing x11's assignment
+    * step): top-5 cosine over only each query's 2 nearest cells. Same
+    * determinism argument as x11 — centroids are SQL-expressible, the
+    * probe boundary margin (3rd-vs-2nd nearest cell over the query set)
+    * is >= 0.025 at every SF, and cell assignment margins are >= 2e-5.
+    */
+  private val x33 = Q(
+    "x33_ann_ivf_search",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(qs, corpus, ivfCentroids(s, d), nprobe = 2, k = 5)
+        .select("qid", "rank", "id", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 d AS (SELECT e.vec_id, e.embedding, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM embeddings e CROSS JOIN c),
+                 ca AS (SELECT vec_id, embedding, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+                 qp AS (SELECT vec_id AS qid, embedding AS qvec, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM d WHERE vec_id < 3)
+                     WHERE rn <= 2),
+                 scored AS (SELECT qp.qid, ca.vec_id AS id,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(qp.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+                   FROM ca JOIN qp ON ca.cid = qp.cid
+                   WHERE ca.vec_id <> qp.qid)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, id) AS INT) AS rank, id, sim
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank"""))
+
+  /** Video-ish frame sampling (Multimodal.sampleFrames): every 2nd
+    * 256-byte chunk of each payload as its own row with a per-frame
+    * digest — the one-to-many explode shape a frame pipeline needs. The
+    * chunking stub is deterministic bytes math over an ASCII corpus, so
+    * the oracle replays it with substring+sha256.
+    */
+  private val x34 = Q(
+    "x34_frame_sample",
+    (s, d) => {
+      val bin = Multimodal.asBinary(
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      Multimodal.sampleFrames(s, bin, frameBytes = 256, stride = 2).toDF()
+        .select(col("mediaId").as("media_id"),
+          col("frameIdx").as("frame_idx"),
+          col("sha256"), col("nBytes").as("n_bytes"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                     sha256(substring(text, CAST(i*256 + 1 AS BIGINT), 256))
+                       AS sha256,
+                     CAST(least(256, length(text) - i*256) AS INT) AS n_bytes
+              FROM documents
+                CROSS JOIN unnest(range(0,
+                  CAST(ceil(length(text)/256.0) AS BIGINT))) AS t(i)
+              WHERE doc_id < 200 AND i % 2 = 0)
+            SELECT media_id, frame_idx, sha256, n_bytes FROM f
+            ORDER BY media_id, frame_idx"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31, x32)
+    x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
 }

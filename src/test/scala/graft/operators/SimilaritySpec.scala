@@ -64,6 +64,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  private def testCentroids: Seq[(Int, Array[Double])] =
+    emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .orderBy("vec_id").limit(16)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+
+  test("ivfTopK with nprobe = nlist degenerates to exact brute force") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cs = testCentroids
+    val ivf = Similarity.ivfTopK(qs, corpus, cs, nprobe = cs.size, k = 5)
+      .select("qid", "rank", "id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val brute = Similarity.bruteForceTopK(qs, corpus, 5)
+      .select("qid", "rank", "id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK at nprobe=2 returns correctly-scored neighbors from " +
+    "probed cells only") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.ivfTopK(qs, corpus, testCentroids, 2, 5)
+    assert(got.count() > 0)
+    // every returned sim must equal the exact cosine for that pair
+    val joined = got.join(
+      corpus.withColumnRenamed("id", "cid2").withColumnRenamed("vec", "cvec"),
+      col("id") === col("cid2"))
+      .join(qs.withColumnRenamed("qid", "qid2")
+        .withColumnRenamed("qvec", "qv2"), col("qid") === col("qid2"))
+      .filter(col("sim") =!=
+        round(Similarity.cosine(col("qv2"), col("cvec")), 6))
+    assert(joined.count() == 0)
+  }
+
   test("ivfAssign conserves corpus mass across cells") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex

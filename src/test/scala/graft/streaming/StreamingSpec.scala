@@ -128,6 +128,35 @@ class StreamingSpec extends SparkTestBase {
     assert(landed.select("event_id").distinct().count() == batchEvents.count())
   }
 
+  test("idempotent sink resumes from its checkpoint across a restart " +
+    "(no reprocessing, no loss)") {
+    // run 1: land the first copy of the events, stop the query
+    val src = Files.createTempDirectory("graftrestart").toString
+    val out = Files.createTempDirectory("graftrestartout").toString
+    val ckpt = Files.createTempDirectory("graftrestartckpt").toString
+    val firstHalf = batchEvents.filter(col("event_id") % 2 === 0)
+    val secondHalf = batchEvents.filter(col("event_id") % 2 === 1)
+    firstHalf.coalesce(1).write.mode("append").parquet(src)
+    def openStream = spark.readStream.schema(StreamOps.eventSchema)
+      .parquet(src).select("event_id", "event_type", "value")
+    val q1 = StreamOps.toIdempotentParquet(openStream, out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: new files arrive while the query is down; a NEW query on the
+    // SAME checkpoint must pick up only the unread files (a restart
+    // without the checkpoint would re-read everything under fresh
+    // batchIds and duplicate the first half across batch_* dirs)
+    secondHalf.coalesce(1).write.mode("append").parquet(src)
+    val q2 = StreamOps.toIdempotentParquet(openStream, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    val landed = spark.read.parquet(s"$out/batch_*")
+    assert(landed.count() == batchEvents.count(),
+      s"expected ${batchEvents.count()} events exactly once, " +
+        s"got ${landed.count()}")
+    assert(landed.select("event_id").distinct().count() == batchEvents.count())
+  }
+
   test("event timestamps carry sub-millisecond precision into tsMicros") {
     // the events table is µs-truncated nanos: if every ts were ms-round,
     // the row-for-row test above couldn't catch quantization. Prove the
