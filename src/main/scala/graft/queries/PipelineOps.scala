@@ -146,6 +146,11 @@ object PipelineOps {
                          / len(list_distinct(list_concat(a.sh, b.sh))), 4)
                      AS jaccard
             FROM n a JOIN n b ON a.id < b.id
+              -- lossless size prefilter: J >= t forces min(|A|,|B|) >=
+              -- t*max(|A|,|B|) (J <= min/max); prunes the quadratic
+              -- intersect work without touching the result
+              AND len(a.sh) >= 0.6 * len(b.sh)
+              AND len(b.sh) >= 0.6 * len(a.sh)
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
             ORDER BY id_a, id_b"""))
