@@ -142,6 +142,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("x33: IVF search broadcasts the exploded query-cell pairs over " +
+    "the assigned corpus (no cartesian)") {
+    val plan = planOf(q("x33_ann_ivf_search"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("x29: salted join spreads a 5-value key over salts tasks") {
     val plan = planOf(q("x29_salted_join"))
     assert(!plan.contains("CartesianProduct"), plan)
