@@ -155,19 +155,28 @@ object Dedup {
     * factored out so the stage profiler (tools.Prof) measures the exact
     * shape the engine runs rather than a hand-copied twin.
     */
+  /** One band's bucket hash: xxhash64 of the comma-joined signature
+    * slice. Shared by the batch bucket-join and the streaming
+    * bucket-state dedup so their blocking is identical by construction.
+    */
+  private[graft] def bandHashExprs(
+      sigCol: Column, numHashes: Int, bands: Int): Seq[Column] = {
+    val r = numHashes / bands
+    (0 until bands).map { bIdx =>
+      xxhash64(array_join(
+        transform(slice(sigCol, bIdx * r + 1, r), _.cast(StringType)),
+        ","))
+    }
+  }
+
   private[graft] def bandedFrame(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
     val sig = withMinhashSignature(docs, textCol, "sig", shingleK, numHashes)
       .select(col(idCol).as("id"), col("sig"))
-    val bandExprs = (0 until bands).map { bIdx =>
-      xxhash64(array_join(
-        transform(slice(col("sig"), bIdx * r + 1, r), _.cast(StringType)),
-        ","))
-    }
     sig.select(col("id"),
-      posexplode(array(bandExprs: _*)).as(Seq("band", "bhash")))
+      posexplode(array(bandHashExprs(col("sig"), numHashes, bands): _*))
+        .as(Seq("band", "bhash")))
   }
 
   /** Exact Jaccard similarity between the distinct-token sets of two

@@ -212,6 +212,123 @@ object StreamOps {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ---- streaming near-dup dedup (dedup at ingest) ----
+
+  case class BandedDoc(bkey: String, id: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp)
+  case class BucketMembers(ms: List[(Long, Seq[Long])], lastUs: Long)
+  case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash near-dup candidates — the ingest-time half of
+    * corpus dedup: each arriving document is banded exactly like the
+    * batch pipeline (Dedup.bandHashExprs — same blocking by
+    * construction), state lives per LSH bucket, and a document arriving
+    * into a bucket is compared against the bucket's remembered
+    * signatures. Emitted pairs carry the MinHash Jaccard ESTIMATE
+    * (fraction of agreeing signature components — the statistic the
+    * sketch exists to provide); exact verification joins text back
+    * downstream exactly as in batch (minhashNearDups), typically in the
+    * foreachBatch landing step. The same pair can surface from several
+    * bands — consumers dedupe with dropDuplicates/distinct downstream.
+    *
+    * State per bucket is a newest-first list capped at `maxPerBucket`
+    * (a hot bucket — e.g. a template page crawled forever — degrades to
+    * missing OLD partners, never to unbounded state) and evicted whole
+    * once the EVENT-TIME watermark passes `ttl` beyond the bucket's last
+    * arrival (`tsCol` = the crawl/fetch timestamp). Event time, not
+    * processing time, for two reasons: eviction is deterministic under
+    * replay (the exactly-once story), and a processing-time timeout
+    * makes the engine schedule timeout-check micro-batches forever even
+    * with no data — a busy idle loop. Docs later than the watermark
+    * horizon are dropped by the watermark itself, the standard
+    * late-data contract. State is O(active buckets x maxPerBucket).
+    */
+  def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
+      idCol: String, tsCol: String, textCol: String, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxPerBucket: Int = 128,
+      ttl: String = "2 hours"): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val ttlUs = {
+      val Array(n, unit) = ttl.trim.toLowerCase.split("\\s+")
+      n.toLong * (unit.stripSuffix("s") match {
+        case "second" => 1000000L
+        case "minute" => 60000000L
+        case "hour"   => 3600000000L
+        case "day"    => 86400000000L
+        case u => throw new IllegalArgumentException(s"ttl unit: $u")
+      })
+    }
+    val sig = docs.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        graft.functions.SketchFunctions
+          .minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .withWatermark("ts", ttl)
+    val bandStructs = graft.operators.Dedup
+      .bandHashExprs(col("sig"), numHashes, bands).zipWithIndex
+      .map { case (h, b) => struct(lit(b).as("band"), h.as("bhash")) }
+    val banded = sig
+      .select(col("id"), col("ts"), col("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(concat_ws(":", col("bk.band"), col("bk.bhash")).as("bkey"),
+        col("id"), col("sig"), col("ts"))
+      .as[BandedDoc]
+
+    def update(key: String, rows: Iterator[BandedDoc],
+        state: GroupState[BucketMembers]): Iterator[NearDupPair] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var members = state.getOption.map(_.ms).getOrElse(Nil)
+      var lastUs = state.getOption.map(_.lastUs).getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer[NearDupPair]()
+      // in-batch order by id so a batch containing both halves of a pair
+      // emits it deterministically (smaller id is "already seen")
+      rows.toSeq.sortBy(_.id).foreach { d =>
+        if (!members.exists(_._1 == d.id)) {
+          members.foreach { case (mid, msig) =>
+            val eq = msig.iterator.zip(d.sig.iterator)
+              .count { case (x, y) => x == y }
+            val est = eq.toDouble / d.sig.length
+            if (est >= threshold)
+              out += NearDupPair(math.min(mid, d.id), math.max(mid, d.id),
+                math.round(est * 10000.0) / 10000.0)
+          }
+          members = (d.id, d.sig) :: members
+          if (members.length > maxPerBucket)
+            members = members.take(maxPerBucket)
+          lastUs = math.max(lastUs, tsMicros(d.ts))
+        }
+      }
+      state.update(BucketMembers(members, lastUs))
+      // evict when the watermark passes lastSeen + ttl (clamped forward —
+      // a late-but-allowed arrival can put the target behind the current
+      // watermark, which Spark rejects). getCurrentWatermarkMs throws in
+      // batch execution, where timeouts never fire anyway.
+      val base = lastUs / 1000L + ttlUs / 1000L
+      try state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1L, base))
+      catch { case _: UnsupportedOperationException => }
+      out.iterator
+    }
+
+    banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming exact content dedup: first-seen wins on the text digest,
+    * state bounded by the event-time watermark — the streaming twin of
+    * x01/x30's digest strategy (never keys state on raw text).
+    */
+  def dedupByContent(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Run any of the above against a batch DataFrame through the real
     * streaming engine: parquet-backed file stream -> memory sink, drained
     * synchronously. Used by StreamingSpec.

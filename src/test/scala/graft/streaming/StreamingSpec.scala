@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Streaming operators driven through the real streaming engine: the
   * batch events table is staged as a parquet file-stream source, results
@@ -155,6 +156,83 @@ class StreamingSpec extends SparkTestBase {
       s"expected ${batchEvents.count()} events exactly once, " +
         s"got ${landed.count()}")
     assert(landed.select("event_id").distinct().count() == batchEvents.count())
+  }
+
+  test("streaming near-dup candidates equal the batch blocking+estimate " +
+    "across micro-batch boundaries") {
+    import spark.implicits._
+    // planted corpus: 30 base docs + exact copies + near copies
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 30).select("doc_id", "text")
+    val planted = base
+      .union(base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+      .union(base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 2000).as("doc_id"),
+          concat(col("text"), lit(" extra token")).as("text")))
+    // batch twin of the SAME blocking + estimator: pairs sharing >=1
+    // band whose signature-agreement fraction >= threshold
+    val sig = planted.select(col("doc_id").as("id"),
+        graft.functions.SketchFunctions
+          .minhashSignature(col("text"), 3, 32).as("sig"))
+      .filter(col("sig").isNotNull)
+    val withBands = sig.select(col("id"), col("sig"),
+      array(graft.operators.Dedup.bandHashExprs(col("sig"), 32, 8): _*)
+        .as("bh")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val expected = (for {
+      (ia, sa, ba) <- withBands
+      (ib, sb, bb) <- withBands
+      if ia < ib && ba.zip(bb).exists { case (x, y) => x == y }
+      est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 32
+      if est >= 0.5
+    } yield (ia, ib, math.round(est * 10000.0) / 10000.0)).toSet
+    assert(expected.nonEmpty, "fixture planted no candidate pairs")
+    // stream the corpus in two separate files, one micro-batch each, so
+    // pairs split across batches must come from the bucket STATE; crawl
+    // timestamps ascend with doc_id, well inside the 1-day ttl horizon
+    val stamped = planted.withColumn("fetched_at",
+      timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val dir = Files.createTempDirectory("graftneardup").toString
+    stamped.filter(col("doc_id") < 1500).coalesce(1)
+      .write.mode("append").parquet(dir)
+    stamped.filter(col("doc_id") >= 1500).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("fetched_at", TimestampType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.nearDupPairsStream(spark, src, "doc_id", "fetched_at",
+        "text", 0.5, ttl = "1 day").toDF(), "neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == expected,
+      s"stream-batch mismatch: missing=${expected -- got} extra=${got -- expected}")
+    // the near-copy pairs specifically must cross the batch boundary
+    assert((0L until 5L).forall(i => got.exists(p => p._1 == i && p._2 == i + 2000)))
+  }
+
+  test("streaming exact content dedup drops re-crawled identical texts") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+    val recrawl = docs.select(col("doc_id") + 5000, col("text"),
+      timestamp_seconds(lit(1700000000L) + col("doc_id") + 10))
+    val dir = Files.createTempDirectory("graftcontentdedup").toString
+    docs.union(recrawl.toDF("doc_id", "text", "ts")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType))))
+      .parquet(dir)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.dedupByContent(src, "ts", "text"), "contentdedup")
+    assert(got.count() == 50) // each text exactly once
+    assert(got.columns.toSeq == Seq("doc_id", "text", "ts")) // digest dropped
   }
 
   test("event timestamps carry sub-millisecond precision into tsMicros") {
