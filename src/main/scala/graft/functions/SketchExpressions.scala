@@ -24,12 +24,19 @@ object Sketches {
 
   private val SEED = 42L
 
-  /** xxHash64 of a token's UTF-8 bytes with Spark's seed-42 variant —
-    * identical to functions.xxhash64(col) on a string.
+  /** xxHash64 of the UTF-8 byte range [lo, hi) of `text`, Spark's
+    * seed-42 variant — identical to functions.xxhash64(col) on a string
+    * whose bytes are exactly that range (xxhash64 hashes the raw UTF-8
+    * bytes). Hashing the range in place is both the correctness fix and
+    * the fast path: the token/shingle boundary scan below works in BYTE
+    * offsets, and UTF8String.substring is CODE-POINT indexed — feeding
+    * it byte offsets silently mis-slices any non-ASCII document — while
+    * hashing the byte range directly needs no offset translation and no
+    * per-shingle substring allocation at all.
     */
-  @inline private def tokenHash(s: UTF8String): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      s, StringType, SEED)
+  @inline private def byteRangeHash(text: UTF8String, lo: Int, hi: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      text.getBaseObject, text.getBaseOffset + lo, hi - lo, SEED)
 
   /** One-pass 64-bit simhash over whitespace tokens. */
   def simhash64(text: UTF8String): Long = {
@@ -39,7 +46,7 @@ object Sketches {
     var start = 0
     def consume(end: Int): Unit = {
       if (end > start) {
-        val h = tokenHash(text.substring(start, end))
+        val h = byteRangeHash(text, start, end)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -86,7 +93,7 @@ object Sketches {
     val hs = new Array[Long](nTokens - shingleK + 1)
     var t = 0
     while (t + shingleK <= nTokens) {
-      hs(t) = tokenHash(text.substring(bounds(t) + 1, bounds(t + shingleK)))
+      hs(t) = byteRangeHash(text, bounds(t) + 1, bounds(t + shingleK))
       t += 1
     }
     java.util.Arrays.sort(hs)
@@ -124,9 +131,8 @@ object Sketches {
     var t = 0
     while (t + shingleK <= nTokens) {
       // shingle = bytes between (bounds(t)+1) and bounds(t+shingleK)
-      val sh = text.substring(bounds(t) + 1, bounds(t + shingleK))
       val h = {
-        val x = tokenHash(sh) % P
+        val x = byteRangeHash(text, bounds(t) + 1, bounds(t + shingleK)) % P
         if (x < 0) x + P else x
       }
       var j = 0

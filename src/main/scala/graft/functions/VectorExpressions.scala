@@ -90,17 +90,29 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // HOF-spec parity on the edges: zip_with null-pads the SHORTER side
+    // (vector or plane) and a null element nulls its product, so the
+    // fold yields NULL and when(d >= 0) takes the otherwise-branch —
+    // every bit 0. Mirror that: a vector whose length differs from the
+    // plane dim, or containing a null element, lands in bucket 0
+    // (asserted in SimilaritySpec).
+    val dim = if (planeArr.isEmpty) 0 else planeArr(0).length
+    if (v.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
     var bucket = 0L
     var p = 0
     while (p < planeArr.length) {
       val plane = planeArr(p)
-      val n = math.min(v.numElements(), plane.length)
       var d = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        d += x * plane(i)
-        i += 1
+      var j = 0
+      while (j < plane.length) {
+        val x = if (childFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        d += x * plane(j)
+        j += 1
       }
       if (d >= 0) bucket |= (1L << p)
       p += 1

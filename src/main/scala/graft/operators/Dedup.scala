@@ -251,17 +251,31 @@ object Dedup {
         when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)))
 
-  /** SimHash near-dup pairs: block on each of the four 16-bit chunks (a
-    * pair within Hamming distance 3 must agree exactly on >=1 chunk —
-    * pigeonhole), then verify bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit-chunks of the
+    * signature — a pair within Hamming distance h differs in at most h
+    * chunks, so with h+1 chunks it must agree EXACTLY on at least one
+    * (pigeonhole) — then verify bit_count(xor) <= maxHamming. Deriving
+    * the chunk count from the threshold makes the blocking COMPLETE for
+    * the declared radius at any maxHamming (a fixed 4-chunk split would
+    * silently miss pairs beyond hamming 3: 4-6 differing bits can spread
+    * across all four chunks); block count — and with it shuffle volume —
+    * scales linearly with the radius, the standard multi-index Hamming
+    * tradeoff.
     */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val sigs = fanOut(docs).select(col(idCol).as("id"),
       graft.functions.SketchFunctions.simhash64(col(textCol)).as("sh"))
-    val chunks = (0 until 4).map(bIdx =>
-      shiftright(col("sh"), bIdx * 16).bitwiseAND(lit(0xFFFFL)))
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val chunks = (0 until nBlocks).map { bIdx =>
+      val lo = bounds(bIdx)
+      val width = bounds(bIdx + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(col("sh"), lo).bitwiseAND(lit(mask))
+    }
     // Same bucket-join shape as minhashCandidates: one shuffle of
     // (block, chunk, {id, sh}), pairs generated inside each bucket —
     // never a self-join that would rescan and re-sketch the corpus twice.

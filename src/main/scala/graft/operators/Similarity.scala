@@ -39,16 +39,13 @@ object Similarity {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
-  /** Exact top-k neighbors for each query vector.
-    *
-    * @param queries (qid, qvec) — small; broadcast.
-    * @param corpus  (id, vec) — arbitrarily large.
-    * Self-matches (qid == id) are excluded. Ties broken by id for
-    * deterministic output.
+  /** Shared tail of every ANN variant here: exclude self-matches, score
+    * with 6-decimal cosine, per-query top-k via window rank with ties
+    * broken by id. ONE definition because the rounding and tie-break are
+    * oracle-load-bearing — the SQL oracles replay exactly this.
     */
-  def bruteForceTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+  private def scoredTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
         round(cosine(col("qvec"), col("vec")), 6).as("sim"))
@@ -57,6 +54,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries (qid, qvec) — small; broadcast.
+    * @param corpus  (id, vec) — arbitrarily large.
+    * Self-matches (qid == id) are excluded. Ties broken by id for
+    * deterministic output.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    scoredTopK(corpus.crossJoin(broadcast(queries)), k)
 
   // Deterministic pseudo-random hyperplanes (seeded), emitted as literal
   // arrays so the signature is a pure per-row expression.
@@ -108,14 +116,7 @@ object Similarity {
     val qb = queries.withColumn("qbucket",
       lshBucket(col("qvec"), nPlanes, dim))
     val cb = corpus.withColumn("bucket", lshBucket(col("vec"), nPlanes, dim))
-    val scored = cb.join(broadcast(qb), col("bucket") === col("qbucket"))
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"),
-        round(cosine(col("qvec"), col("vec")), 6).as("sim"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    scoredTopK(cb.join(broadcast(qb), col("bucket") === col("qbucket")), k)
   }
 
   /** Squared L2 distance to a literal centroid, double accumulation in
@@ -171,14 +172,7 @@ object Similarity {
     val assigned = ivfAssign(corpus, "vec", centroids)
     val qProbe = queries.withColumn("cell",
       explode(ivfProbeCells(col("qvec"), centroids, nprobe)))
-    val scored = assigned.join(broadcast(qProbe), Seq("cell"))
-      .filter(col("qid") =!= col("id"))
-      .select(col("qid"), col("id"),
-        round(cosine(col("qvec"), col("vec")), 6).as("sim"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    scoredTopK(assigned.join(broadcast(qProbe), Seq("cell")), k)
   }
 
   /** Pairwise near-duplicate vectors: all (a<b) pairs with cosine >=

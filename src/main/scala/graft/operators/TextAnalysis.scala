@@ -79,13 +79,16 @@ object TextAnalysis {
     * bit-for-bit — x17's DuckDB oracle recomputes it with list_reduce.
     */
   def rollingHash(text: Column): Column =
-    when(length(text) > 0,
-      aggregate(
+    // empty text hashes to 0; the guard also keeps sequence() away from
+    // the (1, 0) descending case. NULL text falls through to the
+    // aggregate, whose NULL input propagates NULL — matching what the
+    // x17 SQL oracle computes for a NULL row.
+    when(length(text) === 0, lit(0L))
+      .otherwise(aggregate(
         transform(sequence(lit(1), length(text)),
           i => ascii(text.substr(i, lit(1))).cast("long")),
         lit(0L),
         (acc, c) => pmod(acc * 31L + c, lit(2147483647L))))
-      .otherwise(lit(0L))
 
   /** Pipeline text cleanup: collapse whitespace, strip non-alphanumerics
     * (keeping spaces), lowercase — the normalization pass before

@@ -284,6 +284,10 @@ object StreamOps {
       // in-batch order by id so a batch containing both halves of a pair
       // emits it deterministically (smaller id is "already seen")
       rows.toSeq.sortBy(_.id).foreach { d =>
+        // EVERY arrival extends the bucket's ttl — a re-crawled known doc
+        // keeps its bucket alive (the documented last-arrival contract),
+        // it just adds no new member and emits no pairs
+        lastUs = math.max(lastUs, tsMicros(d.ts))
         if (!members.exists(_._1 == d.id)) {
           members.foreach { case (mid, msig) =>
             val eq = msig.iterator.zip(d.sig.iterator)
@@ -296,7 +300,6 @@ object StreamOps {
           members = (d.id, d.sig) :: members
           if (members.length > maxPerBucket)
             members = members.take(maxPerBucket)
-          lastUs = math.max(lastUs, tsMicros(d.ts))
         }
       }
       state.update(BucketMembers(members, lastUs))

@@ -62,6 +62,37 @@ class SketchExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("parity holds on NON-ASCII text (byte-offset shingling must not " +
+    "mis-slice multi-byte code points)") {
+    import spark.implicits._
+    // 2-4 byte UTF-8 code points around every boundary the scanners use
+    val df = Seq(
+      "é a b c", "a é b c d", "漢字 の テスト です ね",
+      "mixé ascii ünd ützìl tøkens here", "😀 emoji 😀 tokens 😀 too")
+      .toDF("text")
+    val sh = df.select(
+      Dedup.simhash(col("text")).as("spec"),
+      SketchFunctions.simhash64(col("text")).as("native"))
+      .filter(col("spec") =!= col("native")).count()
+    assert(sh == 0)
+    val mh = df.select(
+      Dedup.minhashSignatureHof(col("text"), 2, 8).as("spec"),
+      SketchFunctions.minhashSignature(col("text"), 2, 8).as("native"))
+      .filter(!(col("spec") <=> col("native"))).count()
+    assert(mh == 0)
+    val a = df.select(col("text").as("ta"))
+    val b = df.select(col("text").as("tb"))
+    val sj = a.crossJoin(b).select(
+      Dedup.setJaccard(
+        SketchFunctions.shingleHashSet(col("ta"), 2),
+        SketchFunctions.shingleHashSet(col("tb"), 2)).as("hashj"),
+      Dedup.setJaccard(
+        array_distinct(Dedup.shingles(col("ta"), 2)),
+        array_distinct(Dedup.shingles(col("tb"), 2))).as("strj"))
+      .filter(!(col("hashj") <=> col("strj"))).count()
+    assert(sj == 0)
+  }
+
   test("parity holds on degenerate whitespace (empty tokens skipped)") {
     import spark.implicits._
     val df = Seq("a  b", " a b ", "a b  c", "   ").toDF("text")

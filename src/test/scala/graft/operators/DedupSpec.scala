@@ -80,6 +80,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("simhashNearDups equals the exact Hamming ball (pigeonhole " +
+    "blocking is complete for the declared radius)") {
+    val sigs = planted.select(col("doc_id"),
+      graft.functions.SketchFunctions.simhash64(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (radius <- Seq(2, 6, 10)) {
+      val want = (for {
+        (ia, sa) <- sigs
+        (ib, sb) <- sigs
+        if ia < ib && ham(sa, sb) <= radius
+      } yield (ia, ib)).toSet
+      val got = Dedup.simhashNearDups(planted, "doc_id", "text", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want,
+        s"radius $radius: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("hot bucket streams: 400 identical docs yield all C(400,2) pairs " +
     "without building the pair set as one value") {
     // every doc identical -> every band maps all 400 ids to ONE bucket;

@@ -38,6 +38,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("hyperplane bucket edge parity: wrong-length and null-element " +
+    "vectors land in bucket 0 like the HOF spec") {
+    import spark.implicits._
+    val short = Seq(Array.fill(32)(1.0f)).toDF("embedding")
+    val longer = Seq(Array.fill(80)(1.0f)).toDF("embedding")
+    for (df <- Seq(short, longer)) {
+      val r = df.select(
+        Similarity.lshBucket(col("embedding"), 8, 64).as("native"),
+        Similarity.lshBucketHof(col("embedding"), 8, 64).as("spec"))
+        .collect()(0)
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    }
+    val nullVec: Seq[java.lang.Float] = (0 until 64)
+      .map(i => if (i == 7) null else java.lang.Float.valueOf(1.0f))
+    val withNull = Seq(Tuple1(nullVec)).toDF("embedding")
+    val r = withNull.select(
+      Similarity.lshBucket(col("embedding"), 8, 64).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 8, 64).as("spec")).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+
   test("bruteForceTopK: a planted duplicate vector is its own top-1") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val dupQuery = emb.filter(col("vec_id") === 7)
