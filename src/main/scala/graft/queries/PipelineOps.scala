@@ -931,7 +931,57 @@ object PipelineOps {
             SELECT media_id, frame_idx, sha256, n_bytes FROM f
             ORDER BY media_id, frame_idx"""))
 
+  /** End-to-end corpus cleaning pipeline — the composition the
+    * individual operators exist for, as ONE oracle-checked query:
+    * normalize (case/punct/whitespace) -> exact-dedup on normalized
+    * content (keep min id) -> exact Jaccard near-dup pairs within lang
+    * blocks -> connected-component closure -> cluster census. Every
+    * stage is deterministic string/set arithmetic, so the whole chain
+    * replays in SQL down to the recursive CTE.
+    */
+  private val x35 = Q(
+    "x35_corpus_pipeline",
+    (s, d) => {
+      val normed = t(s, d, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.normalize(col("text")).as("ntext"))
+      val keepIds = normed.groupBy("ntext")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = normed.join(keepIds, Seq("doc_id"))
+      val pairs = Dedup.blockedJaccardPairs(kept, "doc_id", "ntext",
+          "lang", 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      Components.minLabel(kept.select(col("doc_id").as("id")), pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("members"))
+        .orderBy("cluster")
+    },
+    Some("""WITH RECURSIVE
+              nd AS (SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+                     FROM documents WHERE doc_id < 150),
+              keep AS (SELECT min(doc_id) AS id FROM nd GROUP BY ntext),
+              k AS (SELECT nd.doc_id AS id, nd.lang,
+                           list_distinct(string_split(nd.ntext, ' ')) AS toks
+                    FROM nd JOIN keep ON nd.doc_id = keep.id),
+              p AS (SELECT a.id AS id_a, b.id AS id_b
+                    FROM k a JOIN k b ON a.lang = b.lang AND a.id < b.id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.toks, b.toks)))
+                          >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION SELECT id_b, id_a FROM p),
+              reach(id, x) AS (
+                SELECT id, id FROM k
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN e ON r.x = e.a
+              ),
+              lab AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id)
+            SELECT cluster, count(*) AS members
+            FROM lab GROUP BY cluster ORDER BY cluster"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31, x32, x33, x34)
+    x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
 }
