@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * way. Each round is two joins + one aggregate, all shuffles on the
   * node id; lineage is cut with localCheckpoint every round so the plan
   * does not grow exponentially across iterations (the classic iterative-
-  * Spark trap).
+  * Spark trap), and that one materialization also carries convergence
+  * detection (changed-row accumulator), so a round costs exactly one
+  * action.
   *
   * The reference has nothing transitive at all (its only "join" is the
   * materialized cross product, /root/reference/sqlengine.py:120-135);
@@ -67,31 +69,39 @@ object Components {
         .agg(min(col("cluster")).as("nbr_cluster"))
       val propagated = labels
         .join(nbrBest, labels("id") === nbrBest("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
       // pointer jump: my representative's representative is at least as
       // small as mine (labels only ever decrease), so chase one hop
       val reps = propagated
         .select(col("id").as("rid"), col("cluster").as("rcluster"))
-      val next = propagated
+      val jumped = propagated
         .join(reps, propagated("cluster") === reps("rid"), "left")
         .select(propagated("id"),
           least(propagated("cluster"),
-            coalesce(col("rcluster"), propagated("cluster"))).as("cluster"))
+            coalesce(col("rcluster"), propagated("cluster"))).as("cluster"),
+          propagated("old"))
+      // Convergence detection rides ON the checkpoint materialization:
+      // the round-start label is already in hand (the propagate join read
+      // it), so an observe() metric folded into the one action this round
+      // runs replaces the dedicated join-and-count probe job — one less
+      // action and one less full shuffle-join of the label table per
+      // round (at a billion nodes that probe join re-exchanged BOTH label
+      // tables every round), and convergence is seen the round it
+      // happens instead of one probe later. CollectMetrics stays inside
+      // the codegen pipeline — no object boundary.
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$it")
+      val next = jumped
+        .observe(obs, coalesce(sum(when(col("cluster") =!= col("old"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .drop("old")
         .localCheckpoint(true)
-      // round 1 always changes something on any graph with an edge, so
-      // the convergence probe (a join + count action) starts at round 2;
-      // an edgeless input just pays one extra no-op round
-      val changed =
-        if (it == 0) 1L
-        else next.join(labels.withColumnRenamed("cluster", "old"), "id")
-          .filter(col("cluster") =!= col("old")).count()
-      // `next` is materialized (eager checkpoint) and the probe above was
-      // the last reader of the previous round's table — free it now.
+      // `next` is materialized (eager checkpoint), so the observation is
+      // final and the previous round's table has no readers — free it.
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       it += 1
     }
     sym.unpersist()
