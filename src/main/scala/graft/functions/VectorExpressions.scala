@@ -21,17 +21,22 @@ import org.apache.spark.sql.types._
 object VectorMath {
 
   /** Cosine similarity of two numeric arrays (float or double elements),
-    * accumulated in double, ascending index order. Null if either array
-    * is null; NaN propagates like IEEE division.
+    * accumulated in double, ascending index order. NaN propagates like
+    * IEEE division. Returns null (boxed) when the lengths differ or any
+    * element is null — matching the HOF spec, where zip_with null-pads
+    * the shorter side and the fold collapses to NULL (and matching the
+    * SQL oracles, whose out-of-range `vec[i]` probes are NULL).
     */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean,
-      bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosineOrNull(a: ArrayData, b: ArrayData, aFloat: Boolean,
+      bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -43,10 +48,14 @@ object VectorMath {
   }
 }
 
-/** cosine_sim(array<float|double>, array<float|double>): DoubleType. */
+/** cosine_sim(array<float|double>, array<float|double>): DoubleType.
+  * Null on null input, mismatched lengths, or null elements (HOF-spec
+  * parity — see VectorMath.cosineOrNull).
+  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -55,13 +64,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   @transient private lazy val lFloat = isFloat(left)
   @transient private lazy val rFloat = isFloat(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      lFloat, rFloat)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorMath.cosineOrNull(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], lFloat, rFloat)
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorMath.cosine($a, $b, $lFloat, $rFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cos")
+      s"""java.lang.Double $tmp =
+         |  graft.functions.VectorMath.cosineOrNull($a, $b, $lFloat, $rFloat);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
 
   override def prettyName: String = "cosine_sim"
   override protected def withNewChildrenInternal(

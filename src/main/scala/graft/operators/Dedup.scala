@@ -151,12 +151,8 @@ object Dedup {
       .distinct()
   }
 
-  /** The banded (id, band, bhash) frame minhashCandidates buckets on —
-    * factored out so the stage profiler (tools.Prof) measures the exact
-    * shape the engine runs rather than a hand-copied twin.
-    */
-  /** One band's bucket hash: xxhash64 of the comma-joined signature
-    * slice. Shared by the batch bucket-join and the streaming
+  /** One band's bucket hash per band: xxhash64 of the comma-joined
+    * signature slice. Shared by the batch bucket-join and the streaming
     * bucket-state dedup so their blocking is identical by construction.
     */
   private[graft] def bandHashExprs(
@@ -169,6 +165,10 @@ object Dedup {
     }
   }
 
+  /** The banded (id, band, bhash) frame minhashCandidates buckets on —
+    * factored out so the stage profiler (tools.Prof) measures the exact
+    * shape the engine runs rather than a hand-copied twin.
+    */
   private[graft] def bandedFrame(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {

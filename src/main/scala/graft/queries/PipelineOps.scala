@@ -945,7 +945,10 @@ object PipelineOps {
       val normed = t(s, d, "documents").filter(col("doc_id") < 150)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.normalize(col("text")).as("ntext"))
-      val keepIds = normed.groupBy("ntext")
+      // dedup groups on the 16-byte digest, never the raw normalized
+      // text — the Dedup-module rule (a text grouping key is the exact
+      // shuffle-volume trap at corpus scale)
+      val keepIds = normed.groupBy(md5(col("ntext")).as("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val kept = normed.join(keepIds, Seq("doc_id"))
@@ -961,7 +964,8 @@ object PipelineOps {
                        trim(regexp_replace(regexp_replace(lower(text),
                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
                      FROM documents WHERE doc_id < 150),
-              keep AS (SELECT min(doc_id) AS id FROM nd GROUP BY ntext),
+              keep AS (SELECT min(doc_id) AS id FROM nd
+                       GROUP BY md5(ntext)),
               k AS (SELECT nd.doc_id AS id, nd.lang,
                            list_distinct(string_split(nd.ntext, ' ')) AS toks
                     FROM nd JOIN keep ON nd.doc_id = keep.id),

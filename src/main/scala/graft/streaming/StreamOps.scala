@@ -249,15 +249,20 @@ object StreamOps {
       maxPerBucket: Int = 128,
       ttl: String = "2 hours"): Dataset[NearDupPair] = {
     import spark.implicits._
-    val ttlUs = {
-      val Array(n, unit) = ttl.trim.toLowerCase.split("\\s+")
-      n.toLong * (unit.stripSuffix("s") match {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes") // same guard as minhashCandidates:
+    // a non-dividing split would silently drop tail signature slots from
+    // every band and diverge from the batch blocking
+    val TtlRe = """(\d+)\s+(second|minute|hour|day)s?""".r
+    val ttlUs = ttl.trim.toLowerCase match {
+      case TtlRe(n, unit) => n.toLong * (unit match {
         case "second" => 1000000L
         case "minute" => 60000000L
         case "hour"   => 3600000000L
         case "day"    => 86400000000L
-        case u => throw new IllegalArgumentException(s"ttl unit: $u")
       })
+      case _ => throw new IllegalArgumentException(
+        s"ttl must be '<n> seconds|minutes|hours|days', got: $ttl")
     }
     val sig = docs.select(col(idCol).cast("long").as("id"),
         col(tsCol).cast("timestamp").as("ts"),

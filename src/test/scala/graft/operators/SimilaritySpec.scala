@@ -38,6 +38,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("cosine edge parity: mismatched lengths and null elements are " +
+    "NULL like the HOF spec and the SQL oracles") {
+    import spark.implicits._
+    val mixed = Seq(
+      (Array.fill(64)(1.0f), Array.fill(32)(1.0f)),
+      (Array.fill(32)(1.0f), Array.fill(64)(1.0f)))
+      .toDF("a", "b")
+    val r = mixed.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("spec")).collect()
+    r.foreach(row => assert(row.isNullAt(0) && row.isNullAt(1), row))
+    val nullElem: Seq[java.lang.Float] = (0 until 64)
+      .map(i => if (i == 3) null else java.lang.Float.valueOf(1.0f))
+    val withNull = Seq((nullElem, Seq.fill(64)(java.lang.Float.valueOf(1.0f))))
+      .toDF("a", "b")
+    val r2 = withNull.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("spec")).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1), r2)
+  }
+
   test("hyperplane bucket edge parity: wrong-length and null-element " +
     "vectors land in bucket 0 like the HOF spec") {
     import spark.implicits._
