@@ -20,6 +20,20 @@ object Bench {
             System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         }
     }
+    // Fixed-work canary: a 32-slice hash-sum whose cost depends only on
+    // the machine's EFFECTIVE parallel throughput (~0.5s nominal). Rounds
+    // 2/3 showed identical builds measuring 35s or 59s depending on host
+    // congestion (a 32-way burn ran at half speed in the slow windows);
+    // the canary in the output lets a reader normalize totals across
+    // rounds instead of mistaking a noisy-neighbor window for a
+    // regression.
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    val c0 = System.nanoTime()
+    // pmod keeps the 64M-term sum under 2^46 — ANSI mode would throw on
+    // a raw sum of full-range hashes
+    spark.range(0, 64000000L, 1, 32)
+      .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
+    val canary = (System.nanoTime() - c0) / 1e9
     // A failing query must not masquerade as a fast success: log it and
     // record a sentinel -1.0 so the JSON total goes visibly wrong.
     // Fixed sorted order: deterministic run-to-run and round-to-round, so
@@ -47,7 +61,7 @@ object Bench {
     // line FIRST, then a short, self-contained, total-only line LAST — the
     // tail then always ends with a complete parseable JSON object.
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canary)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
