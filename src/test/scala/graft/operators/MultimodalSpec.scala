@@ -68,4 +68,18 @@ class MultimodalSpec extends SparkTestBase {
       .collect().sortBy(f => (f.mediaId, f.frameIdx)).toSeq
     assert(again == frames.sortBy(f => (f.mediaId, f.frameIdx)).toSeq)
   }
+
+  test("sampleFrames at stride 1 conserves every payload byte") {
+    // narrow import: functions.bin would shadow this suite's `bin` frame
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val all = Multimodal.sampleFrames(spark, bin, frameBytes = 64, stride = 1)
+      .toDF().groupBy("mediaId").agg(sum("nBytes").as("frame_bytes"),
+        count(lit(1)).as("n_frames"), max("frameIdx").as("max_idx"))
+    val lens = bin.select(col("media_id"), col("byte_len"))
+    val bad = all.join(lens, col("mediaId") === col("media_id"))
+      .filter(col("frame_bytes") =!= col("byte_len") ||
+        col("n_frames") =!= col("max_idx") + 1)
+      .count()
+    assert(bad == 0) // no byte lost or duplicated, no frame index gap
+  }
 }

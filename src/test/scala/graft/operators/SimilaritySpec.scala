@@ -148,6 +148,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("signBandSigs: identical vectors collide on every band; a sign " +
+    "flip inside one band changes exactly that band") {
+    import spark.implicits._
+    val v = (1 to 16).map(i => (if (i % 3 == 0) -1.0f else 1.0f) * i)
+    val flipped = v.updated(5, -v(5)) // coord 6 lives in band 1 (coords 5-8)
+    val df = Seq((v.toArray, v.toArray, flipped.toArray)).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.signBandSigs(col("a"), 4, 4).as("sa"),
+      Similarity.signBandSigs(col("b"), 4, 4).as("sb"),
+      Similarity.signBandSigs(col("c"), 4, 4).as("sc")).collect()(0)
+    val sa = r.getSeq[Int](0)
+    val sb = r.getSeq[Int](1)
+    val sc = r.getSeq[Int](2)
+    assert(sa == sb)
+    assert(sa.zip(sc).count { case (x, y) => x != y } == 1)
+    assert(sa(1) != sc(1) && sa(0) == sc(0) && sa(2) == sc(2) && sa(3) == sc(3))
+  }
+
   test("ivfAssign conserves corpus mass across cells") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex
