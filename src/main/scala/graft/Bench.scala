@@ -24,31 +24,43 @@ object Bench {
     // the machine's EFFECTIVE parallel throughput (~0.5s nominal). Rounds
     // 2/3 showed identical builds measuring 35s or 59s depending on host
     // congestion (a 32-way burn ran at half speed in the slow windows);
-    // the canary in the output lets a reader normalize totals across
-    // rounds instead of mistaking a noisy-neighbor window for a
-    // regression.
+    // rounds 3/4 then showed the failure mode of a SINGLE start-of-run
+    // canary: clean 0.34s canaries alongside 3.6x-inflated totals,
+    // because the congestion window arrived MID-loop (different query
+    // ranges inflated 5-22x in each run on identical binaries). So the
+    // canary re-runs every `canaryStride` queries and the full series is
+    // emitted — a reader can localize a congestion window to a segment of
+    // the loop and normalize, instead of mistaking noisy-neighbor load
+    // for a regression.
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-    val c0 = System.nanoTime()
-    // pmod keeps the 64M-term sum under 2^46 — ANSI mode would throw on
-    // a raw sum of full-range hashes
-    spark.range(0, 64000000L, 1, 32)
-      .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
-    val canary = (System.nanoTime() - c0) / 1e9
+    def runCanary(): Double = {
+      val c0 = System.nanoTime()
+      // pmod keeps the 64M-term sum under 2^46 — ANSI mode would throw on
+      // a raw sum of full-range hashes
+      spark.range(0, 64000000L, 1, 32)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
+      (System.nanoTime() - c0) / 1e9
+    }
+    val canaryStride = 15
+    val canaries = scala.collection.mutable.ArrayBuffer(runCanary())
     // A failing query must not masquerade as a fast success: log it and
     // record a sentinel -1.0 so the JSON total goes visibly wrong.
     // Fixed sorted order: deterministic run-to-run and round-to-round, so
     // per-query deltas are comparable and any cross-query interference
     // (cache pressure, GC) hits the same neighbors every time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % canaryStride == 0) canaries += runCanary()
+        val t0 = System.nanoTime()
+        val elapsed =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        name -> elapsed
+      }
+    canaries += runCanary()
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -60,8 +72,13 @@ object Bench {
     // produced parsed:null this way). Emit the big per-query map on its own
     // line FIRST, then a short, self-contained, total-only line LAST — the
     // tail then always ends with a complete parseable JSON object.
+    // canary_sec stays the start-of-run value (round-over-round
+    // comparable with BENCH_r02-r04); canaries_sec is the full series,
+    // one per `canaryStride` queries plus a closing sample — flat series
+    // = clean host; a spike localizes congestion to that loop segment.
+    val cs = canaries.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canary)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,6 +66,55 @@ object Sketches {
     out
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** One-pass 60-bit simhash over whitespace tokens where the per-token
+    * hash is the first 15 hex chars of md5(token) as a 60-bit integer —
+    * i.e. conv(substr(md5(tok),1,15),16,10). Unlike the xxhash64 variant
+    * this hash has an exact cross-engine SQL twin (DuckDB md5 + a hex
+    * digit fold), which is what makes x07's pair output fully
+    * oracle-checkable: multi-index Hamming blocking is COMPLETE by
+    * pigeonhole, so the blocked pipeline's output provably equals the
+    * all-pairs Hamming ball the oracle computes. 60 bits (not 64)
+    * because 15 hex digits are the widest md5 prefix that fits a signed
+    * 64-bit int in both engines without unsigned-overflow gymnastics.
+    */
+  def simhashMd5_60(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val md = md5Local.get()
+    val votes = new Array[Int](60)
+    def consume(start: Int, end: Int): Unit = if (end > start) {
+      md.reset()
+      md.update(bytes, start, end - start)
+      val d = md.digest()
+      // first 15 hex chars = big-endian 64-bit prefix >>> 4
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var i = 0
+    var start = 0
+    val n = bytes.length
+    while (i < n) {
+      // single-byte ' ' separator: byte offsets are UTF-8 safe
+      if (bytes(i) == ' '.toByte) { consume(start, i); start = i + 1 }
+      i += 1
+    }
+    consume(start, n)
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   private val P = 2147483647L // 2^31 - 1, matches Dedup.hashFamily
 
   /** Distinct shingle hashes (full 64-bit xxhash64 of each k-word
@@ -160,6 +209,19 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** simhash_md5_60(text): LongType 60-bit signature. Null in -> null out. */
+case class SimHashMd5_60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhashMd5_60(input.asInstanceOf[UTF8String])
+  override def prettyName: String = "simhash_md5_60"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.simhashMd5_60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5_60 =
+    copy(child = newChild)
+}
+
 /** minhash signature(text): array<bigint> of length numHashes, null when
   * the document has fewer than shingleK tokens.
   */
@@ -206,6 +268,12 @@ object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
     ColumnShim.toColumn(SimHash64(ColumnShim.toExpression(c)))
+
+  /** Column API: one-pass native md5-prefix 60-bit simhash (the
+    * cross-engine-reproducible variant; see Sketches.simhashMd5_60).
+    */
+  def simhashMd5_60(c: Column): Column =
+    ColumnShim.toColumn(SimHashMd5_60(ColumnShim.toExpression(c)))
 
   /** Column API: one-pass native minhash signature. */
   def minhashSignature(c: Column, shingleK: Int, numHashes: Int): Column =

@@ -236,18 +236,31 @@ object Dedup {
     * in SketchExpressionsSpec).
     */
   def simhash(text: Column): Column =
+    simhashGeneric(text, xxhash64(_), 64)
+
+  /** 60-bit SimHash whose per-token hash is the first 15 hex chars of
+    * md5(token) — the cross-engine-reproducible variant (HOF executable
+    * spec of functions.SketchFunctions.simhashMd5_60; parity asserted in
+    * SketchExpressionsSpec). See simhashMd5NearDups for why this exists.
+    */
+  def simhashMd5(text: Column): Column =
+    simhashGeneric(text,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType), 60)
+
+  private def simhashGeneric(
+      text: Column, tokHash: Column => Column, bits: Int): Column =
     aggregate(
       // empty tokens (consecutive/leading/trailing spaces) carry no
       // content and are skipped — matching the native one-pass twin
       filter(tokens(text), t => length(t) > 0),
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), bits),
       (acc, t) => {
-        val h = xxhash64(t)
-        val votes = (0 until 64).map(i =>
+        val h = tokHash(t)
+        val votes = (0 until bits).map(i =>
           when(shiftright(h, i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
         zip_with(acc, array(votes: _*), (a, v) => a + v)
       },
-      votes => (0 until 64).map(i =>
+      votes => (0 until bits).map(i =>
         when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)))
 
@@ -264,12 +277,14 @@ object Dedup {
     */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+      maxHamming: Int = 3,
+      sig: Column => Column = graft.functions.SketchFunctions.simhash64(_),
+      bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0, $bits)")
     val sigs = fanOut(docs).select(col(idCol).as("id"),
-      graft.functions.SketchFunctions.simhash64(col(textCol)).as("sh"))
+      sig(col(textCol)).as("sh"))
     val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     val chunks = (0 until nBlocks).map { bIdx =>
       val lo = bounds(bIdx)
       val width = bounds(bIdx + 1) - lo
@@ -292,6 +307,21 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** simhashNearDups over the md5-prefix 60-bit signature. Same blocked
+    * pipeline, one difference: the per-token hash (md5 hex prefix) has an
+    * exact DuckDB twin, so the pair set is fully oracle-checkable — and
+    * because pigeonhole blocking is COMPLETE for the declared radius (a
+    * theorem, not a tuned recall), the blocked output provably equals the
+    * all-pairs Hamming ball an oracle computes without blocking. The
+    * xxhash64 default stays the scale path (faster hash); this variant
+    * trades ~2x hash cost for cross-engine verifiability.
+    */
+  def simhashMd5NearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDups(docs, idCol, textCol, maxHamming,
+      graft.functions.SketchFunctions.simhashMd5_60(_), 60)
 
   /** Character n-gram set of a text column (["abc","bcd",...]) — the
     * tokenization-free similarity unit, robust to scripts with no word

@@ -527,17 +527,30 @@ object Relational {
                    count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  /** approx_count_distinct (HLL++): sketch aggregate with no exact SQL
-    * equivalent -> no oracle; the driver records the rows-only check, and
-    * the ScalaTest suite asserts the estimate lands within 5% of exact.
+  /** approx_count_distinct (HLL++): the sketch itself has no exact SQL
+    * equivalent (DuckDB's approx_count_distinct is a different HLL with
+    * different estimates), so the query is made SELF-CERTIFYING: it emits
+    * the exact distinct count plus a boolean attesting the HLL++ estimate
+    * landed within 5% of it. HLL++ is deterministic for a fixed input
+    * multiset, so the boolean is a stable TRUE (measured relative error
+    * at rsd=0.01 is <1% at every SF) and the whole row is oracle-able —
+    * the oracle recomputes the exact side and asserts TRUE. A broken
+    * sketch flips the boolean and fails the hash-compare.
     */
   private val s29 = Q(
     "s29_approx_distinct",
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) / col("exact_parts")
+          <= 0.05).as("within_5pct"))
       .orderBy("l_returnflag"),
-    None)
+    Some("""SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                   TRUE AS within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** GROUPING SETS via the SQL front door. */
   private val s30SqlText =
