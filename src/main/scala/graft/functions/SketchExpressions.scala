@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen, and a 64-bit simhash built from per-bit lambdas evaluates
   * thousands of interpreted nodes per document. These expressions do one
   * compiled pass over the UTF8 bytes per row (xxHash64 of each
-  * whitespace token, then the sketch fold in a tight loop) — the shape a
+  * space-separated token, then the sketch fold in a tight loop) — the shape a
   * 100 TB map-side must have. Hash family and semantics match
   * graft.operators.Dedup exactly (asserted in SketchExpressionsSpec).
   */
@@ -38,7 +38,11 @@ object Sketches {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       text.getBaseObject, text.getBaseOffset + lo, hi - lo, SEED)
 
-  /** One-pass 64-bit simhash over whitespace tokens. */
+  /** One-pass 64-bit simhash over space-separated tokens (the tokenizer
+    * splits ONLY on the single space byte 0x20 — tabs/newlines stay token
+    * content — matching the HOF twin's split(text, " "); any cross-engine
+    * SQL twin must use the same space-only split or pairs diverge).
+    */
   def simhash64(text: UTF8String): Long = {
     val votes = new Array[Int](64)
     var i = 0
@@ -70,8 +74,9 @@ object Sketches {
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** One-pass 60-bit simhash over whitespace tokens where the per-token
-    * hash is the first 15 hex chars of md5(token) as a 60-bit integer —
+  /** One-pass 60-bit simhash over space-separated tokens (space-only
+    * split, see simhash64) where the per-token hash is the first 15 hex
+    * chars of md5(token) as a 60-bit integer —
     * i.e. conv(substr(md5(tok),1,15),16,10). Unlike the xxhash64 variant
     * this hash has an exact cross-engine SQL twin (DuckDB md5 + a hex
     * digit fold), which is what makes x07's pair output fully

@@ -20,6 +20,35 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("SimHashMd5_60 expression equals the HOF spec on real documents") {
+    val diff = docs.select(
+      Dedup.simhashMd5(col("text")).as("spec"),
+      SketchFunctions.simhashMd5_60(col("text")).as("native"))
+      .filter(col("spec") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
+  test("SimHashMd5_60 parity on non-ASCII, multi-space, and degenerate " +
+    "input; single-token fold equals conv(substr(md5,1,15),16,10)") {
+    import spark.implicits._
+    val df = Seq("é a b c", "漢字 の テスト です ね", "😀 emoji 😀 tokens",
+      "mixé ascii ünd ützìl tøkens here", "a  b", " a b ", "   ", "solo")
+      .toDF("text")
+    val diff = df.select(
+      Dedup.simhashMd5(col("text")).as("spec"),
+      SketchFunctions.simhashMd5_60(col("text")).as("native"))
+      .filter(!(col("spec") <=> col("native"))).count()
+    assert(diff == 0)
+    // one token -> votes are exactly that token's hash bits, so the
+    // signature IS the 60-bit md5-prefix value — the same
+    // conv(substr(md5(tok),1,15),16,10) fold the x07 DuckDB oracle runs
+    val r = Seq("héllo wörld".replace(" ", ""), "hello").toDF("text")
+      .select(SketchFunctions.simhashMd5_60(col("text")).as("sig"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long").as("fold")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+  }
+
   test("MinHashSignature expression equals the HOF spec on real documents") {
     val diff = docs.select(
       Dedup.minhashSignatureHof(col("text"), 3, 32).as("spec"),
