@@ -13,6 +13,19 @@ import graft.queries.{PipelineOps, Q, ReferenceSurface, Relational}
   * - PipelineOps (x*): the LLM-data-pipeline extension surface
   *   (SURVEY.md §7.4): dedup, similarity search, text analysis,
   *   sessionization, multimodal plumbing.
+  *
+  * Grading posture for the streaming operators (graft.streaming
+  * .StreamOps): deliberately NOT in `queries`/`oracleSql`. The oracle
+  * gate materializes one static DataFrame per entry and diffs it against
+  * DuckDB, but what a Structured Streaming operator asserts — watermark
+  * -driven state eviction, per-trigger incremental emission, recovery
+  * from a checkpoint — only exists ACROSS executions; a single-batch
+  * dump would grade the batch re-expression of the query, not the
+  * streaming semantics. Those are graded in ScalaTest instead
+  * (streaming/StreamingSpec): each op runs over a MemoryStream with
+  * controlled triggers and is asserted against its batch twin
+  * (Sessionize, Dedup), including a stop/restart-from-checkpoint pass
+  * proving the state store round-trip.
   */
 object SparkEntry {
 

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordinal (0-based dense row number by a total
+  * order) without the single-task window `row_number().over(
+  * Window.orderBy(...))` plans — the classic driver-scale bottleneck: a
+  * corpus vocabulary is 10^8-10^9 tokens at 100 TB and an unpartitioned
+  * window sorts all of it through ONE task.
+  *
+  * Scale shape (three cheap passes, no global window):
+  *  1. range-repartition the frame by the sort key into `shards` ordered
+  *     ranges (Spark samples boundaries; S tasks of ~N/S rows each);
+  *  2. rank locally inside each range (a window PARTITIONED by the range
+  *     id — parallel across shards);
+  *  3. offset each shard's local ranks by the total size of the shards
+  *     before it (a triangular self-join of the S-row size frame — S^2/2
+  *     comparisons on S ~ parallelism, negligible — broadcast back).
+  *
+  * The result is byte-identical to the global row_number whatever
+  * boundaries the range sampler picks, PROVIDED `order` is a total order
+  * (no ties): range partitions are disjoint and ordered by partition id,
+  * so offset + local rank is the true global rank. With ties the split
+  * of tied rows across a boundary — like row_number itself — would be
+  * nondeterministic; callers must include a unique tiebreak column.
+  */
+object Ranking {
+
+  def globalOrdinal(
+      df: DataFrame, order: Seq[Column], outCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val parted = df.repartitionByRange(shards, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lrank",
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
+    val sizes = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offs = sizes.as("a")
+      .join(sizes.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(outCol, col("__off") + col("__lrank") - 1)
+      .drop("__pid", "__lrank", "__off")
+  }
+}

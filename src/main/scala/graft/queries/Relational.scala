@@ -850,29 +850,31 @@ object Relational {
                          ORDER BY o_totalprice DESC, o_orderkey ASC)
             ORDER BY o_orderstatus, o_orderkey"""))
 
-  /** Deterministic stratified sampling: every 10th row per status stratum
-    * in key order. Oracle-checkable (unlike rand()-based TABLESAMPLE).
-    * This window formulation is the exact-spacing variant; at 100 TB the
-    * shuffle-free form is a hash-mod predicate (pmod(xxhash64(key), 10)=0
-    * — map-side only, no global numbering), which trades exact stratum
-    * spacing for zero data movement.
+  /** Deterministic 10% sampling as a map-side hash-mod predicate: keep
+    * rows whose key-hash is 0 mod 10. ZERO data movement — no window, no
+    * shuffle, the filter rides the scan — where the exact-spacing
+    * formulation (row_number per stratum, every 10th row) would
+    * row-number the ENTIRE table through per-stratum window tasks: a
+    * 3-value status column at 100 TB means a third of the table per
+    * task. Every stratum is sampled at the same 10% rate (key hashes are
+    * uniform within each status), which is what stratified sampling
+    * buys, without the global numbering. The hash is the md5-prefix fold
+    * (same cross-engine technique as x07) so DuckDB reproduces it
+    * bit-for-bit; production would use pmod(xxhash64(key), 10) = 0 —
+    * same plan shape, cheaper hash, no SQL twin.
     */
   private val s46 = Q(
     "s46_stratified_sample",
-    (s, d) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
-      t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(pmod(col("rn") - 1, lit(10)) === 0)
-        .select("o_orderstatus", "o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
-    },
+    (s, d) => t(s, d, "orders")
+      .filter(pmod(
+        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 15),
+          16, 10).cast(LongType), lit(10L)) === 0)
+      .select("o_orderstatus", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey"),
     Some("""SELECT o_orderstatus, o_orderkey, o_totalprice
-            FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
-                         row_number() OVER (PARTITION BY o_orderstatus
-                           ORDER BY o_orderkey) AS rn
-                  FROM orders)
-            WHERE (rn - 1) % 10 = 0
+            FROM orders
+            WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10 = 0
             ORDER BY o_orderkey"""))
 
   /** TPC-H Q4 shape: correlated EXISTS with a cross-side predicate

@@ -18,6 +18,16 @@ class PlanSpec extends SparkTestBase {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  /** All window operators in the optimized logical plan — the structural
+    * way to assert "no unpartitioned window" (an empty partitionSpec =
+    * the whole input sorts through ONE task at scale), which a string
+    * match on windowspecdefinition(...) can't do reliably.
+    */
+  private def windowsOf(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+
   test("r01: filter and column pruning reach the parquet scan") {
     val qe: QueryExecution = q("r01_scan_project").queryExecution
     val scan = qe.executedPlan.toString
@@ -174,6 +184,42 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf(q("s48_tpch_q10"))
     assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("x25: vocab ranking plans NO unpartitioned window (the global " +
+    "ordinal is range-shard + local rank + offsets)") {
+    val ws = windowsOf(q("x25_vocab_encode"))
+    assert(ws.nonEmpty, "expected the shard-local rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would sort the whole vocabulary in one task")
+  }
+
+  test("x31: the packing prefix-sum window is keyed by the pack group " +
+    "(lang[, shard]), never unpartitioned") {
+    val ws = windowsOf(q("x31_sequence_pack"))
+    assert(ws.nonEmpty, "expected the prefix-sum window")
+    assert(ws.forall(_.partitionSpec.nonEmpty))
+    assert(ws.forall(_.partitionSpec.exists(
+      _.references.exists(_.name == "lang"))),
+      "pack window must shuffle on the group key")
+  }
+
+  test("s46: hash-mod sampling is a pure map-side filter — no window, " +
+    "no aggregate, nothing between scan and the output sort") {
+    val df = q("s46_stratified_sample")
+    assert(windowsOf(df).isEmpty, "sampling must not rank the table")
+    val plan = planOf(df)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
+
+  test("x13: sessionize windows and final aggregate all shuffle on " +
+    "user_id (per-user state, no global ordering)") {
+    val df = q("x13_events_sessionize")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty, "expected the gap-flag + session-seq windows")
+    assert(ws.forall(_.partitionSpec.exists(
+      _.references.exists(_.name == "user_id"))),
+      "session windows must be keyed by user_id, not constant/global")
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {

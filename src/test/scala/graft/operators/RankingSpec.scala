@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking.globalOrdinal must be byte-identical to the unpartitioned
+  * row_number window it replaces, for any shard count — the sharded
+  * formulation is the scale path, the global window is the spec.
+  */
+class RankingSpec extends SparkTestBase {
+
+  private lazy val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(explode(split(col("text"), " ")).as("tok"))
+    .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  private def specRank = vocab.select(col("tok"),
+    (row_number().over(
+      Window.orderBy(col("cnt").desc, col("tok").asc)) - 1L).as("tok_id"))
+
+  test("sharded global ordinal equals the single-window row_number " +
+    "for awkward shard counts") {
+    val expected = specRank.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (shards <- Seq(1, 3, 7, 32)) {
+      val got = Ranking.globalOrdinal(vocab,
+        Seq(col("cnt").desc, col("tok").asc), "tok_id", shards)
+        .select("tok", "tok_id")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at shards=$shards")
+    }
+  }
+
+  test("more shards than rows, and empty input") {
+    import spark.implicits._
+    val tiny = Seq(("b", 5L), ("a", 5L), ("c", 9L)).toDF("tok", "cnt")
+    val got = Ranking.globalOrdinal(tiny,
+      Seq(col("cnt").desc, col("tok").asc), "tok_id", 16)
+      .select("tok", "tok_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("c" -> 0L, "a" -> 1L, "b" -> 2L))
+    val empty = Ranking.globalOrdinal(tiny.filter(lit(false)),
+      Seq(col("cnt").desc), "tok_id", 4)
+    assert(empty.count() == 0)
+  }
+}
