@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * so offset + local rank is the true global rank. With ties the split
   * of tied rows across a boundary — like row_number itself — would be
   * nondeterministic; callers must include a unique tiebreak column.
+  *
+  * Cost note: steps 2 and 3 reference the ranked frame twice more, so
+  * the INITIAL plan triplicates `df`'s lineage — but the three
+  * subtrees share one canonical range exchange and AQE's stage reuse
+  * (on by default) computes it once and wires ReusedExchange into the
+  * other branches; the expensive upstream (for a vocab: the full-corpus
+  * token explode + count) runs exactly once. Verified on the x25 final
+  * plan (2 scans total, not 4) and pinned in PlanSpec so a refactor
+  * that breaks canonical-equality of the branches can't silently
+  * reintroduce the recompute.
   */
 object Ranking {
 

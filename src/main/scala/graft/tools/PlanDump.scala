@@ -14,6 +14,11 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, dir)
     println(df.queryExecution.executedPlan.toString)
+    // AQE finalizes stage reuse (ReusedExchange/ReusedQueryStage) only
+    // at runtime — execute, then print the plan that actually ran
+    df.collect()
+    println("=== final (post-AQE) ===")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

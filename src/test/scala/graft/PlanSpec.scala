@@ -222,6 +222,17 @@ class PlanSpec extends SparkTestBase {
       "session windows must be keyed by user_id, not constant/global")
   }
 
+  test("x25: AQE reuses the vocab-count exchange across the rank/size/" +
+    "offset branches (the corpus explode+agg runs once, not 3x)") {
+    // stage reuse is finalized only at runtime -> execute, then read the
+    // final adaptive plan (its string leads with the Final Plan section)
+    val df = q("x25_vocab_encode")
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(finalSection.contains("ReusedExchange"), finalSection)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
