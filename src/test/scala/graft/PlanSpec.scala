@@ -110,6 +110,16 @@ class PlanSpec extends SparkTestBase {
       || plan.contains("ObjectHashAggregate"), plan) // collect_list buckets
   }
 
+  test("x07: simhash near-dups is a pure bucket pipeline — one grouped " +
+    "exchange on the chunk key, pairs streamed by Generate, NO join " +
+    "(a self-join would re-sketch the corpus for each side)") {
+    val plan = planOf(q("x07_dedup_simhash"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("simhash_md5_60"), // the oracle-able variant
+      s"x07 must run the cross-engine md5-60 signature:\n$plan")
+  }
+
   test("x08: brute-force ANN broadcasts the query set over the corpus scan") {
     val plan = planOf(q("x08_ann_bruteforce"))
     assert(plan.contains("BroadcastNestedLoopJoin") ||
