@@ -150,4 +150,46 @@ class PropertySpec extends SparkTestBase {
       assert(r.getLong(0) == r.getLong(1))
     }
   }
+
+  test("globalOrdinal equals the in-memory sort rank for random tables " +
+    "and shard counts") {
+    val vocabGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 80L), Gen.chooseNum(0L, 9L)))
+    forAll(vocabGen, Gen.chooseNum(1, 8)) { (rows0, shards) =>
+      val rows = rows0.distinctBy(_._1) // unique key -> total order
+      val got = operators.Ranking.globalOrdinal(rows.toDF("k", "cnt"),
+        Seq(col("cnt").desc, col("k").asc), "r", shards)
+        .select("k", "r").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val want = rows.sortBy { case (k, c) => (-c, k) }.zipWithIndex
+        .map { case ((k, _), i) => k -> i.toLong }.toMap
+      assert(got == want, s"shards=$shards")
+    }
+  }
+
+  test("Pack.assign: replaying each (group, shard)'s prefix fold " +
+    "reproduces every pack id; every row packed exactly once") {
+    val docGen = Gen.listOfN(50, Gen.zip(Gen.chooseNum(0L, 999L),
+      Gen.chooseNum(0, 2), Gen.chooseNum(1L, 300L)))
+    forAll(docGen, Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(64L, 256L))) {
+      case (rows0, (shards, budget)) =>
+        val rows = rows0.distinctBy(_._1)
+        val out = operators.Pack.assign(rows.toDF("id", "g", "w"),
+          "g", "id", "w", budget, shards)
+          .select("id", "g", "w", "shard", "pack_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getInt(3), r.getLong(4)))
+        assert(out.length == rows.length)
+        assert(out.map(_._1).distinct.length == rows.length)
+        // whatever hash shard a row landed in, pack ids within that
+        // shard must be the prefix-sum fold over its members in order
+        out.groupBy(x => (x._2, x._4)).foreach { case (_, grp) =>
+          var cum = 0L
+          grp.sortBy(_._1).foreach { case (_, _, w, _, pid) =>
+            assert(pid == cum / budget)
+            cum += w
+          }
+        }
+    }
+  }
 }
