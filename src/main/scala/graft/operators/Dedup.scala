@@ -33,10 +33,23 @@ object Dedup {
     * trivially cheap next to the hashing it parallelizes. Guarded so a
     * properly-split big input (the 100 TB case: thousands of splits)
     * passes through untouched, shuffle-free.
+    *
+    * The guard reads the optimizer's size estimate, NOT
+    * `df.rdd.getNumPartitions`: converting to the RDD forces a full
+    * physical-planning pass of the upstream plan per call (a planning
+    * tax in every sketch pipeline) and plans the tree a second time
+    * outside AQE's view. An input whose estimated bytes can't fill
+    * `parallelism` scan splits of `spark.sql.files.maxPartitionBytes`
+    * is thin; anything bigger already arrives as >= parallelism splits
+    * and passes through.
     */
   private[operators] def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      sess.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * p) df.repartition(p) else df
   }
 
   /** Exact dedup: group rows by content digest, keep the smallest id.
@@ -281,8 +294,15 @@ object Dedup {
       sig: Column => Column = graft.functions.SketchFunctions.simhash64(_),
       bits: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming < bits, s"maxHamming in [0, $bits)")
-    val sigs = fanOut(docs).select(col(idCol).as("id"),
-      sig(col(textCol)).as("sh"))
+    // Zero-token documents (empty or all-space text — trim strips the
+    // same ' ' the tokenizer splits on) carry no content but would all
+    // share signature 0 and pair with each other at Hamming 0, while an
+    // oracle that explodes tokens never sees them at all. Excluding
+    // them keeps engine and oracle in agreement by construction; the
+    // right tool for empty docs is an exact-dedup pass, not a Hamming
+    // search.
+    val sigs = fanOut(docs.filter(length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"), sig(col(textCol)).as("sh"))
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(i => i * bits / nBlocks)
     val chunks = (0 until nBlocks).map { bIdx =>

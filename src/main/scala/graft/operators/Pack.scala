@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Token-budget sequence packing: rows (documents) are packed, in stable
   * `orderCol` order within a group (language), into training sequences
@@ -29,15 +29,34 @@ object Pack {
     * possibly its last START within the budget (a row longer than the
     * remaining budget overflows its pack — the downstream
     * truncate-or-split policy is the trainer's call, not the packer's).
+    *
+    * `oracleHash=true` swaps the shard hash from xxhash64 (the cheap
+    * production path, engine-internal) to the md5-prefix fold — the
+    * same cross-engine technique as x07/s46 — so an external SQL
+    * engine reproduces the shard assignment bit-for-bit and the
+    * shards>1 scale path is itself oracle-checkable (x31b). Identical
+    * plan shape either way: one map-side expression, window on
+    * (group, shard).
     */
   def assign(
       df: DataFrame, groupCol: String, orderCol: String, weightCol: String,
-      budget: Long, shards: Int = 1): DataFrame = {
+      budget: Long, shards: Int = 1, oracleHash: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards >= 1, "shards must be >= 1")
+    // withColumn REPLACES same-named columns: a caller frame already
+    // carrying one of the output/temp names would be silently
+    // corrupted instead of failing. Refuse up front.
+    Seq("shard", "pack_id", "__cum").foreach(n =>
+      require(!df.columns.contains(n),
+        s"Pack.assign reserves column name '$n'; rename the input column"))
+    val shardHash =
+      if (oracleHash)
+        conv(substring(md5(col(orderCol).cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType)
+      else xxhash64(col(orderCol))
     val sharded = df.withColumn("shard",
       if (shards == 1) lit(0)
-      else pmod(xxhash64(col(orderCol)), lit(shards.toLong)).cast(IntegerType))
+      else pmod(shardHash, lit(shards.toLong)).cast(IntegerType))
     val w = Window.partitionBy(col(groupCol), col("shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -42,6 +42,24 @@ object Ranking {
       df: DataFrame, order: Seq[Column], outCol: String,
       shards: Int): DataFrame = {
     require(shards >= 1, "shards must be >= 1")
+    // Correctness here leans on all three branches (local rank, sizes,
+    // offsets) reading ONE materialization of the range exchange:
+    // RangePartitioner SAMPLES its boundaries with an RDD-id-derived
+    // seed, so with exchange reuse disabled each branch could draw
+    // different boundaries and the offsets join would produce wrong
+    // ranks with no error. Reuse is on by default (and covers both the
+    // AQE stage cache and the non-AQE ReuseExchange rule); fail loudly
+    // rather than silently mis-rank if someone turns it off.
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+      .toBoolean,
+      "globalOrdinal requires spark.sql.exchange.reuse=true: its three " +
+        "branches must share one range exchange (sampled boundaries are " +
+        "only consistent across branches when the exchange is reused)")
+    // The temp names below silently shadow same-named input columns
+    // (withColumn replaces); refuse corrupt-the-caller inputs up front.
+    Seq("__pid", "__lrank", "__off", outCol).foreach(n =>
+      require(!df.columns.contains(n),
+        s"globalOrdinal reserves column name '$n'; rename the input column"))
     val parted = df.repartitionByRange(shards, order: _*)
       .withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__lrank",

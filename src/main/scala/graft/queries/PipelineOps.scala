@@ -646,7 +646,14 @@ object PipelineOps {
         Seq(col("cnt").desc, col("tok").asc), "tok_id",
         shards = s.sparkContext.defaultParallelism)
         .select("tok", "tok_id")
-      toks.join(broadcast(vocab), "tok")
+      // No broadcast hint on the encode join: a 100 TB corpus has a
+      // 10^8-10^9-row vocabulary (tens of GB) that must NOT be forced
+      // onto every executor. AQE picks broadcast when the vocab is
+      // actually small and a shuffle join otherwise — the decision
+      // belongs to the runtime, not the query. PlanSpec pins the
+      // absence of the hint and re-runs the query with broadcast
+      // disabled entirely.
+      toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(array_join(
           transform(
@@ -847,6 +854,46 @@ object PipelineOps {
             FROM c GROUP BY lang, pack_id
             ORDER BY lang, pack_id"""))
 
+  /** The SHARDED packing scale path, graded: shards=4 with the
+    * md5-prefix shard hash (Pack.assign oracleHash — same cross-engine
+    * fold as x07/s46), so the window key is (lang, shard) and DuckDB
+    * replays shard assignment bit-for-bit. This is the query x31 can't
+    * be: the shape that never puts a whole language through one window
+    * task, itself under the oracle gate instead of ScalaTest-only.
+    */
+  private val x31b = Q(
+    "x31b_sequence_pack_sharded",
+    (s, d) => Pack.assign(
+      t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tok")),
+      "lang", "doc_id", "n_tok", budget = 2048L, shards = 4,
+      oracleHash = true)
+      .groupBy("lang", "shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "shard", "pack_id"),
+    Some("""WITH t AS (SELECT lang, doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                AS n_tok,
+                              CAST(CAST('0x' ||
+                                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                   AS BIGINT) % 4 AS INT) AS shard
+                       FROM documents),
+                 c AS (SELECT *, CAST(sum(n_tok) OVER (
+                                   PARTITION BY lang, shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                                 AS BIGINT) AS cum
+                       FROM t)
+            SELECT lang, shard, (cum - n_tok) // 2048 AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY lang, shard, pack_id
+            ORDER BY lang, shard, pack_id"""))
+
   /** Near-dup CLUSTERS (operators.Components): the x05 pair list closed
     * transitively by min-label propagation, labelling every doc with its
     * cluster's smallest id — the keep-one-per-cluster step of dedup.
@@ -937,6 +984,65 @@ object PipelineOps {
             QUALIFY rank <= 5
             ORDER BY qid, rank"""))
 
+  /** TRAINED IVF centroids (operators.Similarity.kmeans): two Lloyd's
+    * iterations from the deterministic every-97th seed, graded as the
+    * per-iteration cell histograms (iter 1 = assignment under the seed,
+    * iter 2 = assignment under the once-updated means). Counts are
+    * integers, so the only cross-engine risk is a flipped assignment;
+    * margins carry the determinism argument as in x11/x33 — the seed
+    * assignment margin is >= 2e-5 and the trained-centroid margin is
+    * re-measured in SimilaritySpec (assignMargin), both orders of
+    * magnitude above the ~1e-13 relative wobble double summation order
+    * can put on the means. Dead cells drop out identically in both
+    * engines (no group, no row).
+    */
+  private val x36 = Q(
+    "x36_ivf_kmeans",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = ivfCentroids(s, d)
+      val (c1, _) = Similarity.kmeansStep(e, "vec", 64, c0)
+      def hist(cents: Seq[(Int, Array[Double])], iter: Int) =
+        Similarity.ivfAssign(e, "vec", cents)
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .select(lit(iter).as("iter"), col("cell"), col("n"))
+      hist(c0, 1).union(hist(c1, 2)).orderBy("iter", "cell")
+    },
+    Some("""WITH c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 d1 AS (SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM embeddings e CROSS JOIN c0 c),
+                 a1 AS (SELECT vec_id, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM d1) WHERE rn = 1),
+                 m1 AS (SELECT a.cid, u.i,
+                               avg(CAST(e.embedding[u.i] AS DOUBLE)) AS m
+                        FROM a1 a JOIN embeddings e USING (vec_id)
+                             CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+                        GROUP BY a.cid, u.i),
+                 c1 AS (SELECT cid, list(m ORDER BY i) AS cvec
+                        FROM m1 GROUP BY cid),
+                 d2_ AS (SELECT e.vec_id, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) AS d2
+                   FROM embeddings e CROSS JOIN c1 c),
+                 a2 AS (SELECT vec_id, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM d2_) WHERE rn = 1)
+            SELECT 1 AS iter, cid AS cell, count(*) AS n
+            FROM a1 GROUP BY cid
+            UNION ALL
+            SELECT 2 AS iter, cid AS cell, count(*) AS n
+            FROM a2 GROUP BY cid
+            ORDER BY iter, cell"""))
+
   /** Video-ish frame sampling (Multimodal.sampleFrames): every 2nd
     * 256-byte chunk of each payload as its own row with a per-frame
     * digest — the one-to-many explode shape a frame pipeline needs. The
@@ -1022,5 +1128,5 @@ object PipelineOps {
 
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31, x32, x33, x34, x35)
+    x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36)
 }

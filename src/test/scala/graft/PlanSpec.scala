@@ -214,6 +214,16 @@ class PlanSpec extends SparkTestBase {
       "pack window must shuffle on the group key")
   }
 
+  test("x31b: the sharded packing window is keyed by (lang, shard) — " +
+    "no single task ever sees a whole language") {
+    val ws = windowsOf(q("x31b_sequence_pack_sharded"))
+    assert(ws.nonEmpty, "expected the prefix-sum window")
+    assert(ws.forall(w =>
+      w.partitionSpec.exists(_.references.exists(_.name == "lang")) &&
+        w.partitionSpec.exists(_.references.exists(_.name == "shard"))),
+      "sharded pack window must key on BOTH lang and shard")
+  }
+
   test("s46: hash-mod sampling is a pure map-side filter — no window, " +
     "no aggregate, nothing between scan and the output sort") {
     val df = q("s46_stratified_sample")
@@ -232,15 +242,50 @@ class PlanSpec extends SparkTestBase {
       "session windows must be keyed by user_id, not constant/global")
   }
 
+  /** Every node of the FINAL physical plan, descending structurally
+    * into AQE's replanned tree and into materialized query stages —
+    * `plan.collect` alone stops at AdaptiveSparkPlanExec/QueryStageExec
+    * boundaries (both are leaf-like wrappers), and string-matching the
+    * plan dump is version-dependent formatting that could go vacuous on
+    * a Spark upgrade.
+    */
+  private def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: deepNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      s +: deepNodes(s.plan)
+    case other => other +: other.children.flatMap(deepNodes)
+  }
+
   test("x25: AQE reuses the vocab-count exchange across the rank/size/" +
     "offset branches (the corpus explode+agg runs once, not 3x)") {
-    // stage reuse is finalized only at runtime -> execute, then read the
-    // final adaptive plan (its string leads with the Final Plan section)
+    // stage reuse is finalized only at runtime -> execute, then walk the
+    // final adaptive plan structurally for the reused-stage nodes
     val df = q("x25_vocab_encode")
     df.collect()
-    val finalSection = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert(finalSection.contains("ReusedExchange"), finalSection)
+    val reused = deepNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused.nonEmpty,
+      s"no ReusedExchange in the final adaptive plan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("x25: the encode join never force-broadcasts the vocabulary " +
+    "(10^8-10^9 rows at 100 TB — the join strategy is AQE's call)") {
+    // the only sanctioned hint in the whole query is globalOrdinal's
+    // S-row shard-offset broadcast (output column __off)
+    val hints = q("x25_vocab_encode").queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.output.exists(_.name == "__off")),
+      s"found a join hint over a non-offset frame: $hints")
+    // and the query must survive with broadcast joins off entirely —
+    // the shape a too-big-to-broadcast vocabulary forces at scale
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(q("x25_vocab_encode").count() > 0)
+    }
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {

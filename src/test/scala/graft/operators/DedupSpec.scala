@@ -116,6 +116,24 @@ class DedupSpec extends SparkTestBase {
     assert(cands.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("simhashNearDups excludes zero-token documents (no signature-0 " +
+    "pairing between empty / all-space docs)") {
+    // two empty-ish docs would both sketch to 0 and emit a hamming-0
+    // pair, while a token-exploding oracle never sees them — the engine
+    // drops them pre-sketch so both sides agree by construction
+    val degen = planted.select(col("doc_id"), col("text"))
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, " ")
+      ).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDups(degen, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (a, b) => a >= 9000L || b >= 9000L },
+      s"zero-token docs paired: ${pairs.filter(p => p._1 >= 9000L || p._2 >= 9000L)}")
+    // same exclusion on the md5-60 graded variant
+    val md5Pairs = Dedup.simhashMd5NearDups(degen, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!md5Pairs.exists { case (a, b) => a >= 9000L || b >= 9000L })
+  }
+
   test("shingles produce n-k+1 grams and empty below k") {
     val df = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3).as("sh"))

@@ -56,4 +56,29 @@ class PackSpec extends SparkTestBase {
       .select("doc_id", "shard", "pack_id")
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
+
+  test("oracleHash shard assignment obeys the same invariants and " +
+    "matches the md5-prefix fold formula row by row") {
+    val a = Pack.assign(docs, "lang", "doc_id", "n_tok", BUDGET,
+      shards = 4, oracleHash = true)
+    assert(a.count() == docs.count())
+    assert(a.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+    // shard must equal the cross-engine formula an SQL oracle replays
+    val bad = a.filter(col("shard") =!=
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(4L)).cast("int"))
+    assert(bad.count() == 0)
+  }
+
+  test("refuses inputs that collide with reserved output/temp names " +
+    "(withColumn would silently replace them)") {
+    intercept[IllegalArgumentException] {
+      Pack.assign(docs.withColumn("shard", lit(1)),
+        "lang", "doc_id", "n_tok", BUDGET)
+    }
+    intercept[IllegalArgumentException] {
+      Pack.assign(docs.withColumn("__cum", lit(1L)),
+        "lang", "doc_id", "n_tok", BUDGET, shards = 2)
+    }
+  }
 }

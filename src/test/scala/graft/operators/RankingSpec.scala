@@ -42,4 +42,28 @@ class RankingSpec extends SparkTestBase {
       Seq(col("cnt").desc), "tok_id", 4)
     assert(empty.count() == 0)
   }
+
+  test("refuses inputs that collide with reserved temp/output names " +
+    "(withColumn would silently replace them)") {
+    import spark.implicits._
+    val clash = Seq(("a", 1L, 0)).toDF("tok", "cnt", "__pid")
+    intercept[IllegalArgumentException] {
+      Ranking.globalOrdinal(clash, Seq(col("cnt").desc), "tok_id", 2)
+    }
+    val outClash = Seq(("a", 1L)).toDF("tok", "tok_id")
+    intercept[IllegalArgumentException] {
+      Ranking.globalOrdinal(outClash, Seq(col("tok").asc), "tok_id", 2)
+    }
+  }
+
+  test("refuses to run with exchange reuse disabled (sampled range " +
+    "boundaries are only branch-consistent under one materialization)") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L)).toDF("tok", "cnt")
+    withSQLConf("spark.sql.exchange.reuse" -> "false") {
+      intercept[IllegalArgumentException] {
+        Ranking.globalOrdinal(tiny, Seq(col("cnt").desc), "tok_id", 2)
+      }
+    }
+  }
 }

@@ -179,6 +179,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(hist.length > 1, "degenerate: everything in one cell")
   }
 
+  test("kmeans: inertia never increases across Lloyd's iterations, and " +
+    "trained centroids beat the untrained every-97th seed") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (_, costs) = Similarity.kmeans(corpus, "vec", 64, testCentroids, 4)
+    assert(costs.length == 4)
+    costs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-12), s"inertia rose: $costs")
+    }
+    assert(costs.last < costs.head, s"training never improved: $costs")
+  }
+
+  test("kmeansStep conserves mass and drops dead cells only") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (c1, _) = Similarity.kmeansStep(corpus, "vec", 64, testCentroids)
+    assert(c1.nonEmpty && c1.size <= testCentroids.size)
+    // updated centroids must themselves assign every vector somewhere
+    val cells = Similarity.ivfAssign(corpus, "vec", c1)
+    assert(cells.count() == corpus.count())
+    assert(c1.map(_._1).toSet.subsetOf(testCentroids.map(_._1).toSet))
+  }
+
+  test("x36 determinism footing: the best-vs-second-best cell margin " +
+    "under TRAINED centroids dwarfs double summation error") {
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (c1, _) = Similarity.kmeansStep(corpus, "vec", 64, testCentroids)
+    val minMargin = Similarity.assignMargin(corpus, "vec", c1)
+      .agg(min(col("margin"))).collect()(0).getDouble(0)
+    // double-fold wobble on these magnitudes is ~1e-12; demand 6 orders
+    assert(minMargin > 1e-6, s"trained-centroid margin $minMargin too thin")
+  }
+
   test("a vector's own centroid assignment is itself when it is a centroid") {
     val corpus = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
