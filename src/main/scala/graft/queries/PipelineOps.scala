@@ -1126,7 +1126,97 @@ object PipelineOps {
             SELECT cluster, count(*) AS members
             FROM lab GROUP BY cluster ORDER BY cluster"""))
 
+  /** Benchmark decontamination (operators.Decontaminate): training docs
+    * sharing any word 4-gram with a held-out eval slice (every-97th
+    * doc), the pre-training leakage guard. Both sides reduce grams to
+    * md5 digests before the join so no raw n-gram text is shuffled; the
+    * eval side is NOT hint-broadcast (AQE decides — the x25 rule). The
+    * gram strings are engine-neutral token joins, so DuckDB replays the
+    * whole pipeline exactly.
+    */
+  private val x37 = Q(
+    "x37_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.overlapHits(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            ev AS (SELECT DISTINCT md5(gram) AS h FROM (
+                SELECT unnest(list_transform(range(1, len(arr) - 2),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3])) AS gram
+                FROM g WHERE doc_id % 97 = 0 AND len(arr) >= 4)),
+            tr AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(arr) - 2),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3])) AS gram
+                FROM g WHERE doc_id % 97 <> 0 AND len(arr) >= 4))
+            SELECT tr.doc_id, count(*) AS n_hits
+            FROM tr JOIN ev USING (h)
+            GROUP BY tr.doc_id ORDER BY doc_id"""))
+
+  /** Domain mixing weights (operators.Mix): temperature-scaled
+    * (α = 1/2) per-source sampling weights and the per-source keep
+    * rates that hit a 26k-token target in expectation — 26k sits inside
+    * the corpus's per-source rate spread at sf0.01, so both sides of
+    * the least(1.0, …) clamp execute. sqrt is IEEE-correctly-rounded in
+    * both engines and the normalizing sum runs in exact DECIMAL(18,6),
+    * so every weight is bit-reproducible.
+    */
+  private val x38 = Q(
+    "x38_mix_weights",
+    (s, d) => Mix.weights(t(s, d, "documents"), "source",
+      TextAnalysis.tokenCount(col("text")), targetTokens = 26000L)
+      .orderBy("source"),
+    Some("""WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+              FROM documents GROUP BY source),
+            w AS (SELECT *,
+                    CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6)
+                         AS DECIMAL(18,6)) AS wd
+                  FROM per),
+            t AS (SELECT sum(wd) AS tot FROM w)
+            SELECT source, n_docs, tokens,
+                   round(CAST(wd AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                     AS weight,
+                   round(least(1.0,
+                     26000.0 * round(CAST(wd AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                       / CAST(tokens AS DOUBLE)), 6) AS rate
+            FROM w CROSS JOIN t ORDER BY source"""))
+
+  /** Deterministic training-order shuffle + round-robin worker shard
+    * (operators.ShuffleOrder): every doc gets a pseudorandom but
+    * reproducible global position via the range-sharded ordinal (NOT a
+    * single-task global window), then worker = ord mod W / pos = ord
+    * div W for perfectly balanced disjoint slices. Order key is the
+    * md5-prefix fold (cross-engine) with the id as total-order
+    * tiebreak, so DuckDB's global row_number replays it exactly.
+    */
+  private val x39 = Q(
+    "x39_shuffle_shards",
+    (s, d) => ShuffleOrder.assign(
+      t(s, d, "documents").select("doc_id", "source"),
+      "doc_id", workers = 4, shards = s.sparkContext.defaultParallelism)
+      .select("doc_id", "worker", "pos")
+      .orderBy("doc_id"),
+    Some("""WITH o AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT), doc_id) - 1 AS ord
+              FROM documents)
+            SELECT doc_id, ord % 4 AS worker, ord // 4 AS pos
+            FROM o ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36)
+    x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
+    x37, x38, x39)
 }

@@ -288,6 +288,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("x37: decontamination joins on 16-byte digests with no cartesian, " +
+    "no forced broadcast, and no window") {
+    val df = q("x37_decontaminate")
+    assert(windowsOf(df).isEmpty, "no ranking belongs in this pipeline")
+    // nothing in the query hints a join strategy: whether the eval gram
+    // set broadcasts is AQE's size-based call (the x25 rule)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected join hint: $hints")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // and the shape survives a benchmark too big to broadcast
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(q("x37_decontaminate").count() > 0)
+    }
+  }
+
+  test("x38: the only hint in the mixing query is the 1-row normalizing " +
+    "scalar; the corpus sees exactly one aggregate") {
+    val df = q("x38_mix_weights")
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.output.exists(_.name == "__tot")),
+      s"found a hint over a non-scalar frame: $hints")
+    assert(windowsOf(df).isEmpty)
+  }
+
+  test("x39: the training-order shuffle plans NO unpartitioned window " +
+    "(global position comes from the range-sharded ordinal)") {
+    val ws = windowsOf(q("x39_shuffle_shards"))
+    assert(ws.nonEmpty, "expected the shard-local rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would sort the whole corpus in one task")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
