@@ -1215,8 +1215,95 @@ object PipelineOps {
             SELECT doc_id, ord % 4 AS worker, ord // 4 AS pos
             FROM o ORDER BY doc_id"""))
 
+  /** Gopher-family repetition quality signals (operators.Repetition):
+    * top-token fraction and duplicate-bigram occurrence fraction per
+    * document, plus the keep verdict at the paper-ish 0.3 / 0.2
+    * thresholds. One tagged explode (unigrams + bigrams in a single
+    * stream) and two hash-aggregates; every double is one IEEE division
+    * of exact integer counts, so no rounding is needed on either side.
+    */
+  private val x40 = Q(
+    "x40_repetition_signals",
+    (s, d) => Repetition.signals(
+      t(s, d, "documents"), "doc_id", "text", n = 2)
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS arr
+                         FROM documents),
+            g AS (SELECT doc_id, 1 AS sz, unnest(arr) AS gram FROM tok
+                  UNION ALL
+                  SELECT doc_id, 2 AS sz,
+                         unnest(list_transform(range(1, len(arr)),
+                           i -> arr[i] || ' ' || arr[i+1])) AS gram
+                  FROM tok WHERE len(arr) >= 2),
+            c AS (SELECT doc_id, sz, gram, count(*) AS c
+                  FROM g GROUP BY doc_id, sz, gram),
+            p AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN sz = 1 THEN c END) AS BIGINT)
+                      AS n_tokens,
+                    CAST(max(CASE WHEN sz = 1 THEN c END) AS BIGINT)
+                      AS max_tok,
+                    CAST(sum(CASE WHEN sz = 2 THEN c END) AS BIGINT)
+                      AS total_n,
+                    CAST(sum(CASE WHEN sz = 2 AND c >= 2 THEN c END)
+                      AS BIGINT) AS dup_occ
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   CAST(max_tok AS DOUBLE) / n_tokens AS top_tok_frac,
+                   coalesce(CAST(dup_occ AS DOUBLE) / total_n, 0.0)
+                     AS dup_gram_frac,
+                   CAST(max_tok AS DOUBLE) / n_tokens <= 0.3
+                     AND coalesce(CAST(dup_occ AS DOUBLE) / total_n, 0.0)
+                         <= 0.2 AS keep
+            FROM p ORDER BY doc_id"""))
+
+  /** DSIR hashed-n-gram importance weights (operators.Importance):
+    * score raw docs by hashed-bigram similarity to a target slice
+    * (source src0), add-one smoothed, quantized to exact integer ppm so
+    * the per-doc sum is order-independent. The bucket hash is the
+    * md5-prefix fold; the ≤64-row histograms and 1-row totals are the
+    * bounded-by-construction broadcasts (not the x25 kind).
+    */
+  private val x41 = Q(
+    "x41_importance_weights",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Importance.weights(docs, docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 2, buckets = 64)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS arr
+                         FROM documents),
+            g AS (SELECT doc_id, source,
+                         unnest(list_transform(range(1, len(arr)),
+                           i -> arr[i] || ' ' || arr[i+1])) AS gram
+                  FROM tok WHERE len(arr) >= 2),
+            bk AS (SELECT doc_id, source,
+                          CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                            % 64 AS b
+                   FROM g),
+            ht AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM bk
+                   WHERE source = 'src0' GROUP BY b),
+            hr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM bk
+                   GROUP BY b),
+            nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM ht),
+            nr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr FROM hr),
+            r AS (SELECT doc_id,
+                    CAST(floor(
+                      (CAST(coalesce(ht.ct, 0) + 1 AS DOUBLE)
+                         * CAST(nr.nr + 64 AS DOUBLE))
+                      / (CAST(hr.cr + 1 AS DOUBLE)
+                         * CAST(nt.nt + 64 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS ppm
+                  FROM bk JOIN hr USING (b) LEFT JOIN ht USING (b)
+                       CROSS JOIN nt CROSS JOIN nr)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(ppm) AS BIGINT) AS score_ppm,
+                   CAST(sum(ppm) AS DOUBLE) / (count(*) * 1000000.0)
+                     AS avg_ratio
+            FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
     x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x38, x39)
+    x37, x38, x39, x40, x41)
 }

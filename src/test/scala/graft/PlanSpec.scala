@@ -325,6 +325,34 @@ class PlanSpec extends SparkTestBase {
       "an unpartitioned window would sort the whole corpus in one task")
   }
 
+  test("x40: repetition signals are one explode + two hash-aggregates — " +
+    "no join, no window, map-side partial combine") {
+    val df = q("x40_repetition_signals")
+    assert(windowsOf(df).isEmpty, "no window belongs in this pipeline")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"per-doc signals must not join: $joins")
+    val plan = planOf(df)
+    // partial+final pairs for both aggregates = repeats collapse BEFORE
+    // the (id, gram) shuffle — the property that makes a looping
+    // billion-token document cheap instead of a shuffle bomb
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("x41: importance scoring never shuffle-joins the corpus stream — " +
+    "every join builds on a bounded histogram or scalar") {
+    val df = q("x41_importance_weights")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    // histograms are <= buckets rows by construction, totals 1 row: all
+    // joins must be broadcast (hash for the keyed ones, nested-loop for
+    // the 1-row cross), never a corpus-side exchange
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
