@@ -1302,8 +1302,34 @@ object PipelineOps {
                      AS avg_ratio
             FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BPE tokenizer-training pair counts (operators.Bpe): the top-20
+    * adjacent character pairs over the frequency-weighted vocabulary —
+    * iteration 1 of subword-merge learning (x25's missing other half:
+    * training a vocabulary instead of applying one). The corpus-sized
+    * work is one wordcount; pair counting runs on DISTINCT words only,
+    * and the deterministic (cnt desc, a, b) order makes top-k
+    * replayable. The multi-iteration merge loop is driver-iterative
+    * (engine-side regex state) and graded in BpeSpec instead.
+    */
+  private val x42 = Q(
+    "x42_bpe_pairs",
+    (s, d) => Bpe.topPairs(
+      Bpe.pairCounts(Bpe.initSymbols(
+        Bpe.wordFreqs(t(s, d, "documents"), "text"))), 20),
+    Some("""WITH w AS (SELECT t AS w, count(*) AS freq FROM
+                         (SELECT unnest(string_split(text, ' ')) AS t
+                          FROM documents)
+                       GROUP BY t),
+            p AS (SELECT unnest(list_transform(range(1, length(w)),
+                           i -> substr(w, i, 2))) AS pr, freq
+                  FROM w WHERE length(w) >= 2)
+            SELECT substr(pr, 1, 1) AS a, substr(pr, 2, 1) AS b,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM p GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT 20"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
     x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41)
+    x37, x38, x39, x40, x41, x42)
 }

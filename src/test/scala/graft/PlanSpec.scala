@@ -353,6 +353,21 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("x42: BPE pair counting is wordcount + vocab-side aggregate with " +
+    "a top-k tail — no join, no window, no global sort") {
+    val df = q("x42_bpe_pairs")
+    assert(windowsOf(df).isEmpty)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"pair counting must not join: $joins")
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    // both aggregates (word freq, pair count) keep map-side partials
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
