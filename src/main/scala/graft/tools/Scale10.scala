@@ -109,7 +109,17 @@ object Scale10 {
           .select(col("id_a").as("a"), col("id_b").as("b"))
         Components.minLabel(docs.select(col("doc_id").as("id")), pairs)
           .count()
-      }))
+      }),
+      "repetition_signals" -> (() =>
+        graft.operators.Repetition.signals(docs, "doc_id", "text").count()),
+      "importance_weights" -> (() =>
+        graft.operators.Importance.weights(
+          docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text").count()),
+      "bpe_pairs" -> (() =>
+        graft.operators.Bpe.topPairs(graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.initSymbols(
+            graft.operators.Bpe.wordFreqs(docs, "text"))), 20).count()))
   }
 
   def main(args: Array[String]): Unit = {

@@ -192,4 +192,88 @@ class PropertySpec extends SparkTestBase {
         }
     }
   }
+
+  test("repetition signals equal the per-doc scala fold") {
+    forAll(tokensGen) { toks =>
+      val r = operators.Repetition.signals(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", 2).collect().head
+      val top = toks.groupBy(identity).values.map(_.size).max
+      val grams = toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toList
+      val dup =
+        if (grams.isEmpty) 0.0
+        else grams.groupBy(identity).values.map(_.size).filter(_ >= 2)
+          .sum.toDouble / grams.size
+      assert(r.getLong(1) == toks.size.toLong)
+      assert(r.getDouble(2) == top.toDouble / toks.size)
+      assert(r.getDouble(3) == dup)
+    }
+  }
+
+  test("importance ppm equals the scala md5-fold replay, doc by doc") {
+    // the executable-spec twin of Importance.weights: same bucket fold
+    // (15-hex-char md5 prefix mod B), same add-one smoothing, same
+    // float path (int -> double casts, two muls, one div, floor(1e6 x))
+    forAll(Gen.listOfN(4, tokensGen)) { docsToks =>
+      val docs = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val target = docs.filter(col("doc_id") === 0L)
+      val b = 8 // tiny bucket count: collisions guaranteed, also covered
+      val got = operators.Importance.weights(
+        docs, target, "doc_id", "text", n = 2, buckets = b)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      def bucket(g: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(d.take(15), 16) % b
+      }
+      def grams(ts: List[String]) = ts.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toList
+      val rawB = docsToks.flatMap(grams).map(bucket)
+      val tgtB = grams(docsToks.head).map(bucket)
+      val (cr, ct) = (rawB.groupBy(identity).view.mapValues(_.size),
+        tgtB.groupBy(identity).view.mapValues(_.size))
+      val (nr, nt) = (rawB.size, tgtB.size)
+      docsToks.zipWithIndex.foreach { case (ts, i) =>
+        val gs = grams(ts)
+        if (gs.isEmpty) assert(!got.contains(i.toLong))
+        else {
+          val ppm = gs.map { g =>
+            val bk = bucket(g)
+            val r = ((ct.getOrElse(bk, 0) + 1).toDouble * (nr + b).toDouble) /
+              ((cr(bk) + 1).toDouble * (nt + b).toDouble)
+            math.floor(r * 1e6).toLong
+          }.sum
+          assert(got(i.toLong) == ((gs.size.toLong, ppm)),
+            s"doc $i: got ${got(i.toLong)}, spec ($gs -> $ppm)")
+        }
+      }
+    }
+  }
+
+  test("bpe pair mass is conserved and merges never change the word") {
+    forAll(tokensGen) { toks =>
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val sym = operators.Bpe.initSymbols(
+        operators.Bpe.wordFreqs(docs, "text"))
+      val counts = operators.Bpe.pairCounts(sym).collect()
+      // total pair mass = sum over words of freq * (len - 1)
+      val expected = toks.groupBy(identity).map { case (w, occ) =>
+        occ.size.toLong * math.max(w.length - 1, 0) }.sum
+      assert(counts.map(_.getLong(2)).sum == expected)
+      // merging the best pair conserves the concatenated word text
+      val best = operators.Bpe.topPairs(operators.Bpe.pairCounts(sym), 1)
+        .collect()
+      if (best.nonEmpty) {
+        val merged = operators.Bpe.mergeOnce(
+          sym, best.head.getString(0), best.head.getString(1))
+        merged.select("w", "syms").collect().foreach { r =>
+          assert(r.getSeq[String](1).mkString == r.getString(0))
+        }
+      }
+    }
+  }
 }
