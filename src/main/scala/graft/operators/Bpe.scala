@@ -77,10 +77,9 @@ object Bpe {
       split(regexp_replace(array_join(col("syms"), SEP), pat, rep), SEP))
   }
 
-  /** The most frequent pair under the deterministic (cnt desc, a, b)
-    * total order, as a 1-row frame — compose with limit/collect at the
-    * call site. kept as a Column-level ordering so graded queries and
-    * the training loop rank identically.
+  /** The k most frequent pairs under the deterministic (cnt desc, a, b)
+    * total order — one Column-level ordering shared by the graded query
+    * and the training loop, so both rank identically (ties included).
     */
   def topPairs(counts: DataFrame, k: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
