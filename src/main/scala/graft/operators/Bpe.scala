@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 /** BPE tokenizer training primitives (Sennrich et al. 2016, "Neural
   * Machine Translation of Rare Words with Subword Units"): count
   * adjacent symbol pairs over the frequency-weighted vocabulary, merge
-  * the most frequent pair, repeat. x25 APPLIES a vocabulary; this is
+  * the most frequent pair(s), repeat. x25 APPLIES a vocabulary; this is
   * the missing other half — training one.
   *
   * Scale shape at 100 TB: the only corpus-sized work is `wordFreqs` —
@@ -17,19 +17,33 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   * corpus is — which is precisely why BPE training is tractable on
   * web-scale text. Pair selection is top-k (TakeOrderedAndProject),
   * never a global sort; the merge loop is a driver iteration over a
-  * vocabulary-sized frame, same posture as Components/Similarity's
-  * k-means (one action per round, localCheckpoint to cut lineage if
-  * iterated deeply).
+  * vocabulary-sized frame with ONE action per round, and `batch`
+  * amortizes that round cost over up to `batch` merges (a real
+  * 30k-50k-merge vocabulary at batch=256 is ~150 rounds, not 30k+
+  * sequential driver round-trips).
   */
 object Bpe {
+
+  /** Symbol-sequence separator for the string-encoded merge step. NOT
+    * unreachable by construction — TextAnalysis.tokens splits on ' '
+    * only, so a document containing U+0001 would yield tokens containing
+    * it and mergeOnce's join/split round-trip would silently shred those
+    * tokens apart. wordFreqs therefore EXCLUDES such tokens (below).
+    */
+  private[operators] val SEP = "\u0001"
 
   /** (w, freq): corpus word frequencies — the one corpus-sized pass.
     * fanOut first: a thin input arrives as one scan task (the Dedup
     * rule; a properly-split big input passes through untouched).
+    * Tokens containing the SEP codepoint are excluded: they cannot
+    * round-trip the string-encoded merge representation, and a corpus
+    * with control characters in its tokens should be scrubbed upstream
+    * (TextAnalysis) rather than silently corrupted here.
     */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
     Dedup.fanOut(docs)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(SEP))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
   /** Words as symbol sequences, initial state: one symbol per character.
@@ -65,14 +79,25 @@ object Bpe {
   /** Apply one merge (a, b) -> ab to every symbol sequence,
     * left-to-right over non-overlapping occurrences — the standard BPE
     * convention ("a a a" under merge (a,a) becomes ["aa", "a"]).
-    * Implemented as join/replace/split on a \u0001-separated string (a
-    * codepoint that cannot appear in whitespace-tokenized text), so the
-    * whole step stays a codegen'd per-row expression.
+    * Implemented as join/replace/split on a SEP-separated string
+    * (wordFreqs guarantees no symbol contains SEP), so the whole step
+    * stays a codegen'd per-row expression.
+    *
+    * The pattern is anchored to symbol boundaries on BOTH sides: an
+    * unanchored literal would also match where `a` is a suffix of the
+    * previous symbol or `b` is a prefix of the next (merge (h,e) on
+    * [th, e] would weld "the"; merge (a,b) on [a, bc] would weld
+    * "abc"), silently diverging from standard BPE from iteration 2
+    * onward. The left anchor is a consuming group re-emitted via $1
+    * (Java lookbehind over boundary alternations is fragile); consuming
+    * it cannot mask a back-to-back occurrence because the right anchor
+    * is a zero-width lookahead, so the separator between adjacent
+    * occurrences stays available to the next match.
     */
   def mergeOnce(symWords: DataFrame, a: String, b: String): DataFrame = {
-    val SEP = "\u0001"
-    val pat = java.util.regex.Pattern.quote(a + SEP + b)
-    val rep = java.util.regex.Matcher.quoteReplacement(a + b)
+    val pat = "(\\A|" + SEP + ")" +
+      java.util.regex.Pattern.quote(a + SEP + b) + "(?=" + SEP + "|\\z)"
+    val rep = "$1" + java.util.regex.Matcher.quoteReplacement(a + b)
     symWords.withColumn("syms",
       split(regexp_replace(array_join(col("syms"), SEP), pat, rep), SEP))
   }
@@ -84,27 +109,69 @@ object Bpe {
   def topPairs(counts: DataFrame, k: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("a"), col("b")).limit(k)
 
-  /** `iters` BPE training iterations from the character-level initial
-    * state: each round counts pairs, merges the single best pair, and
-    * records it. Driver-side loop with one top-1 action per round (the
-    * Components posture); the returned list is the learned merge table.
+  /** Greedy batched-BPE selection from a ranked candidate list: walk the
+    * candidates in rank order, choosing up to `want` pairs such that no
+    * chosen pair shares a symbol with a higher-ranked chosen pair (the
+    * standard batched-BPE conflict rule — disjoint symbols mean the
+    * merges touch disjoint occurrences, so applying them together equals
+    * applying them one-by-one without recounting). The chosen pairs'
+    * CONCATENATIONS also count as used: a candidate like (es, t) after
+    * choosing (e, s) would otherwise merge the brand-new "es" symbols
+    * its own count never saw.
     */
-  def train(docs: DataFrame, textCol: String, iters: Int)
+  private[operators] def selectNonConflicting(
+      ranked: Seq[(String, String)], want: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = ranked.iterator
+    while (chosen.size < want && it.hasNext) {
+      val (a, b) = it.next()
+      if (!used(a) && !used(b)) {
+        chosen += ((a, b))
+        used ++= Seq(a, b, a + b)
+      }
+    }
+    chosen.toSeq
+  }
+
+  /** `iters` BPE training merges from the character-level initial state,
+    * `batch` merges per round: each round counts pairs once, collects a
+    * small ranked candidate slice, greedily takes the top-`batch`
+    * pairwise-non-conflicting pairs (selectNonConflicting), applies them
+    * as one chained codegen'd projection, and records them. batch=1 is
+    * exactly classic sequential BPE; batch>1 trades exactness of the
+    * merge ORDER for an iters/batch reduction in driver round-trips
+    * (identical results whenever the top pairs don't share symbols —
+    * BpeSpec asserts the parity and the conflict case).
+    *
+    * One action per round: the candidate collect. Checkpoints are LAZY
+    * (localCheckpoint(false)) — each round's collect materializes the
+    * previous round's merge output as a side effect, cutting lineage
+    * without a dedicated job; superseded checkpoint blocks lose their
+    * last reference on reassignment and are freed by the
+    * ContextCleaner. The returned frame materializes its pending
+    * checkpoint on the caller's first action.
+    */
+  def train(docs: DataFrame, textCol: String, iters: Int, batch: Int = 1)
       : (Seq[(String, String)], DataFrame) = {
     require(iters >= 0, "iters must be >= 0")
-    var sym = initSymbols(wordFreqs(docs, textCol)).localCheckpoint(true)
+    require(batch >= 1, "batch must be >= 1")
+    var sym = initSymbols(wordFreqs(docs, textCol)).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var i = 0
     var done = false
-    while (i < iters && !done) {
-      val best = topPairs(pairCounts(sym), 1).collect()
-      if (best.isEmpty) done = true // no pairs left: every word is 1 symbol
+    while (merges.size < iters && !done) {
+      val want = math.min(batch, iters - merges.size)
+      // over-collect so conflicts can be skipped and the batch still
+      // filled; the slice stays tiny (candidates are vocab-side rows)
+      val ranked = topPairs(pairCounts(sym), math.max(want * 4, 8))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      if (ranked.isEmpty) done = true // no pairs left: every word is 1 symbol
       else {
-        val (a, b) = (best.head.getString(0), best.head.getString(1))
-        merges += ((a, b))
-        sym = mergeOnce(sym, a, b).localCheckpoint(true)
+        val chosen = selectNonConflicting(ranked, want)
+        merges ++= chosen
+        sym = chosen.foldLeft(sym) { case (s, (a, b)) => mergeOnce(s, a, b) }
+          .localCheckpoint(false)
       }
-      i += 1
     }
     (merges.toSeq, sym)
   }

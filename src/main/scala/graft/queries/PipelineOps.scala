@@ -1319,6 +1319,7 @@ object PipelineOps {
     Some("""WITH w AS (SELECT t AS w, count(*) AS freq FROM
                          (SELECT unnest(string_split(text, ' ')) AS t
                           FROM documents)
+                       WHERE NOT contains(t, chr(1))
                        GROUP BY t),
             p AS (SELECT unnest(list_transform(range(1, length(w)),
                            i -> substr(w, i, 2))) AS pr, freq

@@ -53,4 +53,102 @@ class BpeSpec extends SparkTestBase {
     val (merges, _) = Bpe.train(docs("ab ab"), "text", 10)
     assert(merges == Seq(("a", "b")))
   }
+
+  private def symsOf(sym: org.apache.spark.sql.DataFrame) =
+    sym.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+
+  test("mergeOnce is anchored: a pair does not match a SUFFIX of the " +
+    "previous symbol (merge (h,e) must not weld [th, e] into 'the')") {
+    // th x4, he x3, the x1: iteration 1 merges (t,h) — count 5 — turning
+    // "the" into [th, e]; iteration 2 merges (h,e) — count 3 — which must
+    // apply to [h, e] only, NOT to the 'h' inside the symbol "th"
+    val (merges, sym) =
+      Bpe.train(docs("th th th th he he he the"), "text", 2)
+    assert(merges == Seq(("t", "h"), ("h", "e")))
+    val s = symsOf(sym)
+    assert(s("the") == Seq("th", "e"), "suffix collision welded 'the'")
+    assert(s("he") == Seq("he"))
+  }
+
+  test("mergeOnce is anchored: a pair does not match a PREFIX of the " +
+    "next symbol (merge (a,b) must not weld [a, bc] into 'abc')") {
+    // bc x3, ab x2, abc x1: iteration 1 merges (b,c) — count 4 — turning
+    // "abc" into [a, bc]; iteration 2 merges (a,b) — count 2 — which must
+    // not consume the 'b' that starts the symbol "bc"
+    val (merges, sym) = Bpe.train(docs("bc bc bc ab ab abc"), "text", 2)
+    assert(merges == Seq(("b", "c"), ("a", "b")))
+    val s = symsOf(sym)
+    assert(s("abc") == Seq("a", "bc"), "prefix collision welded 'abc'")
+    assert(s("ab") == Seq("ab"))
+  }
+
+  test("wordFreqs excludes tokens containing the separator codepoint " +
+    "(they cannot round-trip the string-encoded merge)") {
+    val f = Bpe.wordFreqs(docs("ab ab x y"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f == Map("x" -> 1L, "y" -> 1L))
+  }
+
+  test("selectNonConflicting skips pairs sharing a symbol OR naming a " +
+    "just-created concatenation") {
+    val chosen = Bpe.selectNonConflicting(
+      Seq(("e", "s"), ("s", "t"), ("es", "t"), ("x", "y")), 4)
+    assert(chosen == Seq(("e", "s"), ("x", "y")))
+  }
+
+  // 8 words over disjoint alphabets with strictly decreasing frequency:
+  // every merge is independent, so batched and sequential training agree
+  private val disjointCorpus = docs(
+    Seq("ab" -> 8, "cd" -> 7, "ef" -> 6, "gh" -> 5,
+      "ij" -> 4, "kl" -> 3, "mn" -> 2, "op" -> 1)
+      .flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" "))
+
+  test("batched training (batch=4) equals sequential when no conflicts " +
+    "arise") {
+    val (seqMerges, seqSym) = Bpe.train(disjointCorpus, "text", 8)
+    val (batMerges, batSym) = Bpe.train(disjointCorpus, "text", 8, batch = 4)
+    assert(batMerges == seqMerges)
+    assert(symsOf(batSym) == symsOf(seqSym))
+  }
+
+  test("batched training skips conflicting pairs and still reaches " +
+    "iters merges") {
+    // newest x3 widest x1: round-1 candidates lead (e,s), (s,t), ... —
+    // everything past (e,s) down to (i,d) shares a symbol with it, so
+    // batch=2 must choose [(e,s), (i,d)], not weld (s,t) in the same round
+    val corpus = docs(Seq.fill(3)("newest").mkString(" ") + " widest")
+    val (merges, _) = Bpe.train(corpus, "text", 2, batch = 2)
+    assert(merges == Seq(("e", "s"), ("i", "d")))
+  }
+
+  test("train issues one driver action per ROUND: iters=8 at batch=4 is " +
+    "at most iters/batch + 1 actions, not one per merge") {
+    // count job-launching actions only: the lazy per-round checkpoint
+    // also fires a "localCheckpoint" listener event, but launches no job
+    // (materialization rides on the NEXT round's collect) — the driver
+    // round-trips the batching exists to amortize are the collects
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "collect") actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (merges, _) = Bpe.train(disjointCorpus, "text", 8, batch = 4)
+      assert(merges.size == 8)
+      // listener delivery is async: poll until the count stabilizes at
+      // the expected 2 round-collects (bounded wait, then assert)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (actions.get() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // grace: catch any excess deliveries in flight
+      assert(actions.get() <= 8 / 4 + 1,
+        s"expected <= 3 driver actions, saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
