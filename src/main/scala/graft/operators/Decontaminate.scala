@@ -3,10 +3,19 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Benchmark decontamination: find training documents that share any
-  * word n-gram with an evaluation/benchmark corpus, the standard
-  * leakage guard run before LLM pretraining (cf. the n-gram overlap
-  * filters described in the GPT-3 and PaLM dataset papers).
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with an evaluation/benchmark corpus, the standard leakage
+  * guard run before LLM pretraining (cf. the n-gram overlap filters
+  * described in the GPT-3 and PaLM dataset papers).
+  *
+  * Flagging convention: a document is contaminated when
+  * n_hits / n_grams >= tau AND n_hits >= 1, where n_grams counts the
+  * doc's DISTINCT word n-grams and n_hits the distinct grams also
+  * present in the eval corpus. tau = 0.0 degenerates to the strict
+  * any-hit rule (one shared gram flags the doc); pipelines on noisy web
+  * corpora typically run a small positive tau so that a single
+  * boilerplate gram (a license line, a navigation string) does not
+  * delete an otherwise-clean document.
   *
   * Scale shape at 100 TB:
   *  - both sides explode to n-grams map-side (a codegen'd
@@ -19,10 +28,26 @@ import org.apache.spark.sql.functions._
   *    estimate. The join is NOT hint-forced: a pathological
   *    benchmark-larger-than-memory still plans as a shuffled hash join
   *    on the digest instead of OOMing the executors (the x25 lesson);
-  *  - per-doc dedup of (id, digest) and the hit count are one
+  *  - per-doc dedup of (id, digest) and the per-doc stats are one
   *    hash-aggregate each with map-side partials.
   */
 object Decontaminate {
+
+  /** Distinct 16-byte digests of the eval corpus's word n-grams. */
+  private def evalDigests(
+      eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("g"))
+      .distinct()
+
+  /** Distinct (id, digest) pairs of the training corpus's word n-grams. */
+  private def trainDigests(
+      train: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), md5(col("gram")).as("g"))
+      .distinct()
 
   /** (id, n_hits): distinct contaminated n-grams per training document,
     * for every training doc sharing at least one word n-gram with
@@ -33,21 +58,35 @@ object Decontaminate {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    val evalG = eval
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .select(md5(col("gram")).as("g"))
-      .distinct()
-    val trainG = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .select(col(idCol), md5(col("gram")).as("g"))
-      .distinct()
-    trainG.join(evalG, "g")
+    trainDigests(train, idCol, textCol, n)
+      .join(evalDigests(eval, textCol, n), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** (id, n_grams, n_hits, hit_frac) for EVERY training document that
+    * produced at least one gram — the per-doc evidence the fraction
+    * threshold reads. hit_frac is one IEEE division of two exact
+    * integer counts (correctly rounded, hence engine-reproducible).
+    * Same plan as overlapHits with the digest join turned outer: two
+    * gram passes, digests-only shuffles, one per-doc hash-aggregate.
+    */
+  def overlapStats(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    trainDigests(train, idCol, textCol, n)
+      .join(evalDigests(eval, textCol, n).withColumn("hit", lit(1L)),
+        Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("hit_frac",
+        col("n_hits").cast("double") / col("n_grams"))
+  }
+
   /** The training corpus with every flagged document removed — the
-    * pipeline's actual output. One anti-join on the id.
+    * pipeline's actual output. Strict any-hit rule (tau = 0.0).
     */
   def clean(
       train: DataFrame, eval: DataFrame,
@@ -55,4 +94,19 @@ object Decontaminate {
     train.join(
       overlapHits(train, eval, idCol, textCol, n).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Fraction-thresholded clean: remove documents whose contaminated
+    * share of distinct grams reaches tau (and is at least one gram —
+    * so tau = 0.0 equals the strict rule, not flag-everything). One
+    * anti-join on the id.
+    */
+  def clean(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, tau: Double): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, "tau must be in [0, 1]")
+    val flagged = overlapStats(train, eval, idCol, textCol, n)
+      .filter(col("n_hits") >= 1 && col("hit_frac") >= tau)
+      .select(idCol)
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -312,6 +312,51 @@ object PipelineOps {
             ORDER BY id_a, id_b"""
     })
 
+  /** Embedding near-dups with the band config chosen by the MEASURED
+    * band-signature concentration (Similarity.autoBandNearDupPairs) —
+    * the scale path x10's static (4,4) is not: SCALE.md's 10x decade
+    * measured (4,4) at 149x per decade on this corpus's concentrated
+    * sign distribution vs 5.6x at (8,8). The probe's masses here are
+    * ~63 candidate pairs/row at (4,4) vs ~8 at (8,8) against the
+    * 48/row budget, so the selection provably lands on (8,8) — which is
+    * what the oracle replays (fixed (8,8) sign bands over all 64
+    * coords; SimilaritySpec pins the choice itself). Fewer pairs than
+    * x10 at this low threshold (recall/selectivity trade); at
+    * production near-dup thresholds (cos>=0.9) wide bands keep recall.
+    */
+  private val x10b = Q(
+    "x10b_embed_neardup_auto",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.autoBandNearDupPairs(e, 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      // band k = sign bits of coords 8k+1..8k+8 (mirrors signBandSigs
+      // at the probe-chosen (8,8) config)
+      val sigs = (0 until 8).map { k =>
+        val bits = (0 until 8).map(r =>
+          s"${1 << r}*CAST(vec[${k * 8 + r + 1}] >= 0 AS INT)").mkString(" + ")
+        s"($bits) AS s$k"
+      }.mkString(",\n                   ")
+      val anyBand = (0 until 8).map(k => s"a.s$k = b.s$k").mkString(" OR ")
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.vec[i] AS DOUBLE) * CAST($y.vec[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+                 b AS (SELECT id, $sigs FROM e),
+                 p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                       FROM b a JOIN b b ON a.id < b.id AND ($anyBand)),
+                 v AS (SELECT p.id_a, p.id_b,
+                              round(${dot("ea", "eb")}
+                                    / sqrt(${dot("ea", "ea")})
+                                    / sqrt(${dot("eb", "eb")}), 6) AS sim
+                       FROM p JOIN e ea ON ea.id = p.id_a
+                              JOIN e eb ON eb.id = p.id_b)
+            SELECT id_a, id_b, sim FROM v WHERE sim >= 0.3
+            ORDER BY id_a, id_b"""
+    })
+
   /** IVF-style cell assignment (centroids = every 97th vector): cell
     * histogram. Argmin in deterministic double — oracle-able because the
     * centroid choice is itself SQL-expressible and the smallest margin
@@ -1160,6 +1205,48 @@ object PipelineOps {
             FROM tr JOIN ev USING (h)
             GROUP BY tr.doc_id ORDER BY doc_id"""))
 
+  /** The decontaminated corpus itself — Decontaminate.clean at
+    * tau = 0.02, the way pipelines actually consume the guard (x37
+    * grades the per-doc evidence; this grades the surviving rows).
+    * tau thresholding: flag when n_hits / n_grams >= tau AND
+    * n_hits >= 1; at this SF the hit fractions straddle 0.02 (range
+    * ~0.007-0.034 at sf0.01, ~0.01-1.0 at sf0.001), so BOTH branches —
+    * contaminated-but-kept and removed — execute. hit_frac is one IEEE
+    * division of exact integer counts, reproducible in any engine.
+    */
+  private val x37b = Q(
+    "x37b_decontaminate_clean",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.clean(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4, tau = 0.02)
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+            ev AS (SELECT DISTINCT md5(gram) AS h FROM (
+                SELECT unnest(list_transform(range(1, len(arr) - 2),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3])) AS gram
+                FROM g WHERE doc_id % 97 = 0 AND len(arr) >= 4)),
+            tr AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(arr) - 2),
+                  i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                       || ' ' || arr[i+3])) AS gram
+                FROM g WHERE doc_id % 97 <> 0 AND len(arr) >= 4)),
+            st AS (SELECT tr.doc_id, count(*) AS n_grams,
+                          sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+                            AS n_hits
+                   FROM tr LEFT JOIN ev USING (h) GROUP BY tr.doc_id),
+            fl AS (SELECT doc_id FROM st
+                   WHERE n_hits >= 1
+                     AND CAST(n_hits AS DOUBLE) / n_grams >= 0.02)
+            SELECT * FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM fl)
+            ORDER BY doc_id"""))
+
   /** Domain mixing weights (operators.Mix): temperature-scaled
     * (α = 1/2) per-source sampling weights and the per-source keep
     * rates that hit a 26k-token target in expectation — 26k sits inside
@@ -1330,7 +1417,7 @@ object PipelineOps {
             ORDER BY cnt DESC, a, b LIMIT 20"""))
 
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
-    x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23, x24,
-    x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x38, x39, x40, x41, x42)
+    x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
+    x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
+    x37, x37b, x38, x39, x40, x41, x42)
 }

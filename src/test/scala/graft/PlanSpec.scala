@@ -162,6 +162,13 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("x10b: the probe-selected near-dup pipeline keeps the bucket-join " +
+    "shape (no cross product, no nested loop)") {
+    val plan = planOf(q("x10b_embed_neardup_auto"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("x33: IVF search broadcasts the exploded query-cell pairs over " +
     "the assigned corpus (no cartesian)") {
     val plan = planOf(q("x33_ann_ivf_search"))
@@ -300,9 +307,28 @@ class PlanSpec extends SparkTestBase {
     assert(hints.isEmpty, s"unexpected join hint: $hints")
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan)
+    // every exchange carries 16-byte digests, never raw n-gram strings:
+    // grams reduce to md5 map-side BEFORE any shuffle (the x01 rule —
+    // at 100 TB a raw-gram shuffle is ~25x the digest bytes)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("gram"), plan)
     // and the shape survives a benchmark too big to broadcast
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       assert(q("x37_decontaminate").count() > 0)
+    }
+  }
+
+  test("x37b: the thresholded clean keeps the digest-only exchange shape " +
+    "and plans the removal as an anti join") {
+    val df = q("x37b_decontaminate_clean")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchanges.contains("gram"), plan)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(q("x37b_decontaminate_clean").count() > 0)
     }
   }
 

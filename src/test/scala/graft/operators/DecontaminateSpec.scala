@@ -56,4 +56,36 @@ class DecontaminateSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(10L -> 2L))
   }
+
+  test("overlapStats reports gram count, hit count, and fraction for " +
+    "EVERY doc that produced grams — not just the hit ones") {
+    val eval = df(1L -> "alpha beta gamma delta")
+    val train = df(
+      10L -> "x alpha beta gamma delta y", // 3 distinct 4-grams, 1 hit
+      11L -> "nothing in common here at all") // 3 grams, 0 hits
+    val stats = Decontaminate.overlapStats(train, eval, "id", "text", 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(stats == Map(
+      10L -> ((3L, 1L, 1.0 / 3)),
+      11L -> ((3L, 0L, 0.0))))
+  }
+
+  test("fraction thresholding: tau keeps lightly-contaminated docs, " +
+    "removes heavy ones; tau=0.0 equals the strict any-hit rule") {
+    val eval = df(1L -> "a b c d")
+    val train = df(
+      10L -> "a b c d", // 1 gram, 1 hit -> frac 1.0
+      11L -> "a b c d e f g h i j k", // 8 grams, 1 hit -> frac 0.125
+      12L -> "totally unrelated words live in this document")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    assert(kept(Decontaminate.clean(train, eval, "id", "text", 4, 0.5))
+      == Set(11L, 12L))
+    assert(kept(Decontaminate.clean(train, eval, "id", "text", 4, 0.0))
+      == Set(12L))
+    assert(kept(Decontaminate.clean(train, eval, "id", "text", 4, 0.0))
+      == kept(Decontaminate.clean(train, eval, "id", "text", 4)))
+  }
 }

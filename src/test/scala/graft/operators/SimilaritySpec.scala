@@ -166,6 +166,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(sa(1) != sc(1) && sa(0) == sc(0) && sa(2) == sc(2) && sa(3) == sc(3))
   }
 
+  test("bandConcentration measures the exact candidate-pair mass of " +
+    "each config in one aggregation") {
+    import spark.implicits._
+    // 4 vectors, (1,1) banding on coord 1's sign: sigs [+,+,+,-] ->
+    // one bucket of 3 (3 pairs) + one of 1 (0 pairs)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, -1.0f)),
+      (3L, Array(0.5f, 1.0f)), (4L, Array(-2.0f, 1.0f)))
+      .toDF("id", "vec")
+    val Seq(s) = Similarity.bandConcentration(df, "vec", Seq((1, 1)))
+    assert(s == Similarity.BandStats(1, 1, 4L, 3L))
+    // two configs from ONE call agree with two separate probes
+    val both = Similarity.bandConcentration(df, "vec", Seq((1, 1), (2, 1)))
+    assert(both.head == s)
+    assert(both(1) ==
+      Similarity.bandConcentration(df, "vec", Seq((2, 1))).head)
+  }
+
+  test("selectBandConfig takes the highest-recall config within budget, " +
+    "falling back to the most selective") {
+    import Similarity.BandStats
+    val stats = Seq(BandStats(4, 4, 100, 10000),
+      BandStats(8, 8, 100, 3000), BandStats(4, 16, 100, 10))
+    assert(Similarity.selectBandConfig(stats, 48.0) == (8, 8))
+    assert(Similarity.selectBandConfig(stats, 200.0) == (4, 4))
+    // nothing fits a budget of 0.05/row -> most selective measurement
+    assert(Similarity.selectBandConfig(stats, 0.05) == (4, 16))
+  }
+
+  test("the probe picks (8,8)-or-wider on the embeddings corpus — the " +
+    "measured concentration rejects the 149x-per-decade (4,4) default") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val stats = Similarity.bandConcentration(corpus, "vec")
+    val m44 = stats.find(s => (s.bands, s.rowsPerBand) == (4, 4)).get
+    // the concentrated sign distribution: (4,4) collides far beyond the
+    // linear budget (measured ~63 cands/row at this SF, 250 at sf0.1)
+    assert(m44.candidatePairs > 48.0 * m44.rows, stats.toString)
+    val chosen = Similarity.chooseBandConfig(corpus, "vec")
+    assert(chosen._2 >= 8, s"probe chose $chosen from $stats")
+    assert(chosen == (8, 8), s"expected (8,8) on this corpus: $stats")
+  }
+
+  test("autoBandNearDupPairs returns exactly the (8,8) pipeline's pairs " +
+    "on the embeddings corpus") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val auto = Similarity.autoBandNearDupPairs(corpus, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.signBandNearDupPairs(corpus, 0.3, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("ivfAssign conserves corpus mass across cells") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex
