@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** Output and internal working names the id column must not shadow
+    * (the Repetition/Importance reserved-name rule: fail here with a
+    * clear message, not later with an ambiguous-column analysis error).
+    */
+  private def requireIdCol(idCol: String): Unit =
+    Seq("g", "gram", "hit", "n_hits", "n_grams", "hit_frac").foreach(c =>
+      require(idCol != c, s"Decontaminate reserves column name '$c'"))
+
   /** Distinct 16-byte digests of the eval corpus's word n-grams. */
   private def evalDigests(
       eval: DataFrame, textCol: String, n: Int): DataFrame =
@@ -58,6 +66,7 @@ object Decontaminate {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
+    requireIdCol(idCol)
     trainDigests(train, idCol, textCol, n)
       .join(evalDigests(eval, textCol, n), "g")
       .groupBy(idCol)
@@ -75,6 +84,7 @@ object Decontaminate {
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
+    requireIdCol(idCol)
     trainDigests(train, idCol, textCol, n)
       .join(evalDigests(eval, textCol, n).withColumn("hit", lit(1L)),
         Seq("g"), "left")

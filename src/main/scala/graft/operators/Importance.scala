@@ -66,7 +66,10 @@ object Importance {
       buckets: Int = 64): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
     require(buckets >= 1, "buckets must be >= 1")
-    Seq("n_grams", "score_ppm", "avg_ratio").foreach(c =>
+    // output names AND the internal working names (b/gram/ppm — an id
+    // column named like one of them would fail later with an opaque
+    // ambiguous/duplicate-column analysis error instead of this message)
+    Seq("n_grams", "score_ppm", "avg_ratio", "b", "gram", "ppm").foreach(c =>
       require(idCol != c, s"Importance.weights reserves column name '$c'"))
     val ht = hashedGramCounts(target, textCol, n, buckets, "ct")
     val hr = hashedGramCounts(raw, textCol, n, buckets, "cr")

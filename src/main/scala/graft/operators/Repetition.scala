@@ -37,10 +37,15 @@ object Repetition {
     require(n >= 2, "gram size must be >= 2 (unigrams are always measured)")
     // withColumn-free, but the aggregate output names below must not
     // collide with the id column (the Pack/ShuffleOrder reserved-name
-    // rule: silent replacement would corrupt caller data).
-    Seq("n_tokens", "top_tok_frac", "dup_gram_frac", "keep").foreach(c =>
+    // rule: silent replacement would corrupt caller data). The internal
+    // working names (g/sz/gram/c/max_tok/total_n/dup_occ) are reserved
+    // too: an id column with one of those names would otherwise fail
+    // later with an opaque ambiguous-column analysis error instead of
+    // this message.
+    Seq("n_tokens", "top_tok_frac", "dup_gram_frac", "keep",
+      "g", "sz", "gram", "c", "max_tok", "total_n", "dup_occ").foreach(c =>
       require(idCol != c,
-        s"Repetition.signals reserves output column name '$c'"))
+        s"Repetition.signals reserves column name '$c'"))
     val tagged = concat(
       transform(TextAnalysis.tokens(col(textCol)),
         t => struct(lit(1).as("sz"), t.as("gram"))),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.operators.{Components, Dedup, Ranking, Similarity}
+import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
+  IntervalJoin, Ranking, Sessionize, Similarity}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -26,6 +27,12 @@ import graft.operators.{Components, Dedup, Ranking, Similarity}
   *    dot product is bit-identical to the original (sign flips cancel:
   *    (s_i a_i)(s_i b_i) = a_i b_i), while cross-replica similarities
   *    are scrambled to noise, so the near-dup pair mass scales 10x.
+  *  - events: replica r shifts user_id (and event_id) into a disjoint
+  *    range with timestamps UNCHANGED — 10x the users, each with the
+  *    original per-user event counts and inter-arrival statistics, so
+  *    sessions/as-of/interval structure per user is preserved while the
+  *    keyed shuffles carry 10x the mass (what a 10x-bigger day of
+  *    traffic actually looks like).
   *
   * Usage: runMain graft.tools.Scale10 [outDir]  (default
   * target/scale10). Generates the slice if absent, then times the
@@ -63,6 +70,25 @@ object Scale10 {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    genEvents(spark, outDir)
+  }
+
+  /** The events slice is generated separately so a docs/embeddings slice
+    * from an earlier round gains it without regeneration. Written with
+    * the µs timestamp already materialized (plain TIMESTAMP_MICROS
+    * parquet), so the 10x read needs no nanos legacy flag.
+    */
+  private def genEvents(spark: SparkSession, outDir: String): Unit = {
+    val reps = spark.range(0, 10).select(col("id").cast("int").as("rep"))
+    graft.Tables.load(spark, SRC, "events").crossJoin(reps)
+      .select(
+        (col("event_id") + col("rep") * 1000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * 10000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** The five headline pipelines, full-corpus (no doc_id bounds — the
@@ -74,6 +100,10 @@ object Scale10 {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // SRC carries INT64 TIMESTAMP(NANOS) (Tables handles the legacy
+    // flag); the generated slice is written as plain TIMESTAMP_MICROS
+    def ev = if (dir == SRC) graft.Tables.load(spark, dir, "events")
+      else spark.read.parquet(s"$dir/events.parquet")
     Seq(
       "minhash_neardups" -> (() =>
         Dedup.minhashNearDups(docs, "doc_id", "text", 0.6).count()),
@@ -88,6 +118,13 @@ object Scale10 {
       "embed_neardups_8x8" -> (() =>
         Similarity.signBandNearDupPairs(emb, 0.3,
           bands = 8, rowsPerBand = 8).count()),
+      // probe + select + pipeline: measures the data-driven path end to
+      // end (probe cost included). The probe picks (8,8) at sf0.1 and
+      // steps down to (4,16) on the 10x slice, where cross-replica sign
+      // noise collides 8-bit bands by chance (312 cands/row) — the
+      // adaptive choice is what keeps the decade near-flat
+      "embed_neardups_auto" -> (() =>
+        Similarity.autoBandNearDupPairs(emb, 0.3).count()),
       "vocab_encode" -> (() => {
         val toks = docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -119,7 +156,29 @@ object Scale10 {
       "bpe_pairs" -> (() =>
         graft.operators.Bpe.topPairs(graft.operators.Bpe.pairCounts(
           graft.operators.Bpe.initSymbols(
-            graft.operators.Bpe.wordFreqs(docs, "text"))), 20).count()))
+            graft.operators.Bpe.wordFreqs(docs, "text"))), 20).count()),
+      "sessionize" -> (() => Sessionize.sessions(ev, 1800L).count()),
+      "asof_join" -> (() => {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        AsOfJoin.join(purchases, clicks, "user_id", "ts", "ts",
+          Seq("value")).count()
+      }),
+      "interval_join" -> (() => {
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        IntervalJoin.join(purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id", "value"), windowUs = 600000000L).count()
+      }),
+      "decontaminate" -> (() =>
+        Decontaminate.overlapHits(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 4).count()))
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,6 +193,9 @@ object Scale10 {
     if (!new java.io.File(s"$outDir/documents.parquet").isDirectory) {
       gen(spark, outDir)
       println(s"""{"generated":"$outDir"}""")
+    } else if (!new java.io.File(s"$outDir/events.parquet").isDirectory) {
+      genEvents(spark, outDir)
+      println(s"""{"generated":"$outDir/events.parquet"}""")
     }
     def f(v: Double) = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString

@@ -63,5 +63,11 @@ class ImportanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Importance.weights(raw, target, "doc_id", "text", n = 0)
     }
+    // internal working names are reserved too — without the guard an id
+    // column named 'b' dies later with an ambiguous-column analysis error
+    intercept[IllegalArgumentException] {
+      Importance.weights(
+        raw.withColumnRenamed("doc_id", "b"), target, "b", "text")
+    }
   }
 }

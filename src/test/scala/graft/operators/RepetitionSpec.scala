@@ -54,5 +54,9 @@ class RepetitionSpec extends SparkTestBase {
       Repetition.signals(Seq(1L -> "a").toDF("doc_id", "text"),
         "doc_id", "text", n = 1)
     }
+    // internal working names are reserved too
+    intercept[IllegalArgumentException] {
+      Repetition.signals(Seq(1L -> "a").toDF("sz", "text"), "sz", "text")
+    }
   }
 }
