@@ -157,6 +157,14 @@ object Scale10 {
         graft.operators.Bpe.topPairs(graft.operators.Bpe.pairCounts(
           graft.operators.Bpe.initSymbols(
             graft.operators.Bpe.wordFreqs(docs, "text"))), 20).count()),
+      // the batched-vs-sequential training comparison at a real merge
+      // count: identical corpus, identical 128 merges requested; batch
+      // amortizes the per-round driver action 32x
+      "bpe_train_b32" -> (() =>
+        graft.operators.Bpe.train(docs, "text", 128, batch = 32)
+          ._1.size.toLong),
+      "bpe_train_b1" -> (() =>
+        graft.operators.Bpe.train(docs, "text", 128)._1.size.toLong),
       "sessionize" -> (() => Sessionize.sessions(ev, 1800L).count()),
       "asof_join" -> (() => {
         val purchases = ev.filter(col("event_type") === "purchase")
