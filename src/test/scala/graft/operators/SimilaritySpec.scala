@@ -200,6 +200,9 @@ class SimilaritySpec extends SparkTestBase {
     val corpus = emb.select(col("vec_id").as("id"),
       col("embedding").as("vec"))
     val stats = Similarity.bandConcentration(corpus, "vec")
+    // exact masses, cross-checked against an independent DuckDB
+    // computation of sum over buckets of n(n-1)/2 at this SF
+    assert(stats.map(_.candidatePairs) == Seq(31375L, 3890L, 6L), stats)
     val m44 = stats.find(s => (s.bands, s.rowsPerBand) == (4, 4)).get
     // the concentrated sign distribution: (4,4) collides far beyond the
     // linear budget (measured ~63 cands/row at this SF, 250 at sf0.1)
