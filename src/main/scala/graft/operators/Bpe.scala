@@ -99,7 +99,10 @@ object Bpe {
       java.util.regex.Pattern.quote(a + SEP + b) + "(?=" + SEP + "|\\z)"
     val rep = "$1" + java.util.regex.Matcher.quoteReplacement(a + b)
     symWords.withColumn("syms",
-      split(regexp_replace(array_join(col("syms"), SEP), pat, rep), SEP))
+      // an empty sequence (the "" token) must stay empty — split of the
+      // joined empty string would inject a phantom "" symbol
+      when(size(col("syms")) === 0, col("syms")).otherwise(
+        split(regexp_replace(array_join(col("syms"), SEP), pat, rep), SEP)))
   }
 
   /** The k most frequent pairs under the deterministic (cnt desc, a, b)

@@ -276,4 +276,40 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("mergeOnce equals the driver-side reference merge for random " +
+    "symbol sequences, including suffix/prefix-collision alphabets") {
+    // left-to-right, non-overlapping — the textbook BPE merge
+    def ref(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    // multi-char symbols whose concatenations collide with neighbors'
+    // prefixes/suffixes — the alphabet that exposes unanchored matching
+    val symGen = Gen.oneOf(
+      "a", "b", "c", "e", "h", "s", "t", "ab", "bc", "th", "es", "the")
+    val seqGen = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, symGen))
+    val pairGen = Gen.zip(symGen, symGen)
+    forAll(seqGen, pairGen) { (syms, pair) =>
+      val d = Seq(("w0", syms)).toDF("w", "syms")
+      val got = operators.Bpe.mergeOnce(d, pair._1, pair._2)
+        .select("syms").as[Seq[String]].collect().head.toList
+      assert(got == ref(syms, pair._1, pair._2),
+        s"syms=$syms pair=$pair got=$got")
+      // and a chain of three merges stays in lockstep with the reference
+      val chain = List(("t", "h"), pair, ("th", "e"))
+      val gotChain = chain.foldLeft(d) { case (df2, (a, b)) =>
+        operators.Bpe.mergeOnce(df2, a, b)
+      }.select("syms").as[Seq[String]].collect().head.toList
+      val refChain = chain.foldLeft(syms) { case (s, (a, b)) => ref(s, a, b) }
+      assert(gotChain == refChain,
+        s"chain diverged: syms=$syms pair=$pair got=$gotChain want=$refChain")
+    }
+  }
 }

@@ -223,6 +223,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(auto == fixed && auto.nonEmpty)
   }
 
+  test("(8,8) bands keep FULL recall for true near-duplicates: a " +
+    "sign-preserving perturbation (cos ~0.999) collides on every band") {
+    // the SCALE.md claim under test: wide bands lose recall only at LOW
+    // thresholds; at production near-dup thresholds the pair's signs
+    // agree, so wide-band blocking cannot miss it
+    val base = emb.limit(50)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val dups = base.select((col("id") + 100000L).as("id"),
+      transform(col("vec"), (x, i) =>
+        (x * when(pmod(i, lit(2)) === 0, lit(1.05f)).otherwise(lit(0.95f)))
+          .cast("float")).as("vec"))
+    val corpus = base.unionByName(dups)
+    val pairs = Similarity.signBandNearDupPairs(corpus, 0.9, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.select("id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missed ${(planted -- pairs).size} of ${planted.size} planted dups")
+  }
+
   test("ivfAssign conserves corpus mass across cells") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex
