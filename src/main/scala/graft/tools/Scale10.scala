@@ -77,10 +77,13 @@ object Scale10 {
   /** The events slice is generated separately so a docs/embeddings slice
     * from an earlier round gains it without regeneration. Written with
     * the µs timestamp already materialized (plain TIMESTAMP_MICROS
-    * parquet), so the 10x read needs no nanos legacy flag.
+    * parquet), so the 10x read needs no nanos legacy flag. `reps`
+    * controls the scale factor (10x by default; the events100 flow uses
+    * 100 disjoint user shards = 10M rows, a THIRD measured decade).
     */
-  private def genEvents(spark: SparkSession, outDir: String): Unit = {
-    val reps = spark.range(0, 10).select(col("id").cast("int").as("rep"))
+  private def genEvents(spark: SparkSession, outDir: String,
+      nReps: Int = 10): Unit = {
+    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
     graft.Tables.load(spark, SRC, "events").crossJoin(reps)
       .select(
         (col("event_id") + col("rep") * 1000000L).as("event_id"),
@@ -207,14 +210,28 @@ object Scale10 {
     }
     def f(v: Double) = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    for (dir <- Seq(SRC, outDir); (name, run) <- pipelines(spark, dir)
-         if only.isEmpty || only(name)) {
-      run() // warm: plans, codegen, page cache
-      val t0 = System.nanoTime()
-      val rows = run()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
-    }
+    def time(dir: String, names: Set[String]): Unit =
+      for ((name, run) <- pipelines(spark, dir)
+           if names.isEmpty || names(name)) {
+        run() // warm: plans, codegen, page cache
+        val t0 = System.nanoTime()
+        val rows = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(
+          s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+      }
+    // "events100": time the events pipelines on a 100x slice (10M rows,
+    // three measured decades) instead of the regular 10x sweep
+    if (only("events100")) {
+      val dir100 = s"$outDir-e100"
+      if (!new java.io.File(s"$dir100/events.parquet").isDirectory) {
+        genEvents(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/events.parquet"}""")
+      }
+      val evNames = Set("sessionize", "asof_join", "interval_join")
+      time(SRC, evNames)
+      time(dir100, evNames)
+    } else { time(SRC, only); time(outDir, only) }
     spark.stop()
   }
 }
