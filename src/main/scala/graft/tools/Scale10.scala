@@ -43,11 +43,15 @@ object Scale10 {
 
   private val SRC = "/root/testdata/sf0.1"
 
-  private def gen(spark: SparkSession, outDir: String): Unit = {
-    val reps = spark.range(0, 10).select(col("id").cast("int").as("rep"))
-
-    val docs = spark.read.parquet(s"$SRC/documents.parquet")
-    docs.crossJoin(reps)
+  /** Disjoint-shard documents replica set (see the scaladoc above):
+    * per-replica token suffixes keep within-replica Jaccard structure
+    * identical while the vocabulary grows with the corpus. `nReps`
+    * controls the factor (10x default; docs100 uses 100 = 500k docs).
+    */
+  private def genDocs(spark: SparkSession, outDir: String,
+      nReps: Int = 10): Unit = {
+    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
+    spark.read.parquet(s"$SRC/documents.parquet").crossJoin(reps)
       .select(
         (col("doc_id") + col("rep") * 10000L).as("doc_id"),
         when(col("rep") === 0, col("text"))
@@ -59,6 +63,12 @@ object Scale10 {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def gen(spark: SparkSession, outDir: String): Unit = {
+    val reps = spark.range(0, 10).select(col("id").cast("int").as("rep"))
+
+    genDocs(spark, outDir)
 
     val emb = spark.read.parquet(s"$SRC/embeddings.parquet")
     emb.crossJoin(reps)
@@ -220,8 +230,8 @@ object Scale10 {
         println(
           s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
       }
-    // "events100": time the events pipelines on a 100x slice (10M rows,
-    // three measured decades) instead of the regular 10x sweep
+    // "events100"/"docs100": time on a 100x slice (10M events / 500k
+    // docs — a THIRD measured decade) instead of the regular 10x sweep
     if (only("events100")) {
       val dir100 = s"$outDir-e100"
       if (!new java.io.File(s"$dir100/events.parquet").isDirectory) {
@@ -231,6 +241,16 @@ object Scale10 {
       val evNames = Set("sessionize", "asof_join", "interval_join")
       time(SRC, evNames)
       time(dir100, evNames)
+    } else if (only("docs100")) {
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      val docNames = Set("minhash_neardups", "simhash_md5_neardups",
+        "vocab_encode", "repetition_signals", "bpe_pairs")
+      time(SRC, docNames)
+      time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
     spark.stop()
   }
