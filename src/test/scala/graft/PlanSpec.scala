@@ -379,6 +379,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("x36: k-means cell histograms are map-side argmin + hash-aggregate " +
+    "— no join, no window (centroids ride as broadcast literals)") {
+    val df = q("x36_ivf_kmeans")
+    assert(windowsOf(df).isEmpty)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"cell assignment must not join: $joins")
+    val plan = planOf(df)
+    // partial+final pairs in both histogram branches = counts combine
+    // map-side before the single cell-keyed exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("x42: BPE pair counting is wordcount + vocab-side aggregate with " +
     "a top-k tail — no join, no window, no global sort") {
     val df = q("x42_bpe_pairs")

@@ -121,8 +121,18 @@ class BpeSpec extends SparkTestBase {
     assert(merges == Seq(("e", "s"), ("i", "d")))
   }
 
-  test("train issues one driver action per ROUND: iters=8 at batch=4 is " +
-    "at most iters/batch + 1 actions, not one per merge") {
+  // 64 two-char words over 128 pairwise-distinct codepoints with strictly
+  // decreasing frequency: 64 independent merges in a deterministic order,
+  // enough to drive a full 4-round batched run
+  private val disjoint64 = {
+    val chars = (0 until 128).map(i => (65 + i).toChar)
+    val words = (0 until 64).map(i => s"${chars(2 * i)}${chars(2 * i + 1)}")
+    docs(words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(64 - i)(w) }.mkString(" "))
+  }
+
+  test("train issues one driver action per ROUND: iters=64 at batch=16 " +
+    "is at most iters/batch + 1 actions, not one per merge") {
     // count job-launching actions only: the lazy per-round checkpoint
     // also fires a "localCheckpoint" listener event, but launches no job
     // (materialization rides on the NEXT round's collect) — the driver
@@ -139,16 +149,16 @@ class BpeSpec extends SparkTestBase {
     }
     spark.listenerManager.register(listener)
     try {
-      val (merges, _) = Bpe.train(disjointCorpus, "text", 8, batch = 4)
-      assert(merges.size == 8)
+      val (merges, _) = Bpe.train(disjoint64, "text", 64, batch = 16)
+      assert(merges.size == 64)
       // listener delivery is async: poll until the count stabilizes at
-      // the expected 2 round-collects (bounded wait, then assert)
+      // the expected 4 round-collects (bounded wait, then assert)
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (actions.get() < 2 && System.nanoTime() < deadline)
+      while (actions.get() < 4 && System.nanoTime() < deadline)
         Thread.sleep(50)
       Thread.sleep(200) // grace: catch any excess deliveries in flight
-      assert(actions.get() <= 8 / 4 + 1,
-        s"expected <= 3 driver actions, saw ${actions.get()}")
+      assert(actions.get() <= 64 / 16 + 1,
+        s"expected <= 5 driver actions, saw ${actions.get()}")
     } finally spark.listenerManager.unregister(listener)
   }
 }
