@@ -248,7 +248,7 @@ object Scale10 {
         println(s"""{"generated":"$dir100/documents.parquet"}""")
       }
       val docNames = Set("minhash_neardups", "simhash_md5_neardups",
-        "vocab_encode", "repetition_signals", "bpe_pairs")
+        "vocab_encode", "repetition_signals", "bpe_pairs", "decontaminate")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
