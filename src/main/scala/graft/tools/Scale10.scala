@@ -65,13 +65,14 @@ object Scale10 {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
-  private def gen(spark: SparkSession, outDir: String): Unit = {
-    val reps = spark.range(0, 10).select(col("id").cast("int").as("rep"))
-
-    genDocs(spark, outDir)
-
-    val emb = spark.read.parquet(s"$SRC/embeddings.parquet")
-    emb.crossJoin(reps)
+  /** Sign-masked embeddings replica set (see the scaladoc above):
+    * within-replica dot products bit-identical, cross-replica
+    * similarity scrambled. `nReps` controls the factor.
+    */
+  private def genEmb(spark: SparkSession, outDir: String,
+      nReps: Int = 10): Unit = {
+    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
+    spark.read.parquet(s"$SRC/embeddings.parquet").crossJoin(reps)
       .select(
         (col("vec_id") + col("rep") * 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) =>
@@ -80,7 +81,11 @@ object Scale10 {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
 
+  private def gen(spark: SparkSession, outDir: String): Unit = {
+    genDocs(spark, outDir)
+    genEmb(spark, outDir)
     genEvents(spark, outDir)
   }
 
@@ -241,6 +246,15 @@ object Scale10 {
       val evNames = Set("sessionize", "asof_join", "interval_join")
       time(SRC, evNames)
       time(dir100, evNames)
+    } else if (only("emb100")) {
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      val names = Set("embed_neardups_auto")
+      time(SRC, names)
+      time(dir100, names)
     } else if (only("docs100")) {
       val dir100 = s"$outDir-d100"
       if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
