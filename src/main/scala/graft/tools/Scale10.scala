@@ -132,7 +132,8 @@ object Scale10 {
       // sign distribution needs at scale (collision rate per band drops
       // with the square of the concentration)
       "embed_neardups_4x4" -> (() =>
-        Similarity.signBandNearDupPairs(emb, 0.3).count()),
+        Similarity.signBandNearDupPairs(emb, 0.3,
+          bands = 4, rowsPerBand = 4).count()),
       "embed_neardups_8x8" -> (() =>
         Similarity.signBandNearDupPairs(emb, 0.3,
           bands = 8, rowsPerBand = 8).count()),

@@ -34,4 +34,40 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(total <= totalBudgetSec,
       f"inventory total $total%.1fs exceeds ${totalBudgetSec}s budget")
   }
+
+  test("normalizedTotal deflates a congested canary segment and leaves " +
+    "clean segments, retried queries, and failures alone") {
+    // 6 queries, stride 2 -> segments {0,1} {2,3} {4,5}; canaries at the
+    // start, before q2, before q4, and a closing sample. The canary spike
+    // at position 2 brackets BOTH later segments: seg canary for {2,3} is
+    // (0.3+1.5)/2 = 0.9 and for {4,5} is (1.5+0.3)/2 = 0.9, so every 3x
+    // query rescales by 0.3/0.9 = 1/3 back to its clean cost.
+    val canaries = Seq(0.3, 0.3, 1.5, 0.3)
+    val results = Seq("a" -> 1.0, "b" -> 1.0, "c" -> 3.0, "d" -> 3.0,
+      "e" -> 3.0, "f" -> 3.0)
+    val n = Bench.normalizedTotal(results, Seq.empty, canaries, 2)
+    assert(math.abs(n - 6.0) < 1e-9, n)
+    // a retried query keeps min(first, retry) verbatim — no rescale
+    val withRetry = Bench.normalizedTotal(results,
+      Seq("c" -> ((3.0, 0.8))), canaries, 2)
+    assert(math.abs(withRetry - (1.0 + 1.0 + 0.8 + 1.0 + 1.0 + 1.0)) < 1e-9,
+      withRetry)
+    // a failed retry (sentinel -1) falls back to the canary rescale
+    val failedRetry = Bench.normalizedTotal(results,
+      Seq("c" -> ((3.0, -1.0))), canaries, 2)
+    assert(math.abs(failedRetry - 6.0) < 1e-9, failedRetry)
+    // a failed QUERY's -1 sentinel passes through un-normalized
+    val withFail = Bench.normalizedTotal(
+      results.updated(0, "a" -> -1.0), Seq.empty, canaries, 2)
+    assert(math.abs(withFail - (-1.0 + 5.0)) < 1e-9, withFail)
+    // a flat series is the identity (normalized == raw total)
+    val flat = Bench.normalizedTotal(results, Seq.empty,
+      Seq(0.3, 0.3, 0.3, 0.3), 2)
+    assert(math.abs(flat - 14.0) < 1e-9, flat)
+    // ordinary canary noise (under the 1.5x congestion threshold) must
+    // not deflate a clean run — only real congestion windows rescale
+    val noisy = Bench.normalizedTotal(results, Seq.empty,
+      Seq(0.30, 0.36, 0.33, 0.38), 2)
+    assert(math.abs(noisy - 14.0) < 1e-9, noisy)
+  }
 }

@@ -151,14 +151,22 @@ class BpeSpec extends SparkTestBase {
     try {
       val (merges, _) = Bpe.train(disjoint64, "text", 64, batch = 16)
       assert(merges.size == 64)
-      // listener delivery is async: poll until the count stabilizes at
-      // the expected 4 round-collects (bounded wait, then assert)
+      // listener delivery is async: wait for the expected 4
+      // round-collects, then keep polling until the count is STABLE
+      // across two consecutive sleeps — a fixed grace period could miss
+      // late deliveries from a regression issuing a few extra collects
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (actions.get() < 4 && System.nanoTime() < deadline)
         Thread.sleep(50)
-      Thread.sleep(200) // grace: catch any excess deliveries in flight
-      assert(actions.get() <= 64 / 16 + 1,
-        s"expected <= 5 driver actions, saw ${actions.get()}")
+      var prev = -1
+      var cur = actions.get()
+      while (prev != cur && System.nanoTime() < deadline) {
+        Thread.sleep(150)
+        prev = cur
+        cur = actions.get()
+      }
+      assert(cur <= 64 / 16 + 1,
+        s"expected <= 5 driver actions, saw $cur")
     } finally spark.listenerManager.unregister(listener)
   }
 }

