@@ -23,13 +23,31 @@ import org.apache.spark.sql.functions._
   *    immediately reduce each gram to a 16-byte md5 digest so no raw
   *    n-gram string is ever shuffled (same never-shuffle-raw-text rule
   *    as Dedup.exact);
+  *  - the training side's gram mass is exchanged ONCE, not twice: the
+  *    (id, digest) rows are explicitly hash-partitioned on the id, and
+  *    HashPartitioning(id) satisfies the clustered-distribution
+  *    requirement of BOTH the per-doc distinct (grouping keys (id, g) —
+  *    a partitioning on a subset of the keys co-locates every group)
+  *    and the per-doc stats aggregate (grouping key id), so Catalyst
+  *    inserts no further exchange between them. Round-9 measurement of
+  *    the alternatives: per-row array_distinct inside the doc's row
+  *    removes the exchange entirely but evaluates O(grams^2) per doc on
+  *    string arrays (1.5-2x slower end to end), and md5 inside a
+  *    transform lambda runs interpreted (HOF lambdas don't codegen);
   *  - the eval side is a benchmark (10^3-10^5 docs — tiny next to the
   *    corpus), so after its distinct it is broadcast by AQE's size
   *    estimate. The join is NOT hint-forced: a pathological
   *    benchmark-larger-than-memory still plans as a shuffled hash join
-  *    on the digest instead of OOMing the executors (the x25 lesson);
-  *  - per-doc dedup of (id, digest) and the per-doc stats are one
-  *    hash-aggregate each with map-side partials.
+  *    on the digest instead of OOMing the executors (the x25 lesson) —
+  *    that fallback re-scatters the digest rows on g, surrendering the
+  *    shared id-partitioning, the right trade when the broadcast would
+  *    not fit;
+  *  - `clean` necessarily scans the training corpus twice — once
+  *    projecting grams for the flag computation and once projecting
+  *    full rows for the anti-join output. Under lazy evaluation those
+  *    are different projections of the same scan and cannot be merged
+  *    without caching the corpus (not an option at 100 TB); that pass
+  *    is inherent, not a plan defect.
   */
 object Decontaminate {
 
@@ -49,13 +67,17 @@ object Decontaminate {
       .select(md5(col("gram")).as("g"))
       .distinct()
 
-  /** Distinct (id, digest) pairs of the training corpus's word n-grams. */
+  /** Distinct (id, digest) pairs of the training corpus's word n-grams,
+    * hash-partitioned on the id so the downstream per-doc aggregate
+    * reuses this one exchange (see the scaladoc above).
+    */
   private def trainDigests(
       train: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .select(col(idCol), md5(col("gram")).as("g"))
-      .distinct()
+      .repartition(col(idCol))
+      .dropDuplicates(idCol, "g")
 
   /** (id, n_hits): distinct contaminated n-grams per training document,
     * for every training doc sharing at least one word n-gram with
@@ -77,8 +99,7 @@ object Decontaminate {
     * produced at least one gram — the per-doc evidence the fraction
     * threshold reads. hit_frac is one IEEE division of two exact
     * integer counts (correctly rounded, hence engine-reproducible).
-    * Same plan as overlapHits with the digest join turned outer: two
-    * gram passes, digests-only shuffles, one per-doc hash-aggregate.
+    * Same plan as overlapHits with the digest join turned outer.
     */
   def overlapStats(
       train: DataFrame, eval: DataFrame,

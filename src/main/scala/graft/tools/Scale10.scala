@@ -236,6 +236,12 @@ object Scale10 {
         println(
           s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
       }
+    // extra args past a ×100 flow name restrict it to those pipelines
+    // (dev loop: re-measure one pipeline without re-running the flow)
+    def flowNames(defaults: Set[String], flow: String): Set[String] = {
+      val extra = only - flow
+      if (extra.nonEmpty) defaults.intersect(extra) else defaults
+    }
     // "events100"/"docs100": time on a 100x slice (10M events / 500k
     // docs — a THIRD measured decade) instead of the regular 10x sweep
     if (only("events100")) {
@@ -244,7 +250,8 @@ object Scale10 {
         genEvents(spark, dir100, nReps = 100)
         println(s"""{"generated":"$dir100/events.parquet"}""")
       }
-      val evNames = Set("sessionize", "asof_join", "interval_join")
+      val evNames = flowNames(
+        Set("sessionize", "asof_join", "interval_join"), "events100")
       time(SRC, evNames)
       time(dir100, evNames)
     } else if (only("emb100")) {
@@ -253,7 +260,7 @@ object Scale10 {
         genEmb(spark, dir100, nReps = 100)
         println(s"""{"generated":"$dir100/embeddings.parquet"}""")
       }
-      val names = Set("embed_neardups_auto")
+      val names = flowNames(Set("embed_neardups_auto"), "emb100")
       time(SRC, names)
       time(dir100, names)
     } else if (only("docs100")) {
@@ -262,8 +269,9 @@ object Scale10 {
         genDocs(spark, dir100, nReps = 100)
         println(s"""{"generated":"$dir100/documents.parquet"}""")
       }
-      val docNames = Set("minhash_neardups", "simhash_md5_neardups",
-        "vocab_encode", "repetition_signals", "bpe_pairs", "decontaminate")
+      val docNames = flowNames(Set("minhash_neardups",
+        "simhash_md5_neardups", "vocab_encode", "repetition_signals",
+        "bpe_pairs", "decontaminate"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
