@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Disjoint-shard replica generators — the data side of the Scale10
+  * decade measurements, extracted so Scale10Spec can assert the decade
+  * INVARIANTS (exact output multiples, zero cross-replica pairs, probe
+  * behavior) inside `sbt test` at small reps instead of only when
+  * someone runs tools/Scale10 by hand.
+  *
+  * A replica set is NOT naive duplication — 10 copies of every row
+  * would plant ~45 near-dup partners per document and measure an
+  * adversarial quadratic workload. Each replica is a disjoint shard of
+  * the same statistical shape:
+  *  - documents: replica r suffixes every token with "_r" — token
+  *    counts, lengths, and language mix are preserved, the vocabulary
+  *    grows with the corpus (as a real one's would), and replicas share
+  *    no shingles, so near-dup structure per replica matches the
+  *    original and NO pair can cross replicas.
+  *  - embeddings: replica r flips a deterministic per-replica sign
+  *    pattern across coordinates — WITHIN a replica every pairwise dot
+  *    product is bit-identical to the original (sign flips cancel:
+  *    (s_i a_i)(s_i b_i) = a_i b_i) and every sign-band collision
+  *    structure is preserved (both vectors flip the same coords), while
+  *    cross-replica similarities are scrambled to noise.
+  *  - events: replica r shifts user_id (and event_id) into a disjoint
+  *    range with timestamps UNCHANGED — N× the users, each with the
+  *    original per-user event counts and inter-arrival statistics, so
+  *    sessions/as-of/interval results per user are preserved exactly
+  *    and output row counts scale exactly N×.
+  *
+  * Id strides default to the Scale10 values (documents 10^4, embeddings
+  * 10^5, events 10^4 users / 10^6 events) — `replicaOf` recovers the
+  * replica index from an output id, which is what the cross-replica
+  * assertions key on.
+  */
+object Replicas {
+
+  val docIdStride = 10000L
+  val vecIdStride = 100000L
+  val userIdStride = 10000L
+  val eventIdStride = 1000000L
+
+  def replicaOf(id: org.apache.spark.sql.Column, stride: Long)
+      : org.apache.spark.sql.Column = (id / stride).cast("int")
+
+  private def reps(df: DataFrame, nReps: Int): DataFrame = {
+    val spark = df.sparkSession
+    spark.range(0, nReps).select(col("id").cast("int").as("rep"))
+  }
+
+  /** Token-suffix document replicas: (doc_id, text, lang, source,
+    * n_chars) in, same schema out with doc_id shifted by `docIdStride`
+    * per replica. Replica 0 is the identity.
+    */
+  def documents(src: DataFrame, nReps: Int): DataFrame =
+    src.crossJoin(reps(src, nReps))
+      .select(
+        (col("doc_id") + col("rep") * docIdStride).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("rep").cast(StringType))), " "))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  /** Sign-masked embedding replicas: (vec_id, embedding, label) in,
+    * same schema out with vec_id shifted by `vecIdStride` per replica.
+    * Replica 0 is the identity (xxhash64-derived mask applied only for
+    * rep > 0 would complicate the expression; rep=0's mask is whatever
+    * xxhash64(0, i) yields — a FIXED sign pattern, which preserves all
+    * within-replica structure exactly like any other replica's mask).
+    */
+  def embeddings(src: DataFrame, nReps: Int): DataFrame =
+    src.crossJoin(reps(src, nReps))
+      .select(
+        (col("vec_id") + col("rep") * vecIdStride).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * when(pmod(xxhash64(col("rep"), i), lit(2L)) === 0, lit(1.0f))
+            .otherwise(lit(-1.0f))).cast("float")).as("embedding"),
+        col("label"))
+
+  /** Disjoint-user event replicas: (event_id, ts, user_id, event_type,
+    * value, props) in, same schema out; timestamps untouched.
+    */
+  def events(src: DataFrame, nReps: Int): DataFrame =
+    src.crossJoin(reps(src, nReps))
+      .select(
+        (col("event_id") + col("rep") * eventIdStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * userIdStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+}

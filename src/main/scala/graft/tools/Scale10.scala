@@ -43,45 +43,26 @@ object Scale10 {
 
   private val SRC = "/root/testdata/sf0.1"
 
-  /** Disjoint-shard documents replica set (see the scaladoc above):
+  /** Disjoint-shard documents replica set (Replicas.documents):
     * per-replica token suffixes keep within-replica Jaccard structure
     * identical while the vocabulary grows with the corpus. `nReps`
     * controls the factor (10x default; docs100 uses 100 = 500k docs).
     */
   private def genDocs(spark: SparkSession, outDir: String,
-      nReps: Int = 10): Unit = {
-    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
-    spark.read.parquet(s"$SRC/documents.parquet").crossJoin(reps)
-      .select(
-        (col("doc_id") + col("rep") * 10000L).as("doc_id"),
-        when(col("rep") === 0, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              t => concat(t, lit("_"), col("rep").cast(StringType))), " "))
-          .as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      nReps: Int = 10): Unit =
+    Replicas.documents(spark.read.parquet(s"$SRC/documents.parquet"), nReps)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-  }
 
-  /** Sign-masked embeddings replica set (see the scaladoc above):
+  /** Sign-masked embeddings replica set (Replicas.embeddings):
     * within-replica dot products bit-identical, cross-replica
     * similarity scrambled. `nReps` controls the factor.
     */
   private def genEmb(spark: SparkSession, outDir: String,
-      nReps: Int = 10): Unit = {
-    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
-    spark.read.parquet(s"$SRC/embeddings.parquet").crossJoin(reps)
-      .select(
-        (col("vec_id") + col("rep") * 100000L).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          (x * when(pmod(xxhash64(col("rep"), i), lit(2L)) === 0, lit(1.0f))
-            .otherwise(lit(-1.0f))).cast("float")).as("embedding"),
-        col("label"))
+      nReps: Int = 10): Unit =
+    Replicas.embeddings(spark.read.parquet(s"$SRC/embeddings.parquet"), nReps)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-  }
 
   private def gen(spark: SparkSession, outDir: String): Unit = {
     genDocs(spark, outDir)
@@ -97,17 +78,10 @@ object Scale10 {
     * 100 disjoint user shards = 10M rows, a THIRD measured decade).
     */
   private def genEvents(spark: SparkSession, outDir: String,
-      nReps: Int = 10): Unit = {
-    val reps = spark.range(0, nReps).select(col("id").cast("int").as("rep"))
-    graft.Tables.load(spark, SRC, "events").crossJoin(reps)
-      .select(
-        (col("event_id") + col("rep") * 1000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("rep") * 10000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+      nReps: Int = 10): Unit =
+    Replicas.events(graft.Tables.load(spark, SRC, "events"), nReps)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-  }
 
   /** The five headline pipelines, full-corpus (no doc_id bounds — the
     * graded queries cap rows for oracle size; scaling is measured on

@@ -1,0 +1,181 @@
+package graft.tools
+
+import graft.SparkTestBase
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Sessionize, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CI promotion of the Scale10 decade invariants (VERDICT r8 task 1):
+  * the headline SCALE.md claims — near-dup pairs never cross replicas
+  * and scale exactly N×, event-tier outputs scale exactly N×, the probe
+  * never gets LESS selective as concentration grows — were previously
+  * verified only when someone ran tools/Scale10 by hand, so a plan or
+  * operator regression that broke a decade claim would ship green. This
+  * suite rebuilds the same replica structure at reps=3 over sf0.001
+  * (1,500 docs / 1,500 vectors / ~3,000 events — small enough for the
+  * test budget) and asserts the OUTPUT invariants. No wall-time asserts:
+  * timing lives in Scale10/SCALE.md, invariants live here.
+  */
+class Scale10Spec extends SparkTestBase {
+
+  private val R = 3
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val ev = graft.Tables.load(spark, sfDir, "events")
+
+  private def docRep(c: org.apache.spark.sql.Column) =
+    Replicas.replicaOf(c, Replicas.docIdStride)
+  private def vecRep(c: org.apache.spark.sql.Column) =
+    Replicas.replicaOf(c, Replicas.vecIdStride)
+
+  // ---------------------------------------------------------------- docs
+
+  test("documents replicas: minhash near-dup pairs NEVER cross replicas, " +
+    "replica 0 equals the base pair set exactly, and a planted near-dup " +
+    "is recalled inside every replica") {
+    // plant one unambiguous near-dup: doc 9000 = doc with the longest
+    // text minus its last token (shingle Jaccard ~1, well above 0.6)
+    val longest = docs.orderBy(col("n_chars").desc, col("doc_id"))
+      .select("doc_id", "text", "lang", "source").collect()(0)
+    val truncated = longest.getString(1).split(" ").dropRight(1).mkString(" ")
+    import spark.implicits._
+    val planted = Seq((9000L, truncated, longest.getString(2),
+      longest.getString(3), truncated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs.unionByName(planted)
+    val basePairs = Dedup.minhashNearDups(base, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(basePairs.contains(
+      (math.min(longest.getLong(0), 9000L),
+        math.max(longest.getLong(0), 9000L))),
+      s"base corpus did not recall the planted pair: $basePairs")
+
+    val repPairs = Dedup.minhashNearDups(
+      Replicas.documents(base, R), "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1. zero cross-replica pairs — replicas share no shingles
+    val crossers = repPairs.filter { case (a, b) =>
+      a / Replicas.docIdStride != b / Replicas.docIdStride }
+    assert(crossers.isEmpty, s"pairs crossed replicas: $crossers")
+    // 2. replica 0 is the identity rename: its pair set == base exactly
+    val rep0 = repPairs.filter(_._1 / Replicas.docIdStride == 0)
+    assert(rep0 == basePairs,
+      s"replica 0 diverged from base: ${rep0.diff(basePairs)} extra, " +
+        s"${basePairs.diff(rep0)} missing")
+    // 3. the planted pair is recalled inside EVERY replica (the rename
+    //    is a shingle bijection; xxhash values differ per replica, so
+    //    this asserts banding recall holds under rehashing, not luck)
+    for (r <- 0 until R) {
+      val want = (math.min(longest.getLong(0), 9000L)
+        + r * Replicas.docIdStride,
+        math.max(longest.getLong(0), 9000L) + r * Replicas.docIdStride)
+      assert(repPairs.contains(want), s"replica $r missed planted $want")
+    }
+    // 4. per-replica pair counts stay within banding-recall noise of the
+    //    base (the rename rehashes every shingle, so banding can shift
+    //    individual borderline pairs in or out — SCALE.md's docs100 run
+    //    measured +-2 pairs of exactly 100x)
+    for (r <- 1 until R) {
+      val n = repPairs.count(_._1 / Replicas.docIdStride == r)
+      assert(math.abs(n - basePairs.size) <= math.max(2, basePairs.size / 5),
+        s"replica $r found $n pairs vs base ${basePairs.size}")
+    }
+  }
+
+  // ----------------------------------------------------------- embeddings
+
+  test("embedding replicas: within-replica sign-band pairs (ids AND " +
+    "sims) are exactly the base pairs in every replica; no cross-replica " +
+    "pair survives a production threshold") {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val basePairs = Similarity.signBandNearDupPairs(base, 0.3, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(basePairs.nonEmpty)
+    val rep = Replicas.embeddings(emb, R)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val repPairs = Similarity.signBandNearDupPairs(rep, 0.3, 8, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // within-replica pairs mapped back down must equal base EXACTLY —
+    // the sign mask flips both vectors' coordinates identically, so
+    // collision structure and dot products are bit-preserved
+    for (r <- 0 until R) {
+      val mine = repPairs.filter { case (a, b, _) =>
+        a / Replicas.vecIdStride == r && b / Replicas.vecIdStride == r }
+        .map { case (a, b, s) => (a - r * Replicas.vecIdStride,
+          b - r * Replicas.vecIdStride, s) }.toSet
+      assert(mine == basePairs,
+        s"replica $r within-pairs diverged from base " +
+          s"(${mine.size} vs ${basePairs.size})")
+    }
+    // cross-replica similarity is scrambled to noise: pairs may leak in
+    // at the diagnostic 0.3 threshold, but NEVER at a production
+    // near-dup threshold
+    val crossHigh = repPairs.filter { case (a, b, s) =>
+      a / Replicas.vecIdStride != b / Replicas.vecIdStride && s >= 0.9 }
+    assert(crossHigh.isEmpty, s"scrambled replicas near-dup'd: $crossHigh")
+  }
+
+  test("the band probe reacts monotonically to replication: every " +
+    "config's measured mass is at least 3x the base (within-replica mass " +
+    "is exactly 3x, cross-replica collisions only add), and the chosen " +
+    "config never gets LESS selective") {
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rep = Replicas.embeddings(emb, R)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val ladder = Similarity.defaultBandLadder
+    val statsBase = Similarity.bandConcentration(base, "vec", ladder)
+    val statsRep = Similarity.bandConcentration(rep, "vec", ladder)
+    statsBase.zip(statsRep).foreach { case (b, r) =>
+      assert(r.rows == R * b.rows, s"row count: $b vs $r")
+      assert(r.candidatePairs >= R * b.candidatePairs,
+        s"replicated mass below 3x base for (${b.bands},${b.rowsPerBand}): " +
+          s"base ${b.candidatePairs}, rep ${r.candidatePairs}")
+    }
+    val chosenBase = Similarity.selectBandConfig(statsBase, 48.0)
+    val chosenRep = Similarity.selectBandConfig(statsRep, 48.0)
+    assert(ladder.indexOf(chosenRep) >= ladder.indexOf(chosenBase),
+      s"probe got less selective under replication: " +
+        s"$chosenBase -> $chosenRep")
+  }
+
+  // --------------------------------------------------------------- events
+
+  test("event replicas: sessionize / as-of / interval-join outputs are " +
+    "exactly 3x the base, and replica 0's session rows equal the base " +
+    "row-for-row") {
+    val baseSessions = Sessionize.sessions(ev, 1800L)
+    val baseRows = baseSessions.collect().map(_.toSeq).toSet
+    val repEv = Replicas.events(ev, R)
+    val repSessions = Sessionize.sessions(repEv, 1800L).collect()
+    assert(repSessions.length == R * baseRows.size,
+      s"sessions: ${repSessions.length} != $R x ${baseRows.size}")
+    // per-user structure is preserved verbatim: map replica-0 rows down
+    val rep0 = repSessions
+      .filter(r => r.getLong(0) / Replicas.userIdStride == 0)
+      .map(_.toSeq).toSet
+    assert(rep0 == baseRows, "replica 0 sessions diverged from base")
+
+    def purchases(e: DataFrame) = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    def clicks(e: DataFrame) = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val baseAsof = AsOfJoin.join(purchases(ev), clicks(ev),
+      "user_id", "ts", "ts", Seq("value")).count()
+    val repAsof = AsOfJoin.join(purchases(repEv), clicks(repEv),
+      "user_id", "ts", "ts", Seq("value")).count()
+    assert(repAsof == R * baseAsof, s"asof: $repAsof != $R x $baseAsof")
+
+    def clicksIv(e: DataFrame) = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val baseIv = IntervalJoin.join(purchases(ev), clicksIv(ev),
+      "user_id", "ts", "ts", Seq("event_id", "value"),
+      windowUs = 600000000L).count()
+    val repIv = IntervalJoin.join(purchases(repEv), clicksIv(repEv),
+      "user_id", "ts", "ts", Seq("event_id", "value"),
+      windowUs = 600000000L).count()
+    assert(repIv == R * baseIv, s"interval: $repIv != $R x $baseIv")
+  }
+}
