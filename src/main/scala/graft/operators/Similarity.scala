@@ -290,6 +290,18 @@ object Similarity {
     * probability for incoherent signs is 2^-rowsPerBand, so each rung is
     * ~16-256x more selective than the last. All rungs fit dim >= 64
     * ((4,4) reads coords 1-16; the others read all 64).
+    *
+    * Recall floor (pigeonhole): bands read DISJOINT coordinate blocks,
+    * so a near-dup differing in k coordinate signs dirties at most k
+    * bands — a B-band config recalls EVERY pair with k < B flips with
+    * probability 1. For equal-magnitude coords cos ~ 1 - 2k/dim, so even
+    * the most selective rung here (4 bands) guarantees recall of
+    * sign-flip near-dups at cos >~ 0.906 over dim 64 — above the
+    * production 0.9 threshold. The k >= B tail is measured in SCALE.md's
+    * recall10 table ((4,16): 0.89 at k=4 falling to 0.33 at k=8; (8,8):
+    * 1.0 through k=7, 0.99 at k=8) and pinned in SimilaritySpec: a
+    * deployment needing tolerance to k flips must keep every ladder rung
+    * above k bands.
     */
   val defaultBandLadder: Seq[(Int, Int)] = Seq((4, 4), (8, 8), (4, 16))
 

@@ -93,4 +93,28 @@ object Replicas {
         col("ts"),
         (col("user_id") + col("rep") * userIdStride).as("user_id"),
         col("event_type"), col("value"), col("props"))
+
+  /** Near-duplicate planting for recall measurements: one dup per source
+    * vector with EXACTLY `k` coordinate signs flipped, id shifted by
+    * `idOffset` (the planted pair is (vec_id, vec_id + idOffset)). The
+    * flipped coordinates are the k smallest by xxhash64(vec_id, coord) —
+    * deterministic per id, uniformly spread across coordinates, and
+    * different for every vector. cos(orig, dup) ~ 1 - 2k/dim for
+    * incoherent coordinate magnitudes (~0.97 at k=1 down to ~0.75 at
+    * k=8 for dim 64); recall studies compute the exact cosine per pair
+    * for their denominator rather than trusting the approximation.
+    */
+  def plantFlipDups(src: DataFrame, k: Int, idOffset: Long): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val dim = lit(63) // 0-based upper bound; embeddings here are dim 64
+    val ranked = array_sort(transform(sequence(lit(0), dim),
+      i => struct(xxhash64(col("vec_id"), i).as("h"), i.as("i"))))
+    val flipIdx = transform(slice(ranked, 1, k), s => s.getField("i"))
+    src.select(
+      (col("vec_id") + idOffset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x * when(array_contains(flipIdx, i), lit(-1.0f))
+          .otherwise(lit(1.0f))).cast("float")).as("embedding"),
+      col("label"))
+  }
 }

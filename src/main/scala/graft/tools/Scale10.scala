@@ -237,6 +237,45 @@ object Scale10 {
       val names = flowNames(Set("embed_neardups_auto"), "emb100")
       time(SRC, names)
       time(dir100, names)
+    } else if (only("recall10")) {
+      // Recall-vs-sign-flips on the x10 slice (VERDICT r8 task 3): plant
+      // one near-dup per replica-0 vector with exactly k flipped signs,
+      // then measure how many planted pairs each band config's blocking
+      // recovers. Denominator = planted pairs whose EXACT cosine clears
+      // the verify threshold (a pair the verify stage would drop is not
+      // a recall miss). (4,16) is the probe's choice on this slice;
+      // (8,8) is the sf0.1 choice. Pigeonhole: a config with B bands
+      // recalls ANY dup with fewer than B flips with probability 1
+      // (bands read disjoint coordinate blocks), so (4,16) is provably
+      // perfect through k=3 and (8,8) through k=7 — the measurement is
+      // the k >= bands tail.
+      if (!new java.io.File(s"$outDir/embeddings.parquet").isDirectory) {
+        genEmb(spark, outDir)
+        println(s"""{"generated":"$outDir/embeddings.parquet"}""")
+      }
+      val slice = spark.read.parquet(s"$outDir/embeddings.parquet")
+      val rep0 = slice.filter(col("vec_id") < Replicas.vecIdStride)
+      val off = 50000000L
+      val thr = 0.7
+      for (k <- Seq(1, 2, 3, 4, 5, 6, 8)) {
+        val planted = Replicas.plantFlipDups(rep0, k, off)
+        val corpus = slice.unionByName(planted)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val eligible = rep0.select(col("vec_id").as("oid"),
+            col("embedding").as("ovec"))
+          .join(planted.select((col("vec_id") - off).as("oid"),
+            col("embedding").as("pvec")), "oid")
+          .filter(Similarity.cosine(col("ovec"), col("pvec")) >= thr)
+          .count()
+        for ((b, r) <- Seq((4, 16), (8, 8))) {
+          val found = Similarity.signBandNearDupPairs(corpus, thr, b, r)
+            .filter(col("id_b") - col("id_a") === off &&
+              col("id_a") < Replicas.vecIdStride)
+            .count()
+          val recall = if (eligible == 0) 1.0 else found.toDouble / eligible
+          println(s"""{"flow":"recall10","k":$k,"bands":$b,"rowsPerBand":$r,"eligible":$eligible,"found":$found,"recall":${f(recall)}}""")
+        }
+      }
     } else if (only("docs100")) {
       val dir100 = s"$outDir-d100"
       if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {

@@ -248,6 +248,47 @@ class SimilaritySpec extends SparkTestBase {
       s"missed ${(planted -- pairs).size} of ${planted.size} planted dups")
   }
 
+  test("pigeonhole recall floor: a B-band config recalls EVERY near-dup " +
+    "with fewer than B flipped signs — (4,16) through k=3, (8,8) " +
+    "through k=7 — and the k>=B tail stays high on this fixture") {
+    // bands read disjoint coordinate blocks, so k flips dirty at most k
+    // bands: k < B leaves a clean band and the pair MUST collide. This
+    // is the production-threshold recall argument made exact: for
+    // equal-magnitude coords, cos ~ 1 - 2k/64, so (4,16)'s guaranteed
+    // zone (k<=3) is cos >~ 0.906 — sign-flip near-dups above the
+    // production 0.9 threshold cannot be missed even by the ladder's
+    // most selective rung. SCALE.md's recall10 flow measures the tail
+    // on the x10 slice ((4,16): 0.89 at k=4 down to 0.33 at k=8;
+    // (8,8): 0.99 at k=8).
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val off = 1000000L
+    def recallAt(k: Int, bands: Int, rowsPerBand: Int): (Long, Long) = {
+      val planted = graft.tools.Replicas.plantFlipDups(
+        emb.select(col("vec_id"), col("embedding"), col("label")), k, off)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = base.unionByName(planted)
+      val eligible = base
+        .join(planted.select((col("id") - off).as("id"),
+          col("vec").as("pvec")), "id")
+        .filter(Similarity.cosine(col("vec"), col("pvec")) >= 0.7)
+        .count()
+      val found = Similarity.signBandNearDupPairs(corpus, 0.7,
+          bands, rowsPerBand)
+        .filter(col("id_b") - col("id_a") === off && col("id_a") < off)
+        .count()
+      (found, eligible)
+    }
+    val (f3, e3) = recallAt(3, 4, 16)
+    assert(e3 > 0 && f3 == e3, s"(4,16) missed k=3 dups: $f3 of $e3")
+    val (f7, e7) = recallAt(7, 8, 8)
+    assert(e7 > 0 && f7 == e7, s"(8,8) missed k=7 dups: $f7 of $e7")
+    // past the guarantee the tail is probabilistic but high (theory:
+    // P(all 4 bands dirty at k=4) ~ 0.094); deterministic fixture
+    val (f4, e4) = recallAt(4, 4, 16)
+    assert(e4 > 0 && f4.toDouble / e4 >= 0.8,
+      s"(4,16) k=4 recall collapsed: $f4 of $e4")
+  }
+
   test("ivfAssign conserves corpus mass across cells") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = emb.filter(col("vec_id") < 8).collect().zipWithIndex
