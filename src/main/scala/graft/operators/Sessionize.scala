@@ -36,4 +36,77 @@ object Sessionize {
         // 2-decimal money double -> exact decimal sum -> double (see Q.scala)
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  /** Hot-key-safe sessionization, identical output to `sessions` (the
+    * SessionizeSpec equivalence property and the x43 oracle both pin
+    * it): `sessions` puts every event of a user through ONE window task,
+    * so a bot/system account holding 1-10% of a day's events serializes
+    * that fraction of the corpus on one core — AQE's skew handling
+    * splits skewed JOIN partitions, not windows, so the mitigation has
+    * to be structural. This is the session-salting-by-time-bucket shape:
+    *
+    *  1. per (user, chunkSeconds-sized time bucket): plain
+    *     gaps-and-islands sessionization, windowed on (user_id, chunk) —
+    *     the hot user's events spread across its chunks. One exchange of
+    *     events on (user_id, chunk); the per-chunk session aggregate
+    *     reuses it (grouping keys are a superset of the partitioning).
+    *  2. per user: the per-chunk sessions are disjoint time intervals,
+    *     and two ADJACENT-in-time sessions merge iff the event gap
+    *     between them (next.start - prev.end) is within the threshold —
+    *     for sessions split by a chunk boundary that difference IS the
+    *     real inter-event gap, and for sessions separated inside one
+    *     chunk it exceeds the gap by construction, so one more
+    *     gaps-and-islands pass over the SESSION rows (ordered by start)
+    *     reproduces exactly the plain session numbering. This window is
+    *     user-keyed again, but it carries sessions + touched chunks per
+    *     user, not events — the hot user's serial work drops from its
+    *     event count to its session count (a continuously-active bot is
+    *     few sessions over many chunks).
+    *
+    * Per-session value sums stay exact DECIMAL through the merge (sum of
+    * per-chunk decimal partials equals the plain decimal sum — decimal
+    * addition is exact and associative) and cast to double once at the
+    * end, so outputs are bit-identical to `sessions`.
+    */
+  def sessionsChunked(events: DataFrame, gapSeconds: Long,
+      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds >= 1, "chunkSeconds must be >= 1")
+    val gapUs = gapSeconds * 1000000L
+    val chunkUs = chunkSeconds * 1000000L
+    val byUserChunk = Window.partitionBy("user_id", "__chunk")
+      .orderBy("ts", "event_id")
+    // phase 1: plain sessionize within each (user, chunk); an event's
+    // chunk is a pure row-local expression, ties (equal ts) cannot
+    // straddle chunks, so within-chunk ordering equals `sessions`'
+    val local = events
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__chunk", expr(s"__us div ${chunkUs}L"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byUserChunk))
+      .withColumn("__new",
+        when(col("__prev").isNull, 1)
+          .when(col("__us") - col("__prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("__lseq", sum(col("__new")).over(byUserChunk
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__chunk"), col("__lseq"))
+      .agg(min(col("__us")).as("__start"), max(col("__us")).as("__end"),
+        count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,2)")).as("__sum"))
+    // phase 2: merge across chunk boundaries — gaps-and-islands over
+    // the per-chunk session intervals (disjoint, so start-ordered)
+    val byUser = Window.partitionBy("user_id").orderBy("__start")
+    val merged = local
+      .withColumn("__pend", lag(col("__end"), 1).over(byUser))
+      .withColumn("__newS",
+        when(col("__pend").isNull, 1)
+          .when(col("__start") - col("__pend") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("__newS")).over(byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    merged.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("__start")).as("session_start_us"),
+        max(col("__end")).as("session_end_us"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__sum")).cast("double").as("sum_value"))
+  }
 }

@@ -1424,8 +1424,39 @@ object PipelineOps {
             FROM p GROUP BY a, b
             ORDER BY cnt DESC, a, b LIMIT 20"""))
 
+  /** Hot-key-safe sessionization (Sessionize.sessionsChunked): phase 1
+    * windows on (user_id, hour chunk) so a bot holding 10% of a day's
+    * events no longer serializes on one core; phase 2 stitches sessions
+    * across chunk boundaries from per-session rows. Output is
+    * bit-identical to plain sessions — the oracle IS x13's plain
+    * gaps-and-islands SQL, which is the strongest possible check that
+    * the chunked rewrite changes the plan, not the semantics. Hour
+    * chunks at the 30-minute gap guarantee both phase-2 branches run
+    * (sessions split by a chunk boundary merge back; intra-chunk splits
+    * stay split).
+    */
+  private val x43 = Q(
+    "x43_sessionize_chunked",
+    (s, d) => Sessionize.sessionsChunked(t(s, d, "events"), 1800L, 3600L)
+      .orderBy("user_id", "session_seq"),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+                       FROM events),
+                 g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                                      OR tus - lag(tus) OVER w > 1800000000
+                                      THEN 1 ELSE 0 END AS new_s
+                       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+                 s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                       FROM g)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(tus) AS session_start_us, max(tus) AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42)
+    x37, x37b, x38, x39, x40, x41, x42, x43)
 }

@@ -94,6 +94,20 @@ object Replicas {
         (col("user_id") + col("rep") * userIdStride).as("user_id"),
         col("event_type"), col("value"), col("props"))
 
+  /** Zipfian-head key skew for the events tier: reassign ~1/`hotEvery`
+    * of all events (chosen by event_id hash — uniform over users and
+    * time) to a single hot user, the bot/system-account distribution
+    * that turns a user-keyed window into one straggler task. Timestamps
+    * and all other columns untouched; the hot user's event stream is a
+    * uniform sample of the whole day, which is what bot traffic looks
+    * like (always on, high rate).
+    */
+  def skewEvents(src: DataFrame, hotEvery: Int = 10,
+      hotUser: Long = 0L): DataFrame =
+    src.withColumn("user_id",
+      when(pmod(xxhash64(col("event_id")), lit(hotEvery.toLong)) === 0,
+        lit(hotUser)).otherwise(col("user_id")))
+
   /** Near-duplicate planting for recall measurements: one dup per source
     * vector with EXACTLY `k` coordinate signs flipped, id shifted by
     * `idOffset` (the planted pair is (vec_id, vec_id + idOffset)). The

@@ -237,6 +237,56 @@ object Scale10 {
       val names = flowNames(Set("embed_neardups_auto"), "emb100")
       time(SRC, names)
       time(dir100, names)
+    } else if (only("skew100")) {
+      // Key-skew stress on the events tier (VERDICT r8 task 2): the
+      // x100 slice (10M rows) with ~10% of all events reassigned to ONE
+      // hot user (Replicas.skewEvents — the bot distribution). Times
+      // sessionize (user-keyed window: the shape skew serializes),
+      // sessionsChunked (the structural mitigation), and the as-of /
+      // interval joins (user-keyed window / (user, cell)-keyed join).
+      val dir100 = s"$outDir-e100"
+      if (!new java.io.File(s"$dir100/events.parquet").isDirectory) {
+        genEvents(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/events.parquet"}""")
+      }
+      val skewDir = s"$outDir-e100skew"
+      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+        Replicas.skewEvents(
+            spark.read.parquet(s"$dir100/events.parquet"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        println(s"""{"generated":"$skewDir/events.parquet"}""")
+      }
+      def evAt(dir: String) = spark.read.parquet(s"$dir/events.parquet")
+      def timeSkew(name: String, run: org.apache.spark.sql.DataFrame
+          => Long): Unit =
+        for (dir <- Seq(dir100, skewDir)) {
+          run(evAt(dir)) // warm
+          val t0 = System.nanoTime()
+          val rows = run(evAt(dir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+        }
+      timeSkew("sessionize",
+        e => Sessionize.sessions(e, 1800L).count())
+      timeSkew("sessionize_chunked",
+        e => Sessionize.sessionsChunked(e, 1800L, 3600L).count())
+      timeSkew("asof_join", { e =>
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("user_id", "ts", "value")
+        AsOfJoin.join(purchases, clicks, "user_id", "ts", "ts",
+          Seq("value")).count()
+      })
+      timeSkew("interval_join", { e =>
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        IntervalJoin.join(purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id", "value"), windowUs = 600000000L).count()
+      })
     } else if (only("recall10")) {
       // Recall-vs-sign-flips on the x10 slice (VERDICT r8 task 3): plant
       // one near-dup per replica-0 vector with exactly k flipped signs,

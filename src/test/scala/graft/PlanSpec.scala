@@ -249,6 +249,22 @@ class PlanSpec extends SparkTestBase {
       "session windows must be keyed by user_id, not constant/global")
   }
 
+  test("x43: the chunked sessionize's EVENT-level window partitions on " +
+    "(user_id, chunk) — the hot-key mitigation is structural, not " +
+    "incidental — and only session rows see a user-only window") {
+    val df = q("x43_sessionize_chunked")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty)
+    assert(ws.forall(_.partitionSpec.nonEmpty), "unpartitioned window")
+    // the window computing per-chunk session ordinals must carry BOTH
+    // keys; the phase-2 stitch window (session rows, not events) is the
+    // only user-only one
+    val eventLevel = ws.filter(_.output.exists(_.name == "__lseq"))
+    assert(eventLevel.nonEmpty, "missing the per-chunk session window")
+    eventLevel.foreach(w => assert(w.partitionSpec.size == 2,
+      s"event window lost the chunk key: ${w.partitionSpec}"))
+  }
+
   /** Every node of the FINAL physical plan, descending structurally
     * into AQE's replanned tree and into materialized query stages —
     * `plan.collect` alone stops at AdaptiveSparkPlanExec/QueryStageExec
