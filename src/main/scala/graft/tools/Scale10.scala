@@ -237,6 +237,37 @@ object Scale10 {
       val names = flowNames(Set("embed_neardups_auto"), "emb100")
       time(SRC, names)
       time(dir100, names)
+    } else if (only("bpe1k")) {
+      // BPE at a realistic merge count (VERDICT r8 task 4): >=1,024
+      // merges at batch=128 on the docs100 corpus (500k docs, ~100x the
+      // sf0.1 vocabulary under the per-replica token rename). Records
+      // merges/rounds(collect actions)/wall; the round-trip validity
+      // check (replaying the merge list reproduces the final state)
+      // lives in BpeSpec — here the question is feasibility and cost.
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+      val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          if (fn == "collect") actions.incrementAndGet()
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val t0 = System.nanoTime()
+      val (merges, _) = graft.operators.Bpe.train(
+        docs100, "text", 1024, batch = 128)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // async listener deliveries
+      spark.listenerManager.unregister(listener)
+      println(s"""{"flow":"bpe1k","dir":"$dir100","merges":${merges.size},"collect_actions":${actions.get()},"sec":${f(sec)}}""")
     } else if (only("skew100")) {
       // Key-skew stress on the events tier (VERDICT r8 task 2): the
       // x100 slice (10M rows) with ~10% of all events reassigned to ONE

@@ -131,6 +131,31 @@ class BpeSpec extends SparkTestBase {
       .flatMap { case (w, i) => Seq.fill(64 - i)(w) }.mkString(" "))
   }
 
+  test("round trip: re-applying the returned merge list sequentially to " +
+    "the initial symbols reproduces train's final state — batched " +
+    "application must equal one-by-one replay (order-dependence guard)") {
+    // conflict-heavy corpus: batching defers candidates to later rounds,
+    // so a batching bug that applied merges in a different effective
+    // order than the returned list would surface here
+    val corpus = docs(
+      Seq.fill(3)("newest").mkString(" ") + " " +
+        Seq.fill(2)("widest").mkString(" ") + " lowest low newer")
+    for (batch <- Seq(1, 2, 4, 8)) {
+      val (merges, sym) = Bpe.train(corpus, "text", 10, batch = batch)
+      assert(merges.nonEmpty)
+      val replayed = merges.foldLeft(
+        Bpe.initSymbols(Bpe.wordFreqs(corpus, "text"))) {
+          case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+      assert(symsOf(replayed) == symsOf(sym), s"batch=$batch diverged")
+    }
+    // and on the conflict-free wide corpus at a full batched run
+    val (m64, s64) = Bpe.train(disjoint64, "text", 64, batch = 16)
+    val replay64 = m64.foldLeft(
+      Bpe.initSymbols(Bpe.wordFreqs(disjoint64, "text"))) {
+        case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+    assert(symsOf(replay64) == symsOf(s64))
+  }
+
   test("train issues one driver action per ROUND: iters=64 at batch=16 " +
     "is at most iters/batch + 1 actions, not one per merge") {
     // count job-launching actions only: the lazy per-round checkpoint
