@@ -10,13 +10,18 @@ object Bench {
     * canary run just before and just after it in the loop (query index i
     * under `stride` lives in segment i/stride, bracketed by canaries
     * s and s+1 — the series always carries a closing sample). The nominal
-    * canary is the series MINIMUM (the machine's uncontended speed), and
-    * a segment only rescales when its canary exceeds 1.5x nominal —
-    * ordinary canary noise (±20% on a clean host) must not deflate a
-    * clean run's total, while a genuine congestion window (measured 2-6x
-    * canary inflation in rounds 2/6/7/8) is far past the threshold. The
-    * scale factor is <= 1: normalization can only deflate. Retried
-    * queries keep min(first, retry) — a direct re-measurement beats an
+    * canary is the series MEDIAN — robust in both directions: a single
+    * outlier-fast sample must not drag the nominal down and deflate a
+    * clean run (observed: one 0.15s canary in an otherwise-0.26s series
+    * would have "normalized" a clean 44s run to 33s under a min-based
+    * nominal), and a minority of congestion-inflated samples cannot
+    * raise it. A segment only rescales when its canary exceeds 1.5x
+    * nominal — ordinary noise (±20% on a clean host) must not deflate a
+    * clean total, while a genuine congestion window (measured 2-6x
+    * canary inflation in rounds 2/6/7/8) is far past the threshold. If
+    * MOST of a run is congested the median rises and this
+    * under-corrects — the conservative failure mode. Retried queries
+    * keep min(first, retry) — a direct re-measurement beats an
     * inference.
     */
   def normalizedTotal(results: Seq[(String, Double)],
@@ -25,7 +30,7 @@ object Bench {
     require(stride >= 1 && canaries.nonEmpty)
     val best = retried.collect { case (n, (first, retry)) if retry >= 0 =>
       n -> math.min(first, retry) }.toMap
-    val nominal = canaries.min
+    val nominal = canaries.sorted.apply(canaries.size / 2)
     results.zipWithIndex.map { case ((name, t), i) =>
       best.get(name).getOrElse {
         if (t < 0) t // failure sentinel: stays visibly wrong

@@ -69,5 +69,10 @@ class BenchBudgetSpec extends SparkTestBase {
     val noisy = Bench.normalizedTotal(results, Seq.empty,
       Seq(0.30, 0.36, 0.33, 0.38), 2)
     assert(math.abs(noisy - 14.0) < 1e-9, noisy)
+    // a single outlier-FAST canary must not drag the nominal down and
+    // deflate a clean run (median nominal, not min)
+    val fastOutlier = Bench.normalizedTotal(results, Seq.empty,
+      Seq(0.30, 0.30, 0.15, 0.30), 2)
+    assert(math.abs(fastOutlier - 14.0) < 1e-9, fastOutlier)
   }
 }
