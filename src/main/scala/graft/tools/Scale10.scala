@@ -237,6 +237,37 @@ object Scale10 {
       val names = flowNames(Set("embed_neardups_auto"), "emb100")
       time(SRC, names)
       time(dir100, names)
+    } else if (only("dupskew")) {
+      // Duplicate-heavy skew on the dedup tier: 1,000 exact copies of
+      // one sf0.1 document form a 1,001-member LSH bucket in EVERY band
+      // — the hot-bucket worst case. Two measurements: the naive order
+      // (near-dup directly on the duplicate-heavy corpus, paying the
+      // inherent ~500k-pair clique output — the test is that
+      // explodeMemberPairs STREAMS it instead of OOMing), and the
+      // documented pipeline order (exact dedup first — x01/x35 —
+      // collapsing the clique to one survivor before banding).
+      val docs01 = spark.read.parquet(s"$SRC/documents.parquet")
+      val hot = docs01.orderBy("doc_id").limit(1)
+      val copies = hot.crossJoin(
+          spark.range(1, 1001).select(col("id").as("cp")))
+        .select((col("cp") + 500000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val corpus = docs01.unionByName(copies).localCheckpoint()
+      def timeIt(name: String, run: () => Long): Unit = {
+        run() // warm
+        val t0 = System.nanoTime()
+        val rows = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"flow":"dupskew","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+      }
+      timeIt("neardup_naive", () =>
+        Dedup.minhashNearDups(corpus, "doc_id", "text", 0.6).count())
+      timeIt("exact_dedup_first", () => {
+        val keep = Dedup.exact(corpus, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = corpus.join(keep, Seq("doc_id"), "left_semi")
+        Dedup.minhashNearDups(survivors, "doc_id", "text", 0.6).count()
+      })
     } else if (only("bpe1k")) {
       // BPE at a realistic merge count (VERDICT r8 task 4): >=1,024
       // merges at batch=128 on the docs100 corpus (500k docs, ~100x the

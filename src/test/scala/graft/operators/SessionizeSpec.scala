@@ -63,6 +63,18 @@ class SessionizeSpec extends SparkTestBase {
     assert(byUser(3L).length == 1 && byUser(3L).head.getLong(4) == 3L)
   }
 
+  test("equivalence holds on the bot distribution itself: plain and " +
+    "chunked agree on a slice with ~10% of events on one hot user") {
+    val skewed = graft.tools.Replicas.skewEvents(ev)
+    val plain = rows(Sessionize.sessions(skewed, 1800L))
+    val chunked = rows(Sessionize.sessionsChunked(skewed, 1800L, 3600L))
+    assert(plain.nonEmpty && chunked == plain)
+    // the hot user really is hot (the fixture measures what it claims)
+    val hotShare = skewed.filter(col("user_id") === 0L).count().toDouble /
+      skewed.count()
+    assert(hotShare > 0.05 && hotShare < 0.2, s"hot share $hotShare")
+  }
+
   test("phase-1 fragments actually split the hot user's work: the " +
     "per-chunk window partitions on (user_id, chunk)") {
     val df = Sessionize.sessionsChunked(ev, 1800L, 3600L)
