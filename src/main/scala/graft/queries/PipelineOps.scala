@@ -1455,8 +1455,53 @@ object PipelineOps {
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq"""))
 
+  /** Capped interval join (IntervalJoin.joinNearest): each purchase
+    * keeps its 2 nearest in-window clicks by |Δt| — the bounded-output
+    * variant SCALE.md's skew measurement motivates (a bot user turns
+    * the unbounded join's output quadratic in its density; the cap
+    * bounds it at k·|left| by construction, and the ranking window
+    * partitions on the unique left event id, so no hot key can
+    * serialize it). Ties: (|Δt|, match ts, match event id, match value)
+    * — total because the click event id is unique.
+    */
+  private val x44 = Q(
+    "x44_interval_join_nearest",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      IntervalJoin.joinNearest(purchases, clicks, "user_id", "ts", "ts",
+        Seq("event_id", "value"), windowUs = 600000000L,
+        leftIdCol = "event_id", k = 2)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("match_event_id"), col("match_ts_us"), col("match_value"),
+          col("match_rank"))
+        .orderBy("event_id", "match_rank")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+                              value FROM events WHERE event_type = 'click'),
+                 m AS (SELECT p.event_id, p.user_id, p.ts_us,
+                              c.cid AS match_event_id, c.cts AS match_ts_us,
+                              c.value AS match_value
+                       FROM p JOIN c ON p.user_id = c.user_id
+                                    AND abs(p.ts_us - c.cts) <= 600000000),
+                 r AS (SELECT *, CAST(row_number() OVER (
+                              PARTITION BY event_id
+                              ORDER BY abs(ts_us - match_ts_us),
+                                       match_ts_us, match_event_id,
+                                       match_value) AS INT) AS match_rank
+                       FROM m)
+            SELECT event_id, user_id, ts_us, match_event_id, match_ts_us,
+                   match_value, match_rank
+            FROM r WHERE match_rank <= 2
+            ORDER BY event_id, match_rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42, x43)
+    x37, x37b, x38, x39, x40, x41, x42, x43, x44)
 }

@@ -319,10 +319,12 @@ object Scale10 {
           .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
         println(s"""{"generated":"$skewDir/events.parquet"}""")
       }
+      val skewNames = flowNames(Set("sessionize", "sessionize_chunked",
+        "asof_join", "interval_join", "interval_join_nearest"), "skew100")
       def evAt(dir: String) = spark.read.parquet(s"$dir/events.parquet")
       def timeSkew(name: String, run: org.apache.spark.sql.DataFrame
           => Long): Unit =
-        for (dir <- Seq(dir100, skewDir)) {
+        if (skewNames(name)) for (dir <- Seq(dir100, skewDir)) {
           run(evAt(dir)) // warm
           val t0 = System.nanoTime()
           val rows = run(evAt(dir))
@@ -348,6 +350,15 @@ object Scale10 {
           .select("event_id", "user_id", "ts", "value")
         IntervalJoin.join(purchases, clicks, "user_id", "ts", "ts",
           Seq("event_id", "value"), windowUs = 600000000L).count()
+      })
+      timeSkew("interval_join_nearest", { e =>
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        IntervalJoin.joinNearest(purchases, clicks, "user_id", "ts", "ts",
+          Seq("event_id", "value"), windowUs = 600000000L,
+          leftIdCol = "event_id", k = 2).count()
       })
     } else if (only("recall10")) {
       // Recall-vs-sign-flips on the x10 slice (VERDICT r8 task 3): plant

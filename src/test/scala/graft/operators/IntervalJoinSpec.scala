@@ -27,6 +27,41 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(bucketed == naive)
   }
 
+  test("joinNearest keeps exactly the k nearest in-window matches per " +
+    "left row — a subset of the unbounded join, ranked by |dt| with " +
+    "deterministic ties") {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val w = 600000000L
+    val k = 2
+    val full = IntervalJoin.join(p, c, "user_id", "ts", "ts",
+        Seq("event_id", "value"), w)
+      .select(col("event_id"), col("ts_us"), col("match_event_id"),
+        col("match_ts_us")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val capped = IntervalJoin.joinNearest(p, c, "user_id", "ts", "ts",
+        Seq("event_id", "value"), w, "event_id", k)
+      .select(col("event_id"), col("match_event_id"), col("match_rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(capped.nonEmpty)
+    // per left row: at most k matches, ranks are 1..n, and they are the
+    // k smallest |dt| of the unbounded join's matches for that row
+    capped.groupBy(_._1).foreach { case (pid, ms) =>
+      assert(ms.length <= k)
+      assert(ms.map(_._3).sorted.toSeq == (1 to ms.length))
+      val all = full(pid)
+      val expected = all.map { case (lus, cid, cts) =>
+        (math.abs(lus - cts), cts, cid) }.sorted.take(k).map(_._3).toSet
+      assert(ms.map(_._2).toSet == expected,
+        s"purchase $pid kept ${ms.map(_._2).toSet}, expected $expected")
+    }
+    // total output is bounded by construction
+    assert(capped.length <= full.size * k)
+  }
+
   test("no nested-loop join in the bucketed plan") {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"), col("ts"))
