@@ -249,6 +249,23 @@ class PlanSpec extends SparkTestBase {
       "session windows must be keyed by user_id, not constant/global")
   }
 
+  test("x44: the capped interval join ranks inside per-LEFT-ROW window " +
+    "groups (not per user) and keeps the bucketed equi-join — no " +
+    "nested loop, no cartesian") {
+    val df = q("x44_interval_join_nearest")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty)
+    // the ranking window must partition on the unique left event id —
+    // partitioning on user_id would hand a hot user's whole match list
+    // to one task, recreating the skew the cap exists to bound
+    ws.foreach(w => assert(w.partitionSpec.exists(
+      _.references.exists(_.name == "event_id")),
+      s"rank window not keyed by the left row id: ${w.partitionSpec}"))
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("x43: the chunked sessionize's EVENT-level window partitions on " +
     "(user_id, chunk) — the hot-key mitigation is structural, not " +
     "incidental — and only session rows see a user-only window") {
