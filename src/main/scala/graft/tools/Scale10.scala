@@ -34,10 +34,15 @@ import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
   *    keyed shuffles carry 10x the mass (what a 10x-bigger day of
   *    traffic actually looks like).
   *
-  * Usage: runMain graft.tools.Scale10 [outDir]  (default
-  * target/scale10). Generates the slice if absent, then times the
-  * pipelines on sf0.1 and on the slice, one JSON line per (dir,
-  * pipeline), warm timing (second of two runs).
+  * Usage: runMain graft.tools.Scale10 [outDir] [flow] [pipelines...]
+  * (default target/scale10). Generates the slice if absent, then times
+  * the pipelines on sf0.1 and on the slice, one JSON line per (dir,
+  * pipeline), warm timing (second of two runs). Flows beyond the
+  * default 10x sweep: `events100`/`docs100`/`emb100` (x100 decade
+  * slices), `skew100` (10%-hot-user events skew), `recall10`
+  * (banding recall vs planted sign flips), `bpe1k` (1,024-merge BPE
+  * training), `dupskew` (1,000-copy hot LSH bucket). Extra args after
+  * a flow name restrict it to the named pipelines.
   */
 object Scale10 {
 
