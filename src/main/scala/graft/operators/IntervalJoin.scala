@@ -46,8 +46,17 @@ object IntervalJoin {
 
   /** The capped interval join: each left row keeps only its `k` NEAREST
     * in-window matches (by |Δt|, ties broken by match timestamp then the
-    * match payload columns in order — a total order whenever the payload
-    * carries a unique right-row id, which callers should ensure).
+    * match payload columns in order).
+    *
+    * DETERMINISM CONTRACT: the tie-break order is total — and therefore
+    * the kept match SET is run-to-run stable — only when `payload`
+    * carries a column unique per right row (its event/row id). This
+    * cannot be `require`d mechanically (uniqueness is a data property,
+    * not a schema one), so it is a caller obligation: omit the unique id
+    * and two right rows with identical (|Δt|, ts, payload...) rank
+    * arbitrarily, which a hash-compared pipeline would intermittently
+    * fail on. IntervalJoinSpec pins run-to-run stability of the kept set
+    * with the id present.
     *
     * This is the production answer to hot-key output blowup: SCALE.md's
     * skew measurement shows a bot user holding 10% of events turning the

@@ -331,7 +331,12 @@ object PipelineOps {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       // the probe's choice made explicit (this IS autoBandNearDupPairs's
       // body) so a drifted probe fails with a direct message instead of
-      // an opaque oracle hash mismatch — the SQL below replays (8,8)
+      // an opaque oracle hash mismatch — the SQL below replays (8,8).
+      // Deliberately a runtime require, not (only) a spec pin: a fixture
+      // regeneration or budget tweak must fail THIS query loudly in
+      // Verify/Bench (where the stale oracle would otherwise mis-grade),
+      // not just in a test that nobody reruns against new fixtures.
+      // SimilaritySpec additionally pins auto == (8,8) on its own data.
       val chosen = Similarity.chooseBandConfig(e, "vec")
       require(chosen == ((8, 8)),
         s"x10b's oracle replays (8,8) but the probe chose $chosen — " +

@@ -69,10 +69,13 @@ object Replicas {
 
   /** Sign-masked embedding replicas: (vec_id, embedding, label) in,
     * same schema out with vec_id shifted by `vecIdStride` per replica.
-    * Replica 0 is the identity (xxhash64-derived mask applied only for
-    * rep > 0 would complicate the expression; rep=0's mask is whatever
-    * xxhash64(0, i) yields — a FIXED sign pattern, which preserves all
-    * within-replica structure exactly like any other replica's mask).
+    * Replica 0 is sign-masked like every other replica (its mask is the
+    * fixed pattern xxhash64(0, i) yields), so replica-0 vectors are NOT
+    * byte-equal to the source corpus — only within-replica structure
+    * (every pairwise dot product, every sign-band collision) is
+    * preserved. Consumers needing value-identity against the source
+    * (exact cosine vs an external query, IVF centroid comparison) must
+    * compare against the masked replica 0, not the raw corpus.
     */
   def embeddings(src: DataFrame, nReps: Int): DataFrame =
     src.crossJoin(reps(src, nReps))

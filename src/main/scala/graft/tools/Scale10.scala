@@ -219,7 +219,13 @@ object Scale10 {
     // (dev loop: re-measure one pipeline without re-running the flow)
     def flowNames(defaults: Set[String], flow: String): Set[String] = {
       val extra = only - flow
-      if (extra.nonEmpty) defaults.intersect(extra) else defaults
+      // a typo'd pipeline name would otherwise intersect to the empty
+      // set and the flow would silently time nothing
+      val unknown = extra.diff(defaults)
+      require(unknown.isEmpty,
+        s"unknown pipeline name(s) ${unknown.mkString(", ")} for flow " +
+          s"'$flow' — valid: ${defaults.toSeq.sorted.mkString(", ")}")
+      if (extra.nonEmpty) extra else defaults
     }
     // "events100"/"docs100": time on a 100x slice (10M events / 500k
     // docs — a THIRD measured decade) instead of the regular 10x sweep

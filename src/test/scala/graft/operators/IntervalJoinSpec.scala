@@ -62,6 +62,25 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(capped.length <= full.size * k)
   }
 
+  test("joinNearest is run-to-run deterministic when the payload carries " +
+    "the unique right-row id (the documented tie-break contract)") {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    def run(clicks: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      IntervalJoin.joinNearest(p, clicks, "user_id", "ts", "ts",
+          Seq("event_id", "value"), 600000000L, "event_id", 2)
+        .select(col("event_id"), col("match_event_id"), col("match_rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(c)
+    // second run over a REPARTITIONED right side: row arrival order into
+    // the rank window changes, the kept (match, rank) set must not
+    val b = run(c.repartition(7, col("event_id")))
+    assert(a.nonEmpty)
+    assert(a == b, s"rank instability: ${a.diff(b)} vs ${b.diff(a)}")
+  }
+
   test("no nested-loop join in the bucketed plan") {
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"), col("ts"))
