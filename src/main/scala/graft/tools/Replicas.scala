@@ -42,6 +42,7 @@ object Replicas {
   val vecIdStride = 100000L
   val userIdStride = 10000L
   val eventIdStride = 1000000L
+  val orderKeyStride = 1000000L
 
   def replicaOf(id: org.apache.spark.sql.Column, stride: Long)
       : org.apache.spark.sql.Column = (id / stride).cast("int")
@@ -96,6 +97,28 @@ object Replicas {
         col("ts"),
         (col("user_id") + col("rep") * userIdStride).as("user_id"),
         col("event_type"), col("value"), col("props"))
+
+  /** Disjoint-orderkey TPC-H fact replicas: o_orderkey/l_orderkey shift
+    * into a disjoint range per replica while every dimension key
+    * (custkey, partkey, suppkey), date, and measure stays untouched —
+    * N× the facts against the SAME dimensions, which is what a fact
+    * decade actually looks like (dimensions grow ~log of facts; a
+    * 100 TB warehouse is fact mass). Per-orderkey join/group structure
+    * is preserved exactly, so orderkey-keyed results replicate per
+    * replica and dimension-keyed measures scale exactly N×
+    * (Scale10Spec pins both).
+    */
+  def orders(src: DataFrame, nReps: Int): DataFrame =
+    shiftKey(src, nReps, "o_orderkey")
+
+  def lineitem(src: DataFrame, nReps: Int): DataFrame =
+    shiftKey(src, nReps, "l_orderkey")
+
+  private def shiftKey(src: DataFrame, nReps: Int,
+      keyCol: String): DataFrame =
+    src.crossJoin(reps(src, nReps))
+      .withColumn(keyCol, col(keyCol) + col("rep") * orderKeyStride)
+      .drop("rep")
 
   /** Zipfian-head key skew for the events tier: reassign ~1/`hotEvery`
     * of all events (chosen by event_id hash — uniform over users and

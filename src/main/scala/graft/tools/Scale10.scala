@@ -75,6 +75,25 @@ object Scale10 {
     genEvents(spark, outDir)
   }
 
+  /** TPC-H decade slice: the fact tables (orders, lineitem) replicated
+    * with disjoint orderkey ranges (Replicas.orders/lineitem — dims,
+    * dates, measures untouched), dimensions copied as-is. The dir then
+    * carries every table the relational queries read, so the graded
+    * SparkEntry.queries run on it unchanged.
+    */
+  private def genTpch(spark: SparkSession, outDir: String,
+      nReps: Int): Unit = {
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$SRC/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    Replicas.orders(spark.read.parquet(s"$SRC/orders.parquet"), nReps)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    Replicas.lineitem(spark.read.parquet(s"$SRC/lineitem.parquet"), nReps)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
   /** The events slice is generated separately so a docs/embeddings slice
     * from an earlier round gains it without regeneration. Written with
     * the µs timestamp already materialized (plain TIMESTAMP_MICROS
@@ -409,6 +428,32 @@ object Scale10 {
           val recall = if (eligible == 0) 1.0 else found.toDouble / eligible
           println(s"""{"flow":"recall10","k":$k,"bands":$b,"rowsPerBand":$r,"eligible":$eligible,"found":$found,"recall":${f(recall)}}""")
         }
+      }
+    } else if (only("tpch10")) {
+      // Relational decade (VERDICT r9 task 1): the six TPC-H shapes had
+      // only ever run at sf0.1 (~600k lineitem). Replicate the FACT
+      // tables ×10 with orderkey striding (dims untouched) and re-time;
+      // record each query's final join strategies at both scales, so a
+      // broadcast→SMJ flip at the decade is a recorded fact rather than
+      // a surprise at 100×. Scale10Spec pins the output invariants.
+      val dir10 = s"$outDir-t10"
+      if (!new java.io.File(s"$dir10/lineitem.parquet").isDirectory) {
+        genTpch(spark, dir10, nReps = 10)
+        println(s"""{"generated":"$dir10"}""")
+      }
+      val qNames = Seq("s24_tpch_q3", "s25_tpch_q5", "s40_tpch_q13",
+        "s41_tpch_q18", "s47_tpch_q4", "s48_tpch_q10")
+      val names = flowNames(qNames.toSet, "tpch10")
+      for (name <- qNames if names(name); dir <- Seq(SRC, dir10)) {
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).count() // warm: plans, codegen, page cache
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val joins = Plans.joinStrategies(df).toSeq.sorted
+          .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+        println(s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows,"joins":$joins}""")
       }
     } else if (only("docs100")) {
       val dir100 = s"$outDir-d100"

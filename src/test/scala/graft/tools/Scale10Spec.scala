@@ -178,4 +178,87 @@ class Scale10Spec extends SparkTestBase {
       windowUs = 600000000L).count()
     assert(repIv == R * baseIv, s"interval: $repIv != $R x $baseIv")
   }
+
+  // ---------------------------------------------------------------- tpch
+
+  test("tpch fact replicas: dim-keyed measures scale exactly Nx, " +
+    "orderkey-keyed group counts scale exactly Nx, and no TPC-H shape " +
+    "degrades to a nested loop or cartesian at the decade") {
+    // the graded queries read a directory, so build a x3 slice on disk:
+    // dims copied, facts orderkey-strided (Replicas.orders/lineitem)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tpch3")
+      .toString
+    try {
+      for (d <- Seq("region", "nation", "customer", "supplier", "part"))
+        spark.read.parquet(s"$sfDir/$d.parquet")
+          .write.parquet(s"$dir/$d.parquet")
+      Replicas.orders(spark.read.parquet(s"$sfDir/orders.parquet"), R)
+        .write.parquet(s"$dir/orders.parquet")
+      Replicas.lineitem(spark.read.parquet(s"$sfDir/lineitem.parquet"), R)
+        .write.parquet(s"$dir/lineitem.parquet")
+
+      // 1. dim-keyed measures scale EXACTLY: Q4's per-priority counts
+      // and Q5's per-nation revenues at x3 equal base x3 row-for-row.
+      // Exact for revenue too: the decimal sum over 3 replicas is 3x
+      // the base decimal sum (decimal addition is exact), and both
+      // sides' cent totals stay far under 2^53, so the final double
+      // casts are exact.
+      def rows(name: String, d: String): Seq[Seq[Any]] =
+        graft.SparkEntry.queries(name)(spark, d).collect().map(_.toSeq)
+      val q4Base = rows("s47_tpch_q4", sfDir)
+        .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+      val q4Rep = rows("s47_tpch_q4", dir)
+        .map(r => r.head -> r(1).asInstanceOf[Long]).toMap
+      assert(q4Rep == q4Base.view.mapValues(_ * R).toMap,
+        s"Q4 counts did not scale ${R}x: $q4Base vs $q4Rep")
+      val q5Base = rows("s25_tpch_q5", sfDir)
+        .map(r => r.head -> r(1).asInstanceOf[Double]).toMap
+      val q5Rep = rows("s25_tpch_q5", dir)
+        .map(r => r.head -> r(1).asInstanceOf[Double]).toMap
+      assert(q5Rep == q5Base.view.mapValues(_ * R).toMap,
+        s"Q5 revenues did not scale ${R}x: $q5Base vs $q5Rep")
+
+      // 2. orderkey-keyed group counts scale EXACTLY (each replica
+      // reproduces the base per-orderkey structure): Q18's heavy-order
+      // set and Q3's filtered order-group set
+      def bigOrders(d: String): Long =
+        graft.Tables.load(spark, d, "lineitem").groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("q")).filter(col("q") > 250)
+          .count()
+      assert(bigOrders(dir) == R * bigOrders(sfDir))
+      def q3Groups(d: String): Long =
+        graft.Tables.load(spark, d, "lineitem")
+          .join(graft.Tables.load(spark, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(graft.Tables.load(spark, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING"
+            && col("o_orderdate") <
+              lit("1997-07-01").cast("timestamp_ntz")
+            && col("l_shipdate") >
+              lit("1997-07-01").cast("timestamp_ntz"))
+          .select("l_orderkey").distinct().count()
+      assert(q3Groups(dir) == R * q3Groups(sfDir))
+
+      // 3. plan pin: none of the six TPC-H shapes degrades to a nested
+      // loop or cartesian on the replicated slice (the "plan you'd want
+      // at 100x" guarantee — run first, AQE finalizes at runtime)
+      for (name <- Seq("s24_tpch_q3", "s25_tpch_q5", "s40_tpch_q13",
+        "s41_tpch_q18", "s47_tpch_q4", "s48_tpch_q10")) {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.collect()
+        val bad = Plans.deepNodes(df.queryExecution.executedPlan)
+          .map(_.getClass.getSimpleName)
+          .filter(n => n.contains("BroadcastNestedLoopJoin")
+            || n.contains("CartesianProduct"))
+        assert(bad.isEmpty, s"$name planned $bad on the x$R slice:\n" +
+          df.queryExecution.executedPlan.toString)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
