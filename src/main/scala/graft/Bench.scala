@@ -45,6 +45,35 @@ object Bench {
     }.sum
   }
 
+  /** The widened-retry set for load-dependent congestion (the BENCH_r09
+    * blind spot): a congestion window that hits only the heavy parallel
+    * queries leaves the tiny fixed-work canary flat, so no segment
+    * crosses the 1.5x threshold and normalizedTotal cannot correct the
+    * inflated middle — rounds 7/8/9 all over-reported this way. When the
+    * outlier pass has DIRECT evidence of congestion (a retry halving a
+    * first-run time), stop inferring and re-measure: every successful,
+    * not-already-retried query whose first run exceeded `factor` x its
+    * recorded clean nominal gets re-run. Sorted for deterministic order.
+    * Queries without a recorded nominal (new this round) just don't
+    * participate — the manifest is a measurement aid, not a gate.
+    */
+  def widenRetrySet(results: Seq[(String, Double)],
+      alreadyRetried: Set[String], nominals: Map[String, Double],
+      factor: Double = 1.5): Seq[String] =
+    results.collect { case (n, t) if t >= 0 && !alreadyRetried(n) &&
+      nominals.get(n).exists(nom => t > nom * factor) => n }.sorted
+
+  /** Retry-until-stable policy for one widened query: measure again
+    * while every re-measurement so far is still above `factor` x the
+    * nominal, up to `maxTries` re-measurements; a failed re-measurement
+    * (sentinel < 0) stops immediately. The first call (no tries yet)
+    * always measures once.
+    */
+  def needsAnotherRetry(nominal: Double, tries: Seq[Double],
+      maxTries: Int = 2, factor: Double = 1.5): Boolean =
+    !tries.exists(_ < 0) && (tries.isEmpty ||
+      (tries.size < maxTries && tries.min > nominal * factor))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -128,18 +157,47 @@ object Bench {
       }
     val suspect = retried.exists { case (_, (first, retry)) =>
       retry >= 0 && retry < first / 2 }
+    // Widened pass (the BENCH_r09 blind spot): when the outlier pass has
+    // DIRECT evidence of congestion, re-measure everything above 1.5x
+    // its recorded clean nominal instead of trusting the flat canaries —
+    // load-dependent congestion inflates the heavy queries while the
+    // tiny canary stays flat, so normalization alone cannot see it.
+    val nominals = BenchNominals.forDir(sfDir)
+    val widened: Seq[(String, (Double, Double))] =
+      if (!suspect) Seq.empty
+      else widenRetrySet(results, retried.map(_._1).toSet, nominals)
+        .map { name =>
+          val first = results.collectFirst { case (`name`, t) => t }.get
+          val tries = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (needsAnotherRetry(nominals(name), tries.toSeq)) {
+            val t0 = System.nanoTime()
+            tries +=
+              (try { SparkEntry.queries(name)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 })
+          }
+          val good = tries.filter(_ >= 0)
+          name -> ((first, if (good.nonEmpty) good.min else -1.0))
+        }
+    val allRetried = retried ++ widened
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val adjusted = results.map { case (n, t) =>
-      retried.collectFirst { case (`n`, (first, retry)) if retry >= 0 =>
+      allRetried.collectFirst { case (`n`, (first, retry)) if retry >= 0 =>
         math.min(first, retry) }.getOrElse(t)
     }.sum
-    val retriesJson = retried.map { case (n, (first, retry)) =>
+    // the retries map rides on the LAST output line, which must stay
+    // within the harness's ~2000-char stdout tail — cap the displayed
+    // entries at the 16 largest first-run times (every entry still
+    // counts in adjusted_total/normalized_total)
+    val shown = allRetried.sortBy(-_._2._1).take(16)
+    val retriesJson = shown.map { case (n, (first, retry)) =>
       "\"" + n + "\":{\"first\":" + f(first) + ",\"retry\":" + f(retry) + "}"
     }.mkString("{", ",", "}")
+    val omitted = allRetried.size - shown.size
     // The harness captures only the LAST ~2000 chars of stdout. With 90+
     // queries the combined map outgrows that window, so a single line with
     // the total at its head gets its head cut off (rounds 1 AND 2 both
@@ -155,9 +213,9 @@ object Bench {
     // each loop segment's canary (see normalizedTotal) — the number a
     // congested run would have produced on a clean host
     val normalized =
-      normalizedTotal(results, retried, canaries.toSeq, canaryStride)
+      normalizedTotal(results, allRetried, canaries.toSeq, canaryStride)
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,4 +75,40 @@ class BenchBudgetSpec extends SparkTestBase {
       Seq(0.30, 0.30, 0.15, 0.30), 2)
     assert(math.abs(fastOutlier - 14.0) < 1e-9, fastOutlier)
   }
+
+  test("widenRetrySet re-measures exactly the queries above 1.5x their " +
+    "clean nominal — skipping failures, already-retried queries, and " +
+    "queries without a recorded nominal") {
+    val nominals = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    val results = Seq(
+      "a" -> 1.4,   // within 1.5x nominal: left alone
+      "b" -> 1.6,   // above: re-measure
+      "c" -> 4.0,   // above but already retried by the outlier pass
+      "d" -> -1.0,  // failed: sentinel must stay visibly wrong
+      "e" -> 9.0)   // no nominal (new query this round): left alone
+    assert(Bench.widenRetrySet(results, Set("c"), nominals) == Seq("b"))
+    // without nominals (non-graded SF) the widened pass is empty
+    assert(Bench.widenRetrySet(results, Set.empty, Map.empty) == Seq.empty)
+    // order is deterministic (sorted) regardless of result order
+    assert(Bench.widenRetrySet(
+      Seq("z" -> 9.0, "b" -> 9.0), Set.empty,
+      Map("z" -> 1.0, "b" -> 1.0)) == Seq("b", "z"))
+  }
+
+  test("needsAnotherRetry: measure once always, stop as soon as a " +
+    "re-measurement lands within 1.5x nominal or fails, cap the tries") {
+    assert(Bench.needsAnotherRetry(1.0, Seq.empty))          // first try
+    assert(!Bench.needsAnotherRetry(1.0, Seq(1.2)))          // stable: stop
+    assert(!Bench.needsAnotherRetry(1.0, Seq(1.5)))          // boundary: stop
+    assert(Bench.needsAnotherRetry(1.0, Seq(2.0)))           // still hot
+    assert(!Bench.needsAnotherRetry(1.0, Seq(2.0, 1.9)))     // cap at 2
+    assert(!Bench.needsAnotherRetry(1.0, Seq(-1.0)))         // failure: stop
+    assert(!Bench.needsAnotherRetry(1.0, Seq(2.0, -1.0)))
+    // normalizedTotal treats a widened retry like any retried query:
+    // the direct re-measurement wins over the canary inference
+    val n = Bench.normalizedTotal(
+      Seq("a" -> 1.0, "b" -> 5.0), Seq("b" -> ((5.0, 1.1))),
+      Seq(0.3, 0.3), 2)
+    assert(math.abs(n - 2.1) < 1e-9, n)
+  }
 }
