@@ -63,6 +63,20 @@ object Sessionize {
     *     event count to its session count (a continuously-active bot is
     *     few sessions over many chunks).
     *
+    * Sparse-bot bound (measured, SCALE.md round-10): a bot whose pings
+    * are spaced just OVER the gap yields sessions == events, so phase
+    * 2's per-user window carries the bot's full event count again — the
+    * pathological input for this decomposition. The degradation is
+    * bounded and still beats the plain operator: phase 2 sorts narrow
+    * fixed-width interval rows (5 numeric columns) where plain's window
+    * sorts full-width event rows, so on the ×100 slice with a 1M-event
+    * super-gap bot, chunked stays flat (4.0s uniform → 3.9s bot) while
+    * plain degrades 60% (2.7s → 4.3s, medians of 3 warm runs). A
+    * session_seq assignment via per-chunk counts + prefix-sum
+    * offsets could cap the serial work below O(bot sessions), but no
+    * measured input justifies those extra exchanges — the corner's
+    * equivalence is pinned in SessionizeSpec.
+    *
     * Per-session value sums stay exact DECIMAL through the merge (sum of
     * per-chunk decimal partials equals the plain decimal sum — decimal
     * addition is exact and associative) and cast to double once at the

@@ -134,6 +134,33 @@ object Replicas {
       when(pmod(xxhash64(col("event_id")), lit(hotEvery.toLong)) === 0,
         lit(hotUser)).otherwise(col("user_id")))
 
+  /** The sparse-bot worst case for chunked sessionization: reassign
+    * ~1/`hotEvery` of all events to one hot user AND respace that user's
+    * timestamps exactly `gapSeconds + 1` apart, so every hot event is its
+    * own session (sessions == events for the bot — the input that defeats
+    * the sessions-per-chunk reduction sessionsChunked's phase 2 relies
+    * on). Hot events keep their other columns; their relative order is
+    * by event_id. Non-hot events are untouched, so every other user's
+    * sessions are identical to the unskewed corpus. The bot id defaults
+    * to -1 — an id OUTSIDE the generated user range, so no organic event
+    * shares the bot's stream and the sessions == events property is
+    * exact (an existing id would interleave its organic events at their
+    * original timestamps and merge some into sessions).
+    */
+  def sparseBotEvents(src: DataFrame, gapSeconds: Long,
+      hotEvery: Int = 10, hotUser: Long = -1L): DataFrame = {
+    val spacingUs = (gapSeconds + 1) * 1000000L
+    val isHot = pmod(xxhash64(col("event_id")), lit(hotEvery.toLong)) === 0
+    val hot = src.filter(isHot)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("event_id")))
+      .withColumn("user_id", lit(hotUser))
+      .withColumn("ts",
+        expr(s"timestamp_micros(1600000000000000L + (__rn - 1) * ${spacingUs}L)"))
+      .drop("__rn")
+    hot.unionByName(src.filter(!isHot))
+  }
+
   /** Near-duplicate planting for recall measurements: one dup per source
     * vector with EXACTLY `k` coordinate signs flipped, id shifted by
     * `idOffset` (the planted pair is (vec_id, vec_id + idOffset)). The

@@ -390,6 +390,42 @@ object Scale10 {
           Seq("event_id", "value"), windowUs = 600000000L,
           leftIdCol = "event_id", k = 2).count()
       })
+    } else if (only("botgap")) {
+      // Sparse-bot corner of sessionsChunked (VERDICT r9 task 3): the
+      // skew100 hot user is DENSE (few sessions over many chunks), which
+      // is the case the chunked mitigation wins. A bot whose pings are
+      // spaced just over the gap threshold yields sessions == events, so
+      // phase 2's user-keyed window carries the full event count again.
+      // Times plain vs chunked sessionize on the x100 slice with a
+      // 10%-of-events super-gap bot (1,801s spacing vs the 1,800s gap).
+      val dir100 = s"$outDir-e100"
+      if (!new java.io.File(s"$dir100/events.parquet").isDirectory) {
+        genEvents(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/events.parquet"}""")
+      }
+      val botDir = s"$outDir-e100bot"
+      if (!new java.io.File(s"$botDir/events.parquet").isDirectory) {
+        Replicas.sparseBotEvents(
+            spark.read.parquet(s"$dir100/events.parquet"), 1800L)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$botDir/events.parquet")
+        println(s"""{"generated":"$botDir/events.parquet"}""")
+      }
+      val botNames = flowNames(Set("sessionize", "sessionize_chunked"),
+        "botgap")
+      def evAt(dir: String) = spark.read.parquet(s"$dir/events.parquet")
+      def timeBot(name: String,
+          run: org.apache.spark.sql.DataFrame => Long): Unit =
+        if (botNames(name)) for (dir <- Seq(dir100, botDir)) {
+          run(evAt(dir)) // warm
+          val t0 = System.nanoTime()
+          val rows = run(evAt(dir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"dir":"$dir","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+        }
+      timeBot("sessionize", e => Sessionize.sessions(e, 1800L).count())
+      timeBot("sessionize_chunked",
+        e => Sessionize.sessionsChunked(e, 1800L, 3600L).count())
     } else if (only("recall10")) {
       // Recall-vs-sign-flips on the x10 slice (VERDICT r8 task 3): plant
       // one near-dup per replica-0 vector with exactly k flipped signs,

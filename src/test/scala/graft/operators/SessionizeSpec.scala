@@ -75,6 +75,22 @@ class SessionizeSpec extends SparkTestBase {
     assert(hotShare > 0.05 && hotShare < 0.2, s"hot share $hotShare")
   }
 
+  test("equivalence holds at the sparse-bot corner: a hot user whose " +
+    "pings exceed the gap (sessions == events) still matches plain") {
+    val bot = graft.tools.Replicas.sparseBotEvents(ev, 1800L)
+    val plain = rows(Sessionize.sessions(bot, 1800L))
+    val chunked = rows(Sessionize.sessionsChunked(bot, 1800L, 3600L))
+    assert(plain.nonEmpty && chunked == plain,
+      s"${chunked.diff(plain).take(3)} extra, " +
+        s"${plain.diff(chunked).take(3)} missing")
+    // the fixture is what it claims: every bot event is its own session
+    val botEvents = bot.filter(col("user_id") === -1L).count()
+    val botSessions = Sessionize.sessions(bot, 1800L)
+      .filter(col("user_id") === -1L).count()
+    assert(botEvents > 50 && botSessions == botEvents,
+      s"bot: $botEvents events vs $botSessions sessions")
+  }
+
   test("phase-1 fragments actually split the hot user's work: the " +
     "per-chunk window partitions on (user_id, chunk)") {
     val df = Sessionize.sessionsChunked(ev, 1800L, 3600L)
