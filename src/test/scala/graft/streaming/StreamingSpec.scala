@@ -90,6 +90,60 @@ class StreamingSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  test("streaming-vs-batch parity: stateful sessionize through the REAL " +
+    "streaming engine (watermark-fired timeouts included) equals the " +
+    "batch operator's COMPLETE output — every session of every user") {
+    // The batch-mode test above can only check closed sessions (batch
+    // runs never fire timeouts, so each user's final session stays
+    // open). Here the events run through the streaming engine and two
+    // far-future sentinel events advance the watermark so EVERY real
+    // session is timeout-closed and emitted: sentinel-1's batch fires
+    // timeouts below (maxRealTs - 1s); sentinel-2's batch fires the
+    // rest (watermark then sits past sentinel-1, far beyond every real
+    // lastUs + gap). Data batches fire pending timeouts just like
+    // no-data batches, so processAllAvailable after each file gives a
+    // deterministic flush without polling.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftparity").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val maxUs = batchEvents
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    def sentinel(user: Long, us: Long) =
+      Seq((-user, user, "ping", 0.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(lit(us)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    val gapUs = 1800L * 1000000L
+    val src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+      .withWatermark("ts", "1 second")
+    val q = StreamOps.statefulSessions(spark, src, 1800L)
+      .writeStream.format("memory").queryName("paritysessions")
+      .outputMode("append").start()
+    q.processAllAvailable() // batch 1: all real events
+    sentinel(-99L, maxUs + 10L * gapUs)
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable() // batch 2: watermark -> maxRealTs - 1s
+    sentinel(-98L, maxUs + 20L * gapUs)
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable() // batch 3: fires every real session's timeout
+    q.stop()
+    val got = spark.table("paritysessions")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Sessionize.sessions(batchEvents, 1800L)
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    // COMPLETE parity: same session set, including each user's last —
+    // the check that catches a state-semantics bug (wrong timeout
+    // clock, ms-quantized bounds, dropped or double-emitted sessions)
+    assert(got == want,
+      s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
+  }
+
   test("stream-static join enriches each micro-batch against the dim") {
     val dim = batchEvents.select(col("user_id").as("d_user")).distinct()
       .withColumn("tier",
