@@ -157,11 +157,40 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, iters: Int, batch: Int = 1)
       : (Seq[(String, String)], DataFrame) = {
+    val r = trainWithStats(docs, textCol, iters, batch)
+    (r.merges, r.syms)
+  }
+
+  /** Training outcome plus the driver-round count (== collect actions —
+    * exactly one per round), the number the batched loop exists to
+    * minimize: `rounds` has floor ceil(iters/batch) and grows past it
+    * only when conflict-heavy rounds underfill (BpeSpec bounds it at 4x
+    * floor; SCALE.md records it at 8k-merge depth).
+    */
+  case class TrainResult(merges: Seq[(String, String)], syms: DataFrame,
+      rounds: Int)
+
+  def trainWithStats(docs: DataFrame, textCol: String, iters: Int,
+      batch: Int = 1): TrainResult =
+    trainFromFreqs(wordFreqs(docs, textCol), iters, batch)
+
+  /** Training from an already-computed (w, freq) frequency table — the
+    * vocabulary-side entry. `wordFreqs` is the ONE corpus-sized pass;
+    * everything after runs on the distinct vocabulary, so a caller that
+    * already has frequencies (an incremental pipeline re-training on
+    * refreshed counts, or a depth measurement that wants the loop
+    * isolated from the corpus scan) starts here. Words containing the
+    * SEP codepoint are excluded exactly as wordFreqs would.
+    */
+  def trainFromFreqs(words: DataFrame, iters: Int,
+      batch: Int = 1): TrainResult = {
     require(iters >= 0, "iters must be >= 0")
     require(batch >= 1, "batch must be >= 1")
-    var sym = initSymbols(wordFreqs(docs, textCol)).localCheckpoint(false)
+    var sym = initSymbols(words.filter(!col("w").contains(SEP)))
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
+    var rounds = 0
     // over-collect so conflicts can be skipped and the batch still
     // filled; the slice stays tiny (candidates are vocab-side rows).
     // The factor grows when a round underfills while MORE candidates
@@ -174,6 +203,7 @@ object Bpe {
       val slice = math.max(want * overCollect, 8)
       val ranked = topPairs(pairCounts(sym), slice)
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      rounds += 1
       if (ranked.isEmpty) done = true // no pairs left: every word is 1 symbol
       else {
         val chosen = selectNonConflicting(ranked, want)
@@ -184,6 +214,6 @@ object Bpe {
           .localCheckpoint(false)
       }
     }
-    (merges.toSeq, sym)
+    TrainResult(merges.toSeq, sym, rounds)
   }
 }

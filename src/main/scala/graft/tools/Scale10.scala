@@ -390,6 +390,97 @@ object Scale10 {
           Seq("event_id", "value"), windowUs = 600000000L,
           leftIdCol = "event_id", k = 2).count()
       })
+    } else if (only("boilergrams")) {
+      // Duplicate-heavy-doc trade-off on decontamination (ADVICE r9):
+      // the round-9 repartition(id) shape ships the RAW (id, digest)
+      // mass through its one exchange (repartition does no map-side
+      // partial dedup), while the old two-exchange shape shipped
+      // already-deduped rows into its second. On boilerplate-heavy docs
+      // (each doc = an 8-token phrase repeated 50x -> ~50x intra-doc
+      // gram duplication, distinct grams per doc ~8) measure both, plus
+      // the real-corpus control.
+      import graft.operators.{Decontaminate, Dedup}
+      val docs01 = spark.read.parquet(s"$SRC/documents.parquet")
+      val boiler = docs01.withColumn("text",
+        array_join(array_repeat(
+          array_join(slice(split(col("text"), " "), 1, 8), " "), 50), " "))
+        .localCheckpoint()
+      def timeIt(name: String, run: () => Long): Unit = {
+        run() // warm
+        val t0 = System.nanoTime()
+        val rows = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"flow":"boilergrams","pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+      }
+      // the superseded round-8 two-exchange shape, inlined for the A/B:
+      // dropDuplicates(id, g) plans partial+final agg (map-side dedup)
+      // with an exchange on (id, g); the per-doc agg then re-exchanges
+      def twoExchange(train: org.apache.spark.sql.DataFrame,
+          eval: org.apache.spark.sql.DataFrame): Long = {
+        val trainD = train.select(col("doc_id"),
+            explode(Dedup.shingles(col("text"), 4)).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("g"))
+          .dropDuplicates("doc_id", "g")
+        val evalD = eval.select(
+            explode(Dedup.shingles(col("text"), 4)).as("gram"))
+          .select(md5(col("gram")).as("g")).distinct()
+        trainD.join(evalD, "g").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits")).count()
+      }
+      for ((corpusName, corpus) <- Seq("boiler" -> boiler,
+          "real" -> docs01)) {
+        val train = corpus.filter(col("doc_id") % 97 =!= 0)
+        val eval = corpus.filter(col("doc_id") % 97 === 0)
+        timeIt(s"${corpusName}_one_exchange_r9", () =>
+          Decontaminate.overlapHits(train, eval, "doc_id", "text", 4)
+            .count())
+        timeIt(s"${corpusName}_two_exchange_r8", () =>
+          twoExchange(train, eval))
+      }
+    } else if (only("bpe8k")) {
+      // BPE at production vocabulary scale (VERDICT r9 task 5): 1,024
+      // merges validated the batching; real tokenizers need 8k-32k
+      // merges, where conflict-driven underfill could grow the round
+      // count superlinearly. 8,192 merges at batch=256 on the docs100
+      // corpus; floor = ceil(8192/256) = 32 rounds. BpeSpec bounds the
+      // round count at 4x floor in CI; this records the at-depth
+      // rounds/wall for SCALE.md.
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      val docs100 = spark.read.parquet(s"$dir100/documents.parquet")
+      def trainIt(corpusName: String,
+          corpus: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = graft.operators.Bpe.trainWithStats(
+          corpus, "text", 8192, batch = 256)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"flow":"bpe8k","corpus":"$corpusName","merges":${r.merges.size},"rounds":${r.rounds},"floor":32,"sec":${f(sec)}}""")
+      }
+      // plain docs100: the suffixed replica vocabulary EXHAUSTS (every
+      // word one symbol) short of 8k — recorded as the complete-merge-
+      // space result
+      trainIt("docs100", docs100)
+      // production-vocabulary leg: the docs corpus cannot sustain 8k
+      // merges (its whole merge space is ~3.3k), and suffix tricks that
+      // inflate it explode into tens of millions of near-duplicate
+      // words (measured: a per-doc suffix turned each round's pair
+      // count into a ~1B-row explode). The at-depth question is about
+      // the VOCABULARY-sIZED loop, so measure it there directly:
+      // trainFromFreqs on a synthetic web-corpus-shaped vocabulary —
+      // 200k distinct hex words (md5-derived, len 6-21), Zipf-weighted.
+      val vocab = spark.range(0, 200000)
+        .select(
+          md5(col("id").cast("string"))
+            .substr(lit(1), (col("id") % 16 + 6).cast("int")).as("w"),
+          (lit(200000L) / (col("id") + 1) + 1).as("freq"))
+        .groupBy("w").agg(max(col("freq")).as("freq"))
+      val t1 = System.nanoTime()
+      val rv = graft.operators.Bpe.trainFromFreqs(vocab, 8192, batch = 256)
+      val sec1 = (System.nanoTime() - t1) / 1e9
+      println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":32,"sec":${f(sec1)}}""")
     } else if (only("botgap")) {
       // Sparse-bot corner of sessionsChunked (VERDICT r9 task 3): the
       // skew100 hot user is DENSE (few sessions over many chunks), which

@@ -156,6 +156,29 @@ class BpeSpec extends SparkTestBase {
     assert(symsOf(replay64) == symsOf(s64))
   }
 
+  test("round count stays within 4x the ceil(iters/batch) floor even on " +
+    "a conflict-heavy vocabulary (the bpe8k depth bound, CI-sized)") {
+    // conflict-free wide corpus: rounds == floor exactly
+    val free = Bpe.trainWithStats(disjoint64, "text", 64, batch = 16)
+    assert(free.merges.size == 64 && free.rounds == 4, free.rounds)
+    // conflict-heavy: shared-suffix words make top candidates collide
+    // (est/est/west chains), so rounds exceed the floor via underfilled
+    // batches — the adaptive over-collect must keep them under 4x
+    val heavy = docs(
+      Seq.fill(5)("newest").mkString(" ") + " " +
+        Seq.fill(4)("widest").mkString(" ") + " " +
+        Seq.fill(3)("lowest").mkString(" ") + " " +
+        Seq.fill(2)("nearest").mkString(" ") + " dearest newer lower")
+    val iters = 24
+    val batch = 8
+    val r = Bpe.trainWithStats(heavy, "text", iters, batch)
+    val floor = (iters + batch - 1) / batch
+    assert(r.rounds <= 4 * floor,
+      s"${r.rounds} rounds for ${r.merges.size} merges (floor $floor)")
+    // stats agree with the tuple-returning surface
+    assert(r.merges == Bpe.train(heavy, "text", iters, batch)._1)
+  }
+
   test("train issues one driver action per ROUND: iters=64 at batch=16 " +
     "is at most iters/batch + 1 actions, not one per merge") {
     // count job-launching actions only: the lazy per-round checkpoint
