@@ -29,11 +29,21 @@ import org.apache.spark.sql.functions._
   *    requirement of BOTH the per-doc distinct (grouping keys (id, g) —
   *    a partitioning on a subset of the keys co-locates every group)
   *    and the per-doc stats aggregate (grouping key id), so Catalyst
-  *    inserts no further exchange between them. Round-9 measurement of
-  *    the alternatives: per-row array_distinct inside the doc's row
-  *    removes the exchange entirely but evaluates O(grams^2) per doc on
-  *    string arrays (1.5-2x slower end to end), and md5 inside a
-  *    transform lambda runs interpreted (HOF lambdas don't codegen);
+  *    inserts no further exchange between them. Trade-off (measured,
+  *    round 10): repartition does NO map-side partial dedup, so this
+  *    one exchange carries the raw, un-deduplicated gram mass — on
+  *    duplicate-heavy boilerplate (each doc one phrase repeated 50x,
+  *    ~50x intra-doc gram duplication) that raw mass could in principle
+  *    regress vs the old two-exchange shape whose first exchange
+  *    shipped deduped rows. The A/B (Scale10 `boilergrams`) measures a
+  *    tie on exactly that corpus (48.3s vs 48.1s — intra-doc explode
+  *    work dominates both and parallelizes) and the one-exchange shape
+  *    12% faster on the real corpus, so the single exchange stays.
+  *    Round-9 measurement of the other alternatives: per-row
+  *    array_distinct inside the doc's row removes the exchange entirely
+  *    but evaluates O(grams^2) per doc on string arrays (1.5-2x slower
+  *    end to end), and md5 inside a transform lambda runs interpreted
+  *    (HOF lambdas don't codegen);
   *  - the eval side is a benchmark (10^3-10^5 docs — tiny next to the
   *    corpus), so after its distinct it is broadcast by AQE's size
   *    estimate. The join is NOT hint-forced: a pathological
