@@ -556,21 +556,25 @@ object Scale10 {
           println(s"""{"flow":"recall10","k":$k,"bands":$b,"rowsPerBand":$r,"eligible":$eligible,"found":$found,"recall":${f(recall)}}""")
         }
       }
-    } else if (only("tpch10")) {
+    } else if (only("tpch10") || only("tpch100")) {
       // Relational decade (VERDICT r9 task 1): the six TPC-H shapes had
       // only ever run at sf0.1 (~600k lineitem). Replicate the FACT
       // tables ×10 with orderkey striding (dims untouched) and re-time;
       // record each query's final join strategies at both scales, so a
       // broadcast→SMJ flip at the decade is a recorded fact rather than
       // a surprise at 100×. Scale10Spec pins the output invariants.
-      val dir10 = s"$outDir-t10"
+      // `tpch100` is the THIRD measured decade (60M lineitem), matching
+      // the events/docs tiers' ×100 slices.
+      val flow = if (only("tpch100")) "tpch100" else "tpch10"
+      val reps = if (flow == "tpch100") 100 else 10
+      val dir10 = s"$outDir-t$reps"
       if (!new java.io.File(s"$dir10/lineitem.parquet").isDirectory) {
-        genTpch(spark, dir10, nReps = 10)
+        genTpch(spark, dir10, nReps = reps)
         println(s"""{"generated":"$dir10"}""")
       }
       val qNames = Seq("s24_tpch_q3", "s25_tpch_q5", "s40_tpch_q13",
         "s41_tpch_q18", "s47_tpch_q4", "s48_tpch_q10")
-      val names = flowNames(qNames.toSet, "tpch10")
+      val names = flowNames(qNames.toSet, flow)
       for (name <- qNames if names(name); dir <- Seq(SRC, dir10)) {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, dir).count() // warm: plans, codegen, page cache
