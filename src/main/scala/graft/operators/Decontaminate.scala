@@ -33,12 +33,12 @@ import org.apache.spark.sql.functions._
   *    round 10): repartition does NO map-side partial dedup, so this
   *    one exchange carries the raw, un-deduplicated gram mass — on
   *    duplicate-heavy boilerplate (each doc one phrase repeated 50x,
-  *    ~50x intra-doc gram duplication) that raw mass could in principle
-  *    regress vs the old two-exchange shape whose first exchange
-  *    shipped deduped rows. The A/B (Scale10 `boilergrams`) measures a
-  *    tie on exactly that corpus (48.3s vs 48.1s — intra-doc explode
-  *    work dominates both and parallelizes) and the one-exchange shape
-  *    12% faster on the real corpus, so the single exchange stays.
+  *    ~50x intra-doc gram duplication) the old two-exchange shape,
+  *    whose first exchange shipped deduped rows, edges ahead ~10%
+  *    (Scale10 `boilergrams`: 2.11s vs 2.34s), while on the real
+  *    corpus the one-exchange shape stays ahead (0.85s vs 0.89s) —
+  *    the single exchange stays: real corpora are the target and a
+  *    ~10% corner penalty does not buy back an exchange.
   *    Round-9 measurement of the other alternatives: per-row
   *    array_distinct inside the doc's row removes the exchange entirely
   *    but evaluates O(grams^2) per doc on string arrays (1.5-2x slower

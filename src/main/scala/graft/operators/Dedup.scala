@@ -60,15 +60,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word k-shingles as strings: ["a b c", "b c d", ...]; empty array when
-    * the document has fewer than k tokens.
+    * the document has fewer than k tokens (or is null, matching the old
+    * when/otherwise declarative formula).
+    *
+    * Native one-pass expression since round 10: the declarative
+    * formulation (`transform(sequence(...), i => array_join(slice(
+    * tokens(text), ...)))`) re-evaluated the token split inside its
+    * interpreted lambda on EVERY iteration — O(tokens²) per document,
+    * measured at 50s for 2M grams on 400-token docs (the split itself:
+    * 0.5s). Harmless on the ~150-token synthetic docs, a real hazard at
+    * web-document lengths. SketchExpressionsSpec pins native ==
+    * declarative on adversarial inputs (consecutive/trailing spaces,
+    * short docs, k=1, null).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= k,
-      transform(sequence(lit(0), size(ts) - k),
-        i => array_join(slice(ts, i + 1, lit(k)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shingles(text: Column, k: Int): Column =
+    coalesce(graft.functions.SketchFunctions.wordShingles(text, k),
+      array().cast(ArrayType(StringType)))
 
   // Deterministic 2-universal hash family: h_i(x) = (a_i*(x mod p)+b_i) mod p
   // with p = 2^31-1, so every intermediate fits in a long under ANSI mode.

@@ -148,6 +148,39 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(!r(2).isNullAt(0) && r(2).getSeq[Long](0).length == 8)
   }
 
+  test("WordShingles equals the declarative HOF formula on real docs " +
+    "and adversarial whitespace (the formula it replaced as Dedup." +
+    "shingles' implementation)") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // the superseded declarative formula, kept here as the executable spec
+    def hofShingles(text: Column, k: Int): Column = {
+      val ts = split(text, " ")
+      when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => array_join(slice(ts, i + 1, lit(k)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    import spark.implicits._
+    val adversarial = Seq("a b c d e", "a  b c", "a b ", " a b", "", "x",
+      "héllo wörld déjà vu", "a\tb c d", "  ", "one").toDF("text")
+    for (k <- Seq(1, 2, 3, 4)) {
+      for (frame <- Seq(adversarial, docs.select(col("text")))) {
+        val got = frame.select(
+          Dedup.shingles(col("text"), k).as("g"),
+          hofShingles(col("text"), k).as("w")).collect()
+        got.foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"k=$k diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        }
+      }
+    }
+    // null text: empty array, not null (the when/otherwise behavior)
+    val onNull = Seq(Option.empty[String]).toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("g")).collect()(0)
+    assert(!onNull.isNullAt(0) && onNull.getSeq[String](0).isEmpty)
+  }
+
   test("simhash of single-token text is that token's hash bits sign") {
     import spark.implicits._
     val r = Seq("hello").toDF("text")
