@@ -189,6 +189,58 @@ object Sketches {
     new GenericArrayData(out)
   }
 
+  /** Polynomial 31-rolling hash over CODE POINTS mod 2^31-1 in one pass
+    * — bit-identical to the declarative aggregate/transform/ascii
+    * formula it replaces, which was O(len²): UTF8String.substring is
+    * code-point indexed and scans from the string head on every call,
+    * inside an interpreted lambda. Spark's ascii() returns
+    * codePointAt(0) of the first character (checked against the 4.1.2
+    * bytecode), so iterating codePointAt with charCount steps replicates
+    * ascii(substr(i, 1)) exactly, supplementary planes included. Empty
+    * text hashes to 0; nulls are handled by the expression wrapper.
+    */
+  def rollingHash31(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Distinct character n-grams (code-point slices) in first-occurrence
+    * order — one pass, replacing transform(sequence(...),
+    * i => substr(i, n)) + array_distinct, which was O(len²) for the
+    * same substring-scan reason. Byte-offset slicing at code-point
+    * boundaries keeps non-ASCII intact; LinkedHashSet reproduces
+    * array_distinct's first-occurrence order. Empty below n code
+    * points.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val nb = text.numBytes()
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < nb) {
+      starts += i
+      i += UTF8String.numBytesForFirstByte(text.getByte(i))
+    }
+    starts += nb
+    val nChars = starts.length - 1
+    if (nChars < n) return new GenericArrayData(Array.empty[AnyRef])
+    val bytes = text.getBytes
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var t = 0
+    while (t + n <= nChars) {
+      seen.add(UTF8String.fromBytes(bytes, starts(t),
+        starts(t + n) - starts(t)))
+      t += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** MinHash signature over k-word shingles, one pass: shingle hashes are
     * xxhash64 of the joined shingle text mod p, then numHashes
     * (a*h+b) mod p minima. Coefficients regenerate Dedup.hashFamily
@@ -308,6 +360,33 @@ case class WordShingles(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
+/** rolling_hash_31(text): one-pass code-point rolling hash (see
+  * Sketches.rollingHash31). Null in, null out — the Column wrapper in
+  * TextAnalysis replicates the old formula's null/empty behavior.
+  */
+case class RollingHash31(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.rollingHash31(input.asInstanceOf[UTF8String])
+  override def prettyName: String = "rolling_hash_31"
+  override protected def withNewChildInternal(newChild: Expression): RollingHash31 =
+    copy(child = newChild)
+}
+
+/** char_ngrams(text): one-pass distinct code-point n-gram strings (see
+  * Sketches.charNgrams).
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.charNgrams(input.asInstanceOf[UTF8String], n)
+  override def prettyName: String = "char_ngrams"
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** shingle_hash_set(text): sorted distinct xxhash64 of each k-shingle;
   * empty array below k tokens.
   */
@@ -344,4 +423,12 @@ object SketchFunctions {
   /** Column API: one-pass native word-shingle strings. */
   def wordShingles(c: Column, shingleK: Int): Column =
     ColumnShim.toColumn(WordShingles(ColumnShim.toExpression(c), shingleK))
+
+  /** Column API: one-pass native code-point rolling hash. */
+  def rollingHash31(c: Column): Column =
+    ColumnShim.toColumn(RollingHash31(ColumnShim.toExpression(c)))
+
+  /** Column API: one-pass native distinct char n-grams. */
+  def charNgrams(c: Column, n: Int): Column =
+    ColumnShim.toColumn(CharNgrams(ColumnShim.toExpression(c), n))
 }

@@ -352,13 +352,16 @@ object Dedup {
 
   /** Character n-gram set of a text column (["abc","bcd",...]) — the
     * tokenization-free similarity unit, robust to scripts with no word
-    * boundaries. Empty below n chars.
+    * boundaries. Empty below n chars (or null, matching the old
+    * when/otherwise formula). Native one-pass expression since round
+    * 10: the declarative transform(sequence(...), i => substr(i, n)) +
+    * array_distinct was O(len²) per document for the same
+    * substring-scan reason as shingles/rollingHash
+    * (SketchExpressionsSpec pins parity, non-ASCII included).
     */
   def charNgrams(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    coalesce(graft.functions.SketchFunctions.charNgrams(text, n),
+      array().cast(ArrayType(StringType)))
 
   /** Jaccard of two precomputed element-set columns — the shared core of
     * every set-similarity verifier here (token sets, char-gram sets).

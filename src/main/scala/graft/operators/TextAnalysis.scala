@@ -79,16 +79,14 @@ object TextAnalysis {
     * bit-for-bit — x17's DuckDB oracle recomputes it with list_reduce.
     */
   def rollingHash(text: Column): Column =
-    // empty text hashes to 0; the guard also keeps sequence() away from
-    // the (1, 0) descending case. NULL text falls through to the
-    // aggregate, whose NULL input propagates NULL — matching what the
-    // x17 SQL oracle computes for a NULL row.
-    when(length(text) === 0, lit(0L))
-      .otherwise(aggregate(
-        transform(sequence(lit(1), length(text)),
-          i => ascii(text.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, c) => pmod(acc * 31L + c, lit(2147483647L))))
+    // Native one-pass expression since round 10: the declarative
+    // aggregate(transform(sequence(1, len), i => ascii(substr(i, 1))))
+    // was O(len²) per document — UTF8String.substring is code-point
+    // indexed and scans from the head on every call, inside an
+    // interpreted lambda. Identical values (SketchExpressionsSpec pins
+    // parity incl. supplementary planes): empty text → 0, NULL → NULL —
+    // matching what the x17 SQL oracle computes for a NULL row.
+    graft.functions.SketchFunctions.rollingHash31(text)
 
   /** Pipeline text cleanup: collapse whitespace, strip non-alphanumerics
     * (keeping spaces), lowercase — the normalization pass before

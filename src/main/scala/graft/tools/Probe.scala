@@ -40,6 +40,12 @@ object Probe {
       explode(graft.operators.Dedup.shingles(col("text"), 4)).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("g"))
       .repartition(col("doc_id")).dropDuplicates("doc_id", "g").count())
+    t("rolling_hash")(boiler.select(
+      graft.operators.TextAnalysis.rollingHash(col("text")).as("h"))
+      .agg(count(col("h"))).collect()(0).getLong(0))
+    t("char_ngrams")(boiler.select(
+      size(graft.operators.Dedup.charNgrams(col("text"), 3)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0))
     spark.stop()
   }
 }

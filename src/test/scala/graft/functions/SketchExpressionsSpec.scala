@@ -181,6 +181,49 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(!onNull.isNullAt(0) && onNull.getSeq[String](0).isEmpty)
   }
 
+  test("RollingHash31 and CharNgrams equal the declarative formulas " +
+    "they replaced — real docs, non-ASCII, supplementary planes, " +
+    "degenerate whitespace, null") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    // the superseded declarative formulas, kept as executable specs
+    def hofRolling(text: Column): Column =
+      when(length(text) === 0, lit(0L))
+        .otherwise(aggregate(
+          transform(sequence(lit(1), length(text)),
+            i => ascii(text.substr(i, lit(1))).cast("long")),
+          lit(0L),
+          (acc, c) => pmod(acc * 31L + c, lit(2147483647L))))
+    def hofNgrams(text: Column, n: Int): Column =
+      when(length(text) >= n,
+        array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    import spark.implicits._
+    val adversarial = Seq("hello world", "héllo wörld", "日本語のテキスト",
+      "a😀b😀a😀b", "  ", "", "x", "aaaa", "ab ab ab").toDF("text")
+    for (frame <- Seq(adversarial, docs.select(col("text")))) {
+      val got = frame.select(
+        Dedup.charNgrams(col("text"), 3).as("gN"),
+        hofNgrams(col("text"), 3).as("gH"),
+        graft.operators.TextAnalysis.rollingHash(col("text")).as("rN"),
+        hofRolling(col("text")).as("rH")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"ngrams diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        assert(r.getLong(2) == r.getLong(3),
+          s"rolling hash diverged: ${r.getLong(2)} vs ${r.getLong(3)}")
+      }
+    }
+    // null text: ngrams empty array, rolling hash NULL (both formulas)
+    val onNull = Seq(Option.empty[String]).toDF("text").select(
+      Dedup.charNgrams(col("text"), 3).as("g"),
+      graft.operators.TextAnalysis.rollingHash(col("text")).as("r"))
+      .collect()(0)
+    assert(!onNull.isNullAt(0) && onNull.getSeq[String](0).isEmpty)
+    assert(onNull.isNullAt(1))
+  }
+
   test("simhash of single-token text is that token's hash bits sign") {
     import spark.implicits._
     val r = Seq("hello").toDF("text")
