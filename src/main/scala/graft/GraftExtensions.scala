@@ -40,6 +40,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "approx_top_k_ss(col, k, capacity) - SpaceSaving heavy hitters"),
       (args: Seq[Expression]) => graft.functions.ApproxTopK(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(text, k) - k-token shingle strings, one pass"),
+      (args: Seq[Expression]) => graft.functions.WordShingles(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("rolling_hash_31"),
+      info("rolling_hash_31",
+        "rolling_hash_31(text) - code-point 31-rolling hash mod 2^31-1"),
+      (args: Seq[Expression]) => graft.functions.RollingHash31(args.head)))
+    e.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams",
+        "char_ngrams(text, n) - distinct char n-grams, first-occurrence order"),
+      (args: Seq[Expression]) => graft.functions.CharNgrams(args(0),
+        args(1).eval().asInstanceOf[Int])))
   }
 }
 

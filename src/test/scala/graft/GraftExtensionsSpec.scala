@@ -35,6 +35,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == viaCol)
   }
 
+  test("word_shingles / rolling_hash_31 / char_ngrams resolve in SQL " +
+    "and agree with the Column API") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq("the quick brown fox", "héllo wörld a b")
+      .toDF("text").createOrReplaceTempView("ext_text_t")
+    val got = spark.sql(
+      """SELECT word_shingles(text, 2) AS ws,
+        |       rolling_hash_31(text) AS rh,
+        |       char_ngrams(text, 3) AS cg
+        |FROM ext_text_t""".stripMargin).collect()
+    val viaCol = spark.table("ext_text_t").select(
+      operators.Dedup.shingles($"text", 2).as("ws"),
+      operators.TextAnalysis.rollingHash($"text").as("rh"),
+      operators.Dedup.charNgrams($"text", 3).as("cg")).collect()
+    got.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getSeq[String](0) == b.getSeq[String](0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getSeq[String](2) == b.getSeq[String](2))
+    }
+    assert(got(0).getSeq[String](0) ==
+      Seq("the quick", "quick brown", "brown fox"))
+  }
+
   test("approx_top_k_ss aggregate resolves in SQL") {
     import spark.implicits._
     val hasExt = spark.sessionState.functionRegistry

@@ -200,8 +200,18 @@ class SketchExpressionsSpec extends SparkTestBase {
           i => text.substr(i, lit(n)))))
         .otherwise(array().cast(ArrayType(StringType)))
     import spark.implicits._
-    val adversarial = Seq("hello world", "héllo wörld", "日本語のテキスト",
-      "a😀b😀a😀b", "  ", "", "x", "aaaa", "ab ab ab").toDF("text")
+    // seeded pseudo-random fuzz over a mixed alphabet (spaces, ASCII,
+    // accents, CJK, a supplementary-plane emoji) — 200 strings of
+    // length 0-40, deterministic across runs
+    val rnd = new scala.util.Random(42)
+    // string units, not chars — keeps the emoji's surrogate pair intact
+    val alphabet = Seq("a", "b", " ", "c", "é", "ö", "日", "😀", "x", " ")
+    val fuzz = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(41))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    val adversarial = (Seq("hello world", "héllo wörld", "日本語のテキスト",
+      "a😀b😀a😀b", "  ", "", "x", "aaaa", "ab ab ab") ++ fuzz).toDF("text")
     for (frame <- Seq(adversarial, docs.select(col("text")))) {
       val got = frame.select(
         Dedup.charNgrams(col("text"), 3).as("gN"),
