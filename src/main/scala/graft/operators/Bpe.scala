@@ -186,7 +186,16 @@ object Bpe {
       batch: Int = 1): TrainResult = {
     require(iters >= 0, "iters must be >= 0")
     require(batch >= 1, "batch must be >= 1")
+    // A vocabulary is small in BYTES (AQE coalesces a few-MB frame to
+    // ~1 partition) but the merge loop's cost is per-ROW-per-merge: the
+    // chained regex projection over a single partition serializes the
+    // whole round (measured: the 8k-merge run sat at load ~3/32 and
+    // 13.5s/round). Spread the rows across the session's parallelism
+    // once, up front — projections are narrow, so the partitioning
+    // persists through every round's checkpoint.
+    val par = words.sparkSession.sparkContext.defaultParallelism
     var sym = initSymbols(words.filter(!col("w").contains(SEP)))
+      .repartition(par)
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
