@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -311,7 +311,7 @@ case class SimHashMd5_60(child: Expression) extends UnaryExpression {
   * the document has fewer than shingleK tokens.
   */
 case class MinHashSignature(child: Expression, shingleK: Int,
-    numHashes: Int) extends UnaryExpression with CodegenFallback {
+    numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -329,9 +329,29 @@ case class MinHashSignature(child: Expression, shingleK: Int,
     (a, b)
   }
 
+  /** Public for generated code: the coefficient family lives on this
+    * instance, so codegen calls back through an object reference
+    * (ctx.addReferenceObj) rather than a static — the instance-state
+    * variant of SimHash64's static-call pattern.
+    */
+  def evalSig(text: UTF8String): ArrayData =
+    Sketches.minhashSig(text, shingleK, as, bs)
+
   override def nullSafeEval(input: Any): Any =
-    Sketches.minhashSig(input.asInstanceOf[UTF8String], shingleK, as, bs)
+    evalSig(input.asInstanceOf[UTF8String])
   override def prettyName: String = "minhash_signature"
+  // the sketch itself returns null below shingleK tokens, so the
+  // generated code must re-check for null AFTER the call — plain
+  // defineCodeGen would leave isNull false and hand downstream
+  // operators a null ArrayData
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSignature", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.evalSig($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
@@ -351,11 +371,14 @@ case class MinHashSignature(child: Expression, shingleK: Int,
   * the equivalence).
   */
 case class WordShingles(child: Expression, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Sketches.wordShingles(input.asInstanceOf[UTF8String], shingleK)
   override def prettyName: String = "word_shingles"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.wordShingles($c, $shingleK)")
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
@@ -365,11 +388,14 @@ case class WordShingles(child: Expression, shingleK: Int)
   * TextAnalysis replicates the old formula's null/empty behavior.
   */
 case class RollingHash31(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
     Sketches.rollingHash31(input.asInstanceOf[UTF8String])
   override def prettyName: String = "rolling_hash_31"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.rollingHash31($c)")
   override protected def withNewChildInternal(newChild: Expression): RollingHash31 =
     copy(child = newChild)
 }
@@ -378,11 +404,14 @@ case class RollingHash31(child: Expression)
   * Sketches.charNgrams).
   */
 case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Sketches.charNgrams(input.asInstanceOf[UTF8String], n)
   override def prettyName: String = "char_ngrams"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.charNgrams($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
@@ -391,11 +420,14 @@ case class CharNgrams(child: Expression, n: Int)
   * empty array below k tokens.
   */
 case class ShingleHashSet(child: Expression, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Sketches.shingleHashSet(input.asInstanceOf[UTF8String], shingleK)
   override def prettyName: String = "shingle_hash_set"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.shingleHashSet($c, $shingleK)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
     copy(child = newChild)
 }

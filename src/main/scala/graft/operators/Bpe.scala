@@ -46,17 +46,21 @@ object Bpe {
       .filter(!col("w").contains(SEP))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** Words as symbol sequences, initial state: one symbol per character.
-    * Explicit substr enumeration, not split(w, "") — the regex split
-    * keeps a trailing empty match (Java Pattern.split with limit -1),
-    * which would inject a phantom "" symbol into every word.
+  /** Words as symbol sequences, initial state: one symbol per character
+    * (code point). One-pass native (CharSplit): the previous per-index
+    * `substr` enumeration scanned from the string head per character —
+    * O(len²) code-point steps per word, harmless at the ≤21-char words
+    * this corpus measures but ruinous on a degenerate 10⁴-char "word"
+    * (URL, DNA string, no-space CJK run): 10⁸ scans in one row.
+    * (Not split(w, "") either — the regex split keeps a trailing empty
+    * match, injecting a phantom "" symbol into every word.) The empty
+    * word stays an empty array; a null word (can't arise from
+    * wordFreqs) keeps the old formula's null -> empty behavior.
     */
   def initSymbols(words: DataFrame): DataFrame =
     words.withColumn("syms",
-      when(length(col("w")) >= 1,
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))))
-        .otherwise(array().cast(ArrayType(StringType))))
+      coalesce(graft.functions.BpeFunctions.charSplit(col("w")),
+        array().cast(ArrayType(StringType))))
 
   /** (a, b, cnt): adjacent symbol-pair counts over the weighted
     * vocabulary, with multiplicity — "a a a" contributes the (a,a)
@@ -82,6 +86,13 @@ object Bpe {
     * Implemented as join/replace/split on a SEP-separated string
     * (wordFreqs guarantees no symbol contains SEP), so the whole step
     * stays a codegen'd per-row expression.
+    *
+    * Since round 11 the training loop applies whole batches via the
+    * one-pass BatchMergePairs native; mergeOnce remains the
+    * independently-derived SEMANTIC REFERENCE the batched path is
+    * parity-pinned against (BpeSpec's replay and fuzz tests) — a regex
+    * formulation and a scan formulation agreeing on random inputs is
+    * the strongest cheap evidence both encode standard BPE.
     *
     * The pattern is anchored to symbol boundaries on BOTH sides: an
     * unanchored literal would also match where `a` is a suffix of the
@@ -141,7 +152,9 @@ object Bpe {
     * `batch` merges per round: each round counts pairs once, collects a
     * small ranked candidate slice, greedily takes the top-`batch`
     * pairwise-non-conflicting pairs (selectNonConflicting), applies them
-    * as one chained codegen'd projection, and records them. batch=1 is
+    * as ONE one-pass codegen'd projection (BatchMergePairs — constant
+    * plan depth per round however large the batch), and records them.
+    * batch=1 is
     * exactly classic sequential BPE; batch>1 trades exactness of the
     * merge ORDER for an iters/batch reduction in driver round-trips
     * (identical results whenever the top pairs don't share symbols —
@@ -219,7 +232,16 @@ object Bpe {
         if (chosen.size < want && ranked.size >= slice && overCollect < 64)
           overCollect *= 2
         merges ++= chosen
-        sym = chosen.foldLeft(sym) { case (s, (a, b)) => mergeOnce(s, a, b) }
+        // ONE plan node per round regardless of batch size: the round-10
+        // foldLeft of mergeOnce chained `batch` regexp_replace
+        // projections, so each round re-planned/re-codegen'd a 256-deep
+        // expression tree (measured 6.1 s/round of pure driver time at
+        // 8,192 merges) and each vocab row ran `batch` regex passes.
+        // BatchMergePairs applies the whole non-conflicting batch in one
+        // left-to-right scan — equivalence to the sequential foldLeft is
+        // argued in its scaladoc and pinned by BpeSpec's replay test.
+        sym = sym.withColumn("syms",
+          graft.functions.BpeFunctions.batchMergePairs(col("syms"), chosen))
           .localCheckpoint(false)
       }
     }

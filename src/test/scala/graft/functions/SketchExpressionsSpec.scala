@@ -242,4 +242,60 @@ class SketchExpressionsSpec extends SparkTestBase {
     // with one token, votes are the token's bits: simhash == token hash
     assert(r.getLong(0) == r.getLong(1))
   }
+
+  test("every native's generated code COMPILES and matches interpreted " +
+    "eval (Catalyst silently falls back to interpreted eval when " +
+    "doGenCode output fails to compile, so DataFrame-level parity " +
+    "alone cannot catch a broken doGenCode — GenerateUnsafeProjection " +
+    "has no fallback and throws)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val text = BoundReference(0, StringType, nullable = true)
+    val strExprs = Seq(
+      SimHash64(text), SimHashMd5_60(text), WordShingles(text, 3),
+      RollingHash31(text), CharNgrams(text, 3), ShingleHashSet(text, 3),
+      MinHashSignature(text, 3, 16), CharSplit(text))
+    // this line IS the compile assertion: no interpreted fallback here
+    val proj = GenerateUnsafeProjection.generate(strExprs)
+    def norm(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (a: ArrayData, ArrayType(LongType, _)) => a.toLongArray.toSeq
+      case (a: ArrayData, ArrayType(StringType, _)) =>
+        a.toObjectArray(StringType).map(String.valueOf).toSeq
+      case (other, _) => other
+    }
+    for (s <- Seq("a b c d e", "", "x", null, "é 字 a b ω", " a  b ",
+        "tok " * 40)) {
+      val row = InternalRow(
+        if (s == null) null else UTF8String.fromString(s))
+      val out = proj(row)
+      strExprs.zipWithIndex.foreach { case (e, i) =>
+        val interp = norm(e.eval(row), e.dataType)
+        val gen = if (out.isNullAt(i)) null
+          else norm(out.get(i, e.dataType), e.dataType)
+        assert(gen == interp, s"${e.prettyName} on ${String.valueOf(s)}")
+      }
+    }
+    // BatchMergePairs takes an array input — same check on its own
+    val syms = BoundReference(0, ArrayType(StringType), nullable = true)
+    val bm = BatchMergePairs(syms, Seq("a" -> "b", "c" -> "d", "字" -> "ω"))
+    val projA = GenerateUnsafeProjection.generate(Seq(bm))
+    for (in <- Seq(Seq("a", "b", "c", "d"), Seq("a", "a", "b", "b"),
+        Seq("字", "ω", "字"), Seq.empty[String], null)) {
+      val row = InternalRow(
+        if (in == null) null
+        else new GenericArrayData(
+          in.map(UTF8String.fromString).toArray[Any]))
+      val out = projA(row)
+      val interp = norm(bm.eval(row), bm.dataType)
+      val gen = if (out.isNullAt(0)) null
+        else norm(out.get(0, bm.dataType), bm.dataType)
+      assert(gen == interp, s"batch_merge_pairs on $in")
+    }
+  }
 }

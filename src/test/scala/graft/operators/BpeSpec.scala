@@ -179,6 +179,59 @@ class BpeSpec extends SparkTestBase {
     assert(r.merges == Bpe.train(heavy, "text", iters, batch)._1)
   }
 
+  test("BatchMergePairs equals sequential mergeOnce application on " +
+    "random symbol sequences and random non-conflicting batches (the " +
+    "scan formulation vs the regex formulation, 200 seeded cases)") {
+    import graft.functions.BpeFunctions
+    val rnd = new scala.util.Random(4242)
+    val alphabet = Vector("a", "b", "c", "d", "aa", "ab", "bc", "cd", "Ω", "字")
+    for (_ <- 0 until 10) {
+      // random sequences over a small alphabet so merges actually hit
+      val seqs = (0 until 20).map { i =>
+        (0 to rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+      }
+      // random candidate list -> the loop's own conflict filter picks a
+      // valid batch (including multi-char and non-ASCII symbols)
+      val cands = (0 until 8).map(_ =>
+        (alphabet(rnd.nextInt(alphabet.size)),
+          alphabet(rnd.nextInt(alphabet.size))))
+      val batch = Bpe.selectNonConflicting(cands.distinct, 4)
+      if (batch.nonEmpty) {
+        val df = seqs.zipWithIndex.map { case (s, i) => (i, s) }
+          .toDF("id", "syms")
+        val native = df.withColumn("syms",
+          BpeFunctions.batchMergePairs(org.apache.spark.sql.functions.col("syms"), batch))
+        val regex = batch.foldLeft(df) { case (s, (a, b)) =>
+          Bpe.mergeOnce(s, a, b) }
+        val nm = native.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+        val rm = regex.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+        assert(nm == rm, s"batch=$batch")
+      }
+    }
+  }
+
+  test("initSymbols is one-pass: a 10k-char degenerate word splits " +
+    "into 10k single-char symbols in well under a second (the per-" +
+    "index substr formulation cost O(len^2) head-scans)") {
+    val word = ("ab" * 4999) + "Ω字" // 10k code points, non-ASCII tail
+    val df = Seq((word, 1L)).toDF("w", "freq")
+    val t0 = System.nanoTime()
+    val syms = Bpe.initSymbols(df).select("syms").as[Seq[String]]
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(syms.length == 10000)
+    assert(syms.take(2) == Seq("a", "b") && syms.takeRight(2) == Seq("Ω", "字"))
+    // one merge round over the long word must also stay cheap
+    val (merges, sym) = {
+      val words = Bpe.wordFreqs(Seq((0L, word)).toDF("doc_id", "text"), "text")
+      val r = Bpe.trainFromFreqs(words, 1, batch = 1)
+      (r.merges, r.syms)
+    }
+    assert(merges == Seq(("a", "b")))
+    assert(sym.select("syms").as[Seq[String]].collect().head.length == 5001)
+    assert(sec < 5.0, f"initSymbols took $sec%.2f s")
+  }
+
   test("train issues one driver action per ROUND: iters=64 at batch=16 " +
     "is at most iters/batch + 1 actions, not one per merge") {
     // count job-launching actions only: the lazy per-round checkpoint
