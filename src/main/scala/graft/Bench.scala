@@ -74,6 +74,25 @@ object Bench {
     !tries.exists(_ < 0) && (tries.isEmpty ||
       (tries.size < maxTries && tries.min > nominal * factor))
 
+  /** The OTHER congestion signature (VERDICT r10 nit 2): a uniformly-
+    * moderate window inflates many queries 1.5-2.9x their clean nominal
+    * without pushing ANY single one past the outlier threshold
+    * (max(3x median, 2s) — the median itself rises with the tide), so
+    * no retry ever halves and the direct-evidence trigger stays silent.
+    * When at least `minCount` nominal-carrying queries sit above
+    * `factor` x nominal, that many simultaneous exceedances is itself
+    * the evidence — on a clean host the per-query noise that crosses
+    * 1.5x is rare and uncorrelated (r10's two judge runs: 0 and 1
+    * crossers of 106), so 8 concurrent crossers is far outside clean
+    * behavior while still far below what a real window produces
+    * (BENCH_r10's congested run had 22).
+    */
+  def uniformlySlow(results: Seq[(String, Double)],
+      nominals: Map[String, Double], factor: Double = 1.5,
+      minCount: Int = 8): Boolean =
+    results.count { case (n, t) => t >= 0 &&
+      nominals.get(n).exists(nom => t > nom * factor) } >= minCount
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,7 +146,7 @@ object Bench {
         val t0 = System.nanoTime()
         val elapsed =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
           }
@@ -152,17 +171,21 @@ object Bench {
         val retry =
           try { SparkEntry.queries(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch { case scala.util.control.NonFatal(_) => -1.0 }
         name -> ((first, retry))
       }
-    val suspect = retried.exists { case (_, (first, retry)) =>
+    val halvedRetry = retried.exists { case (_, (first, retry)) =>
       retry >= 0 && retry < first / 2 }
-    // Widened pass (the BENCH_r09 blind spot): when the outlier pass has
-    // DIRECT evidence of congestion, re-measure everything above 1.5x
-    // its recorded clean nominal instead of trusting the flat canaries —
-    // load-dependent congestion inflates the heavy queries while the
-    // tiny canary stays flat, so normalization alone cannot see it.
+    // Widened pass (the BENCH_r09 blind spot): when there is evidence of
+    // congestion, re-measure everything above 1.5x its recorded clean
+    // nominal instead of trusting the flat canaries — load-dependent
+    // congestion inflates the heavy queries while the tiny canary stays
+    // flat, so normalization alone cannot see it. Evidence is either
+    // DIRECT (a retry halved a first-run time) or DISTRIBUTIONAL (many
+    // queries moderately over nominal at once — the uniform window that
+    // fires no single outlier, see uniformlySlow).
     val nominals = BenchNominals.forDir(sfDir)
+    val suspect = halvedRetry || uniformlySlow(results, nominals)
     val widened: Seq[(String, (Double, Double))] =
       if (!suspect) Seq.empty
       else widenRetrySet(results, retried.map(_._1).toSet, nominals)
@@ -171,10 +194,12 @@ object Bench {
           val tries = scala.collection.mutable.ArrayBuffer.empty[Double]
           while (needsAnotherRetry(nominals(name), tries.toSeq)) {
             val t0 = System.nanoTime()
+            // NonFatal only: an OOM or interrupt must fail the bench
+            // run, not be recorded as a "failed query" sentinel
             tries +=
               (try { SparkEntry.queries(name)(spark, sfDir).count()
                 (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => -1.0 })
+              catch { case scala.util.control.NonFatal(_) => -1.0 })
           }
           val good = tries.filter(_ >= 0)
           name -> ((first, if (good.nonEmpty) good.min else -1.0))

@@ -13,8 +13,13 @@ package graft
 object BenchNominals {
 
   /** Nominals apply only to the SF they were measured at. */
-  def forDir(sfDir: String): Map[String, Double] =
-    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) sf01 else Map.empty
+  def forDir(sfDir: String): Map[String, Double] = {
+    // basename EQUALITY, not endsWith: ".../xsf0.1" is a different
+    // dataset and applying sf0.1 nominals to it would trigger spurious
+    // widened retries (self-correcting but wasted re-runs)
+    val base = sfDir.replaceAll("/+$", "").split('/').last
+    if (base == "sf0.1") sf01 else Map.empty
+  }
 
   val sf01: Map[String, Double] = Map(
     "r01_scan_project" -> 0.179,

@@ -146,6 +146,12 @@ object Replicas {
     * shares the bot's stream and the sessions == events property is
     * exact (an existing id would interleave its organic events at their
     * original timestamps and merge some into sessions).
+    *
+    * Scaling bound (fixture generator, not a pipeline): the spacing
+    * index is a row_number over an UNPARTITIONED window, funneling all
+    * hot events (~1M rows on the x100 slice) through one task. Fine at
+    * flow sizes; if generation ever becomes the bottleneck, derive the
+    * index from a per-partition zipWithIndex-style offset instead.
     */
   def sparseBotEvents(src: DataFrame, gapSeconds: Long,
       hotEvery: Int = 10, hotUser: Long = -1L): DataFrame = {

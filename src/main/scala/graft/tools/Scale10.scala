@@ -481,6 +481,51 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, 8192, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":32,"sec":${f(sec1)}}""")
+    } else if (only("longdocs")) {
+      // Long-document linearity ledger (VERDICT r10 task 3): the graded
+      // corpus is ~150 tokens/doc, which is exactly why three O(len²)
+      // quadratics survived nine rounds. This flow re-times the native
+      // text paths on web-document lengths — 2k and 10k tokens/doc
+      // (boilerplate-repeated sf0.1 docs, 500 each) — so SCALE.md
+      // carries measured rows where per-doc superlinearity would show
+      // as a >>5x step between the two lengths. PlanSpec pins the
+      // natives in the graded plans; this pins their cost shape.
+      val docs01 = spark.read.parquet(s"$SRC/documents.parquet")
+        .filter(col("doc_id") < 500)
+      for (nTok <- Seq(2000, 10000)) {
+        val boiler = docs01.withColumn("text",
+          array_join(array_repeat(
+            array_join(slice(split(col("text"), " "), 1, 8), " "),
+            nTok / 8), " "))
+          .localCheckpoint()
+        def timeIt(name: String, run: () => Long): Unit = {
+          run() // warm
+          val t0 = System.nanoTime()
+          val rows = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"longdocs","tokens":$nTok,"pipeline":"$name","sec":${f(sec)},"rows":$rows}""")
+        }
+        timeIt("shingles_explode", () => boiler.select(
+          explode(Dedup.shingles(col("text"), 4)).as("g")).count())
+        timeIt("rolling_hash", () => boiler.select(
+          graft.operators.TextAnalysis.rollingHash(col("text")).as("h"))
+          .agg(count(col("h"))).collect()(0).getLong(0))
+        timeIt("char_ngrams", () => boiler.select(
+          size(Dedup.charNgrams(col("text"), 3)).as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0))
+        timeIt("minhash_sig", () => boiler.select(
+          graft.functions.SketchFunctions
+            .minhashSignature(col("text"), 3, 32).as("s"))
+          .agg(count(col("s"))).collect()(0).getLong(0))
+        timeIt("repetition_signals", () =>
+          graft.operators.Repetition.signals(boiler, "doc_id", "text")
+            .count())
+        timeIt("decontaminate", () =>
+          Decontaminate.overlapHits(
+            boiler.filter(col("doc_id") % 97 =!= 0),
+            boiler.filter(col("doc_id") % 97 === 0),
+            "doc_id", "text", 4).count())
+      }
     } else if (only("botgap")) {
       // Sparse-bot corner of sessionsChunked (VERDICT r9 task 3): the
       // skew100 hot user is DENSE (few sessions over many chunks), which

@@ -95,6 +95,32 @@ class BenchBudgetSpec extends SparkTestBase {
       Map("z" -> 1.0, "b" -> 1.0)) == Seq("b", "z"))
   }
 
+  test("uniformlySlow fires on a uniformly-moderate congestion window " +
+    "(many 1.5-2.9x exceedances, no single outlier) and stays silent " +
+    "on clean runs, sparse noise, and nominal-less inventories") {
+    val nominals = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // the r10 residual: everything ~2x nominal, nothing crossing the
+    // max(3x median, 2s) outlier threshold -> no halved retry, but the
+    // widened pass must still fire
+    val uniform = (1 to 20).map(i => s"q$i" -> 2.0)
+    assert(Bench.uniformlySlow(uniform, nominals))
+    // clean run: everything within noise of nominal
+    val clean = (1 to 20).map(i => s"q$i" -> 1.1)
+    assert(!Bench.uniformlySlow(clean, nominals))
+    // sparse noise: a few uncorrelated crossers stay under minCount
+    val sparse = (1 to 20).map(i =>
+      s"q$i" -> (if (i <= 5) 2.0 else 1.0))
+    assert(!Bench.uniformlySlow(sparse, nominals))
+    // exactly minCount crossers fires; failures and nominal-less
+    // queries never count
+    val atThreshold = (1 to 20).map(i =>
+      s"q$i" -> (if (i <= 8) 2.0 else 1.0))
+    assert(Bench.uniformlySlow(atThreshold, nominals))
+    val withFailures = (1 to 20).map(i => s"q$i" -> -1.0)
+    assert(!Bench.uniformlySlow(withFailures, nominals))
+    assert(!Bench.uniformlySlow(uniform, Map.empty))
+  }
+
   test("needsAnotherRetry: measure once always, stop as soon as a " +
     "re-measurement lands within 1.5x nominal or fails, cap the tries") {
     assert(Bench.needsAnotherRetry(1.0, Seq.empty))          // first try

@@ -441,6 +441,35 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("long-doc regression pin: the one-pass native text expressions " +
+    "stay in the hot pipeline plans — a 'cleaner' declarative " +
+    "reformulation of shingles/rolling-hash/ngrams/char-split would " +
+    "reintroduce the O(len²)-per-document cost the ~150-token graded " +
+    "corpus can never surface (it took nine rounds to find the first " +
+    "time; see SCALE.md round-10). x05 carries no pin: its Jaccard is " +
+    "WORD-level (split+array ops, linear per doc), not shingled") {
+    import graft.functions._
+    def nativesOf(df: DataFrame): Set[String] =
+      graft.tools.Plans.deepNodes(df.queryExecution.executedPlan)
+        .flatMap(_.expressions.flatMap(_.collect {
+          case e @ (_: WordShingles | _: RollingHash31 | _: CharNgrams |
+            _: ShingleHashSet | _: MinHashSignature | _: CharSplit |
+            _: SimHash64 | _: SimHashMd5_60) => e.getClass.getSimpleName
+        })).toSet
+    def pin(query: String, expected: String*): Unit = {
+      val got = nativesOf(q(query))
+      expected.foreach(e => assert(got.contains(e),
+        s"$query lost the $e native (plan now has: $got)"))
+    }
+    pin("x06_dedup_minhash", "MinHashSignature", "ShingleHashSet")
+    pin("x07_dedup_simhash", "SimHashMd5_60")
+    pin("x17_text_rolling_hash", "RollingHash31")
+    pin("x27_char_ngram_pairs", "CharNgrams")
+    pin("x37_decontaminate", "WordShingles")
+    pin("x40_repetition_signals", "WordShingles")
+    pin("x42_bpe_pairs", "CharSplit")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

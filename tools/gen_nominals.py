@@ -52,6 +52,11 @@ new = re.sub(
     block, src, count=1)
 if new == src and "Map.empty" in src:
     new = src.replace("  val sf01: Map[String, Double] = Map.empty\n", block)
+if new == src:
+    # the regex matched nothing (formatting drift?) — a silent no-op
+    # would leave stale nominals in place while still printing success
+    sys.exit(f"refusing: no substitution made in {path} "
+             "(map block not found; check the regex against the file)")
 with open(path, "w") as fh:
     fh.write(new)
 print(f"wrote {len(queries)} nominals to {path}")
