@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * skew-join splitting isn't available (aggregations, or joins whose
   * skew AQE can't see at plan time).
   *
+  * Measured against AQE on the zipfian slice (SCALE.md round-11): for
+  * a plain equi-join AQE's targeted split WINS (1.25s vs saltedJoin's
+  * 2.02s vs 3.69s unmitigated) — prefer it where it applies. These
+  * stay because (a) aggregation skew has no AQE rule (saltedCountSum
+  * is the only groupBy mitigation), and (b) AQE's byte-based trigger
+  * (256MB/5x defaults) needs runtime stats, thresholds matched to the
+  * data scale, and AQE on — saltedJoin guarantees the spread
+  * structurally, whatever the deployment.
+  *
   * - saltedAggregate: two-phase aggregation. Phase 1 groups on
   *   (key, salt) so one hot key's rows spread over `salts` reducers;
   *   phase 2 merges the partials per key. Works for any algebraic

@@ -481,6 +481,93 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, 8192, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":32,"sec":${f(sec1)}}""")
+    } else if (only("skewjoin")) {
+      // AQE skew-join vs the manual salt (VERDICT r10 task 5): does
+      // Spark's runtime skew splitting subsume Skew.saltedJoin? Shape:
+      // the 10M-row skew slice (10% of events on ONE user) shuffle-
+      // joined to a per-user dimension too wide to broadcast — the hot
+      // user's probe rows land on one SMJ task unless something splits
+      // them. Three runs on identical checkpointed inputs:
+      //   plain_skew_off — the unmitigated straggler baseline
+      //   plain_skew_on  — AQE splits the skewed partition at runtime
+      //   salted_8       — Skew.saltedJoin (AQE skew split off, so the
+      //                    salt stands alone)
+      // AQE's DEFAULT skew trigger (partition > 256MB AND > 5x median)
+      // never fires at this slice's ~50MB hot partition — at 100 TB the
+      // hot partition is GBs and it does — so the thresholds are
+      // lowered to engage the same MECHANISM at bench scale (8MB/2x,
+      // advisory split 4MB; recorded here, not hidden).
+      val dir100 = s"$outDir-e100"
+      if (!new java.io.File(s"$dir100/events.parquet").isDirectory) {
+        genEvents(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/events.parquet"}""")
+      }
+      val skewDir = s"$outDir-e100skew"
+      if (!new java.io.File(s"$skewDir/events.parquet").isDirectory) {
+        Replicas.skewEvents(
+            spark.read.parquet(s"$dir100/events.parquet"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        println(s"""{"generated":"$skewDir/events.parquet"}""")
+      }
+      // props rides along: events carry their JSON payload through a
+      // profile join in real pipelines, and the wider rows make the
+      // straggler's cost visible at bench scale
+      val ev = spark.read.parquet(s"$skewDir/events.parquet")
+        .select("event_id", "user_id", "event_type", "props")
+        .localCheckpoint()
+      // per-user dim, padded past the broadcast threshold (~1M users x
+      // 128B payload): forces the shuffle join a profile/feature table
+      // of this width would force for real
+      val dim = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"))
+        .withColumn("payload", lpad(col("user_id").cast("string"), 128, "x"))
+        .localCheckpoint()
+      def conf(k: String, v: String): Unit = spark.conf.set(k, v)
+      def joined(salted: Boolean): org.apache.spark.sql.DataFrame =
+        if (salted)
+          graft.operators.Skew.saltedJoin(ev, dim, "user_id", "event_id", 8)
+        else ev.join(dim, "user_id")
+      def run(name: String, skewOn: Boolean, salted: Boolean): Unit = {
+        conf("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "1MB")
+        conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        conf("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        try {
+          // materialize via the plan's own RDD: df.count() would execute
+          // a DIFFERENT query (an aggregate over the join) and leave
+          // df's AdaptiveSparkPlan un-finalized (isFinalPlan=false, no
+          // AQE reads to inspect) — the introspection below needs THIS
+          // plan executed, and an RDD count never collects the rows
+          def exec(df: org.apache.spark.sql.DataFrame): Long =
+            df.queryExecution.executedPlan.execute().count()
+          exec(joined(salted)) // warm
+          val t0 = System.nanoTime()
+          val df = joined(salted)
+          val rows = exec(df)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val skewed = Plans.deepNodes(df.queryExecution.executedPlan)
+            .exists {
+              case r: org.apache.spark.sql.execution.adaptive
+                  .AQEShuffleReadExec => r.hasSkewedPartition
+              case _ => false
+            }
+          val joins = Plans.joinStrategies(df).map { case (k, v) =>
+            s""""$k":$v""" }.mkString("{", ",", "}")
+          println(s"""{"flow":"skewjoin","pipeline":"$name","sec":${f(sec)},"rows":$rows,"aqe_split_skew":$skewed,"joins":$joins}""")
+        } finally {
+          conf("spark.sql.adaptive.skewJoin.enabled", "true")
+          conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256MB")
+          conf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+          conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        }
+      }
+      run("plain_skew_off", skewOn = false, salted = false)
+      run("plain_skew_on", skewOn = true, salted = false)
+      run("salted_8", skewOn = false, salted = true)
     } else if (only("longdocs")) {
       // Long-document linearity ledger (VERDICT r10 task 3): the graded
       // corpus is ~150 tokens/doc, which is exactly why three O(len²)
