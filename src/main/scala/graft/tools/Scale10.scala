@@ -481,6 +481,92 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, 8192, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":32,"sec":${f(sec1)}}""")
+    } else if (only("streamscale")) {
+      // Streaming state under volume (VERDICT r10 task 4): parity is
+      // proven at sf0.001 (StreamingSpec); here the x10 events slice
+      // (1M rows) runs through the REAL streaming engine as 16
+      // event-time-ordered micro-batches — a day of traffic arriving
+      // the way a stream arrives — recording the state store's
+      // rows/bytes/evictions per batch. Three invariants, require()d:
+      //  - parity: emitted sessions == the batch operator's output,
+      //    bit-for-bit, at 10x the proven volume (in-order arrival
+      //    makes the event-time timeout safe: a batch's watermark
+      //    trails its slice start, so an in-gap follow-up event always
+      //    arrives before its session's timeout can fire);
+      //  - eviction: numRowsRemoved > 0 across the run — the
+      //    event-time TTL actually frees quiet users' state under
+      //    load, not just in the unit test;
+      //  - drainage: after the sentinel flush the store holds only the
+      //    sentinel users' state (<= 2 rows) — state is bounded by
+      //    OPEN sessions, nothing leaks.
+      val ev = spark.read.parquet(s"$outDir/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .localCheckpoint()
+      val (tminUs, tmaxUs) = {
+        val r = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val nSlices = 16
+      val stepUs = (tmaxUs - tminUs) / nSlices + 1
+      val srcDir = s"$outDir-streamsrc/${System.nanoTime()}"
+      def slice(i: Int) = ev.filter(
+        unix_micros(col("ts")) >= tminUs + i.toLong * stepUs &&
+          unix_micros(col("ts")) < tminUs + (i + 1).toLong * stepUs)
+      slice(0).coalesce(1).write.mode("append").parquet(srcDir)
+      val src = spark.readStream.schema(graft.streaming.StreamOps.eventSchema)
+        .parquet(srcDir)
+        .withWatermark("ts", "1 second")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.statefulSessions(spark, src, 1800L)
+        .writeStream.format("memory").queryName("streamscale")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      for (i <- 1 until nSlices) {
+        slice(i).coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // two far-future sentinels timeout-flush every real session
+      // (StreamingSpec's deterministic-flush pattern)
+      def sentinel(user: Long, us: Long) =
+        spark.range(1).select(lit(-user).as("event_id"),
+          timestamp_micros(lit(us)).as("ts"), lit(user).as("user_id"),
+          lit("ping").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+      val gapUs = 1800L * 1000000L
+      sentinel(-99L, tmaxUs + 10L * gapUs)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      sentinel(-98L, tmaxUs + 20L * gapUs)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+      for (p <- progress) {
+        val s = p.stateOperators(0)
+        println(s"""{"flow":"streamscale","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
+      }
+      q.stop()
+      val got = spark.table("streamscale")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val want = Sessionize.sessions(ev, 1800L)
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val maxState = progress.map(_.stateOperators(0).numRowsTotal).max
+      val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
+      val finalState = progress.last.stateOperators(0).numRowsTotal
+      val users = ev.select("user_id").distinct().count()
+      println(s"""{"flow":"streamscale","sessions":${got.size},"parity":${got == want},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"distinct_users":$users,"sec":${f(sec)}}""")
+      require(got == want, s"streaming/batch divergence: " +
+        s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
+      require(removed > 0, "event-time TTL never evicted state under load")
+      require(finalState <= 2,
+        s"state leaked: $finalState rows remain after the sentinel flush")
     } else if (only("skewjoin")) {
       // AQE skew-join vs the manual salt (VERDICT r10 task 5): does
       // Spark's runtime skew splitting subsume Skew.saltedJoin? Shape:
