@@ -93,8 +93,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * every LSH ANN query, which is why it is native.
   */
 case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = LongType
 
   @transient private lazy val planeArr: Array[Array[Double]] =
@@ -104,8 +103,11 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Public for generated code: the plane family lives on this instance,
+    * so codegen calls back through an object reference (the
+    * MinHashSignature pattern).
+    */
+  def evalBucket(v: ArrayData): Long = {
     // HOF-spec parity on the edges: zip_with null-pads the SHORTER side
     // (vector or plane) and a null element nulls its product, so the
     // fold yields NULL and when(d >= 0) takes the otherwise-branch —
@@ -134,6 +136,15 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       p += 1
     }
     bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalBucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBucket", this,
+      classOf[HyperplaneBucket].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.evalBucket($c)")
   }
 
   override def prettyName: String = "hyperplane_bucket"

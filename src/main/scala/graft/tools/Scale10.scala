@@ -41,8 +41,14 @@ import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
   * default 10x sweep: `events100`/`docs100`/`emb100` (x100 decade
   * slices), `skew100` (10%-hot-user events skew), `recall10`
   * (banding recall vs planted sign flips), `bpe1k` (1,024-merge BPE
-  * training), `dupskew` (1,000-copy hot LSH bucket). Extra args after
-  * a flow name restrict it to the named pipelines.
+  * training), `bpe8k` (8,192 merges at batch=256; an extra numeric
+  * arg overrides the count — `bpe8k 32768`), `dupskew` (1,000-copy
+  * hot LSH bucket), `tpch10`/`tpch100` (relational decades),
+  * `botgap` (sparse-bot sessionize corner), `boilergrams`
+  * (decontamination exchange A/B), `longdocs` (native text tier at
+  * 2k/10k tokens/doc), `skewjoin` (AQE skew-join vs manual salt),
+  * `streamscale` (streaming sessionize state under x10 volume).
+  * Extra args after a flow name restrict it to the named pipelines.
   */
 object Scale10 {
 
@@ -445,6 +451,11 @@ object Scale10 {
       // corpus; floor = ceil(8192/256) = 32 rounds. BpeSpec bounds the
       // round count at 4x floor in CI; this records the at-depth
       // rounds/wall for SCALE.md.
+      // an extra numeric arg overrides the merge count (e.g.
+      // `bpe8k 32768` measures a production-vocabulary run directly)
+      val iters = (only - "bpe8k").collectFirst {
+        case s if s.forall(_.isDigit) => s.toInt }.getOrElse(8192)
+      val floor = (iters + 255) / 256
       val dir100 = s"$outDir-d100"
       if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
         genDocs(spark, dir100, nReps = 100)
@@ -455,9 +466,9 @@ object Scale10 {
           corpus: org.apache.spark.sql.DataFrame): Unit = {
         val t0 = System.nanoTime()
         val r = graft.operators.Bpe.trainWithStats(
-          corpus, "text", 8192, batch = 256)
+          corpus, "text", iters, batch = 256)
         val sec = (System.nanoTime() - t0) / 1e9
-        println(s"""{"flow":"bpe8k","corpus":"$corpusName","merges":${r.merges.size},"rounds":${r.rounds},"floor":32,"sec":${f(sec)}}""")
+        println(s"""{"flow":"bpe8k","corpus":"$corpusName","merges":${r.merges.size},"rounds":${r.rounds},"floor":$floor,"sec":${f(sec)}}""")
       }
       // plain docs100: the suffixed replica vocabulary EXHAUSTS (every
       // word one symbol) short of 8k — recorded as the complete-merge-
@@ -478,9 +489,9 @@ object Scale10 {
           (lit(200000L) / (col("id") + 1) + 1).as("freq"))
         .groupBy("w").agg(max(col("freq")).as("freq"))
       val t1 = System.nanoTime()
-      val rv = graft.operators.Bpe.trainFromFreqs(vocab, 8192, batch = 256)
+      val rv = graft.operators.Bpe.trainFromFreqs(vocab, iters, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
-      println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":32,"sec":${f(sec1)}}""")
+      println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":$floor,"sec":${f(sec1)}}""")
     } else if (only("streamscale")) {
       // Streaming state under volume (VERDICT r10 task 4): parity is
       // proven at sf0.001 (StreamingSpec); here the x10 events slice
