@@ -492,6 +492,106 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, iters, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":$floor,"sec":${f(sec1)}}""")
+    } else if (only("streamdedup")) {
+      // The OTHER stateful streaming operator at volume: ingest-time
+      // near-dup detection (nearDupPairsStream — LSH-bucket-keyed
+      // state) over the x10 documents slice (50,000 docs, 10x the
+      // near-dup pair mass of sf0.1), streamed as 8 crawl-time-ordered
+      // micro-batches. Invariants require()d:
+      //  - parity at volume: emitted pairs == the batch twin of the
+      //    same blocking + estimator (pairs sharing >=1 of 8 bands
+      //    with signature agreement >= threshold), exactly — the ttl
+      //    (1 day) exceeds the synthetic crawl span so no mid-run
+      //    eviction complicates the twin;
+      //  - the sentinel flush drains EVERY real bucket (event-time TTL
+      //    fires at volume): final state <= the sentinels' own 16
+      //    bucket rows;
+      //  - state is bounded by active buckets: peak rows <= 8 bands x
+      //    live docs.
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("fetched_at"))
+        .localCheckpoint()
+      val nDocs = docs.count()
+      val ids = docs.agg(min("doc_id"), max("doc_id")).collect()(0)
+      val (idLo, idHi) = (ids.getLong(0), ids.getLong(1))
+      val nSlices = 8
+      val idStep = (idHi - idLo) / nSlices + 1
+      val srcDir = s"$outDir-streamdedupsrc/${System.nanoTime()}"
+      def slice(i: Int) = docs.filter(
+        col("doc_id") >= idLo + i.toLong * idStep &&
+          col("doc_id") < idLo + (i + 1).toLong * idStep)
+      slice(0).coalesce(1).write.mode("append").parquet(srcDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", StringType),
+        org.apache.spark.sql.types.StructField("fetched_at",
+          org.apache.spark.sql.types.TimestampType)))
+      val src = spark.readStream.schema(schema).parquet(srcDir)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.nearDupPairsStream(
+          spark, src, "doc_id", "fetched_at", "text", 0.5, ttl = "1 day")
+        .toDF()
+        .writeStream.format("memory").queryName("streamdedup")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      for (i <- 1 until nSlices) {
+        slice(i).coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+      }
+      // sentinel docs with far-future crawl times advance the watermark
+      // past every bucket's lastSeen + ttl, firing all evictions
+      val dayUs = 86400000000L
+      def sentinel(id: Long, us: Long) =
+        spark.range(1).select(lit(id).as("doc_id"),
+          lit("sentinel flush document").as("text"),
+          timestamp_micros(lit(us)).as("fetched_at"))
+      val maxUs = 1700000000000000L + idHi * 1000000L
+      sentinel(-1L, maxUs + 10L * dayUs)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      sentinel(-2L, maxUs + 20L * dayUs)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      for (p <- progress) {
+        val s = p.stateOperators(0)
+        println(s"""{"flow":"streamdedup","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
+      }
+      q.stop()
+      val got = spark.table("streamdedup")
+        .filter(col("id_a") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // batch twin: same signatures, same banding, driver-side all-pairs
+      // over the collected sigs (5,000 x 32 longs — small)
+      val withBands = docs.select(col("doc_id").as("id"),
+          graft.functions.SketchFunctions
+            .minhashSignature(col("text"), 3, 32).as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("id"), col("sig"),
+          array(Dedup.bandHashExprs(col("sig"), 32, 8): _*).as("bh"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+      val expected = (for {
+        (ia, sa, ba) <- withBands.iterator
+        (ib, sb, bb) <- withBands.iterator
+        if ia < ib && ba.zip(bb).exists { case (x, y) => x == y }
+        est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 32
+        if est >= 0.5
+      } yield (ia, ib, math.round(est * 10000.0) / 10000.0)).toSet
+      val maxState = progress.map(_.stateOperators(0).numRowsTotal).max
+      val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
+      val finalState = progress.last.stateOperators(0).numRowsTotal
+      println(s"""{"flow":"streamdedup","docs":$nDocs,"pairs":${got.size},"parity":${got == expected},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"sec":${f(sec)}}""")
+      require(got == expected, s"stream/batch divergence: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      require(removed > 0 && finalState <= 16,
+        s"TTL did not drain: $finalState rows remain, $removed evicted")
+      require(maxState <= 8L * (nDocs + 2),
+        s"state exceeded the 8-bands-per-live-doc bound: $maxState")
     } else if (only("streamscale")) {
       // Streaming state under volume (VERDICT r10 task 4): parity is
       // proven at sf0.001 (StreamingSpec); here the x10 events slice
