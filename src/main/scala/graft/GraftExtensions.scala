@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_ngrams(text, n) - distinct char n-grams, first-occurrence order"),
       (args: Seq[Expression]) => graft.functions.CharNgrams(args(0),
         args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("char_split"),
+      info("char_split",
+        "char_split(text) - one string per code point, one pass"),
+      (args: Seq[Expression]) => graft.functions.CharSplit(args.head)))
   }
 }
 

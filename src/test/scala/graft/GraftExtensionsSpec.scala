@@ -61,6 +61,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("the quick", "quick brown", "brown fox"))
   }
 
+  test("char_split resolves in SQL and matches the per-index substr " +
+    "formula it replaced (code points, not bytes)") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("char_split"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq("abc", "héllo", "字Ω", "", "a").toDF("w")
+      .createOrReplaceTempView("ext_split_t")
+    val got = spark.sql(
+      "SELECT char_split(w) AS cs FROM ext_split_t").collect()
+    val want = spark.table("ext_split_t").select(
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.length($"w") >= 1,
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.length($"w")),
+          i => $"w".substr(i, org.apache.spark.sql.functions.lit(1))))
+        .otherwise(org.apache.spark.sql.functions.array())
+        .as("cs")).collect()
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getSeq[String](0) == b.getSeq[String](0)) }
+  }
+
   test("approx_top_k_ss aggregate resolves in SQL") {
     import spark.implicits._
     val hasExt = spark.sessionState.functionRegistry

@@ -454,7 +454,8 @@ class PlanSpec extends SparkTestBase {
         .flatMap(_.expressions.flatMap(_.collect {
           case e @ (_: WordShingles | _: RollingHash31 | _: CharNgrams |
             _: ShingleHashSet | _: MinHashSignature | _: CharSplit |
-            _: SimHash64 | _: SimHashMd5_60) => e.getClass.getSimpleName
+            _: SimHash64 | _: SimHashMd5_60 | _: CosineSimilarity |
+            _: HyperplaneBucket) => e.getClass.getSimpleName
         })).toSet
     def pin(query: String, expected: String*): Unit = {
       val got = nativesOf(q(query))
@@ -468,6 +469,10 @@ class PlanSpec extends SparkTestBase {
     pin("x37_decontaminate", "WordShingles")
     pin("x40_repetition_signals", "WordShingles")
     pin("x42_bpe_pairs", "CharSplit")
+    // the ANN natives carry the same risk in the vector tier: the HOF
+    // zip_with/aggregate formulations are interpreted per element
+    pin("x08_ann_bruteforce", "CosineSimilarity")
+    pin("x09_ann_lsh", "HyperplaneBucket")
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {
