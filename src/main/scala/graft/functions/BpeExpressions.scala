@@ -96,8 +96,20 @@ case class CharSplit(child: Expression) extends UnaryExpression {
   */
 case class BatchMergePairs(child: Expression, pairs: Seq[(String, String)])
     extends UnaryExpression {
-  require(pairs.map(_._1).distinct.size == pairs.size,
-    "batch must be non-conflicting: left symbols repeat")
+  // enforce the FULL selectNonConflicting invariant, not just distinct
+  // left symbols: a batch like (a,b),(b,c) passes the weaker check but
+  // the one-pass scan would apply (a,b) at a position where the ranked
+  // sequential order applies (b,c) first — the equivalence argument
+  // below holds ONLY for fully disjoint batches, so a direct caller
+  // handing us anything weaker must fail loudly, not drift silently
+  require({
+    val used = scala.collection.mutable.Set.empty[String]
+    pairs.forall { case (a, b) =>
+      !used(a) && !used(b) && { used ++= Seq(a, b, a + b); true }
+    }
+  }, "batch must be pairwise non-conflicting (no shared symbols, no " +
+    "pair naming another pair's concatenation) — use " +
+    "Bpe.selectNonConflicting")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

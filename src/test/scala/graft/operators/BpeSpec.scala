@@ -210,6 +210,25 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("BatchMergePairs rejects a conflicting batch outright — the " +
+    "one-pass scan is only equivalent to sequential application for " +
+    "fully disjoint pairs, so a weaker input must fail, not drift") {
+    import graft.functions.BatchMergePairs
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val in = BoundReference(0, ArrayType(StringType), nullable = true)
+    // shared symbol between pairs
+    intercept[IllegalArgumentException] {
+      BatchMergePairs(in, Seq("a" -> "b", "b" -> "c"))
+    }
+    // a pair naming another pair's concatenation
+    intercept[IllegalArgumentException] {
+      BatchMergePairs(in, Seq("e" -> "s", "es" -> "t"))
+    }
+    // disjoint batch constructs fine
+    BatchMergePairs(in, Seq("a" -> "b", "c" -> "d"))
+  }
+
   test("initSymbols is one-pass: a 10k-char degenerate word splits " +
     "into 10k single-char symbols in well under a second (the per-" +
     "index substr formulation cost O(len^2) head-scans)") {
