@@ -210,6 +210,25 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("replay parity holds on a zipf-shaped hex vocabulary at depth " +
+    "(CI-sized bpe8k: the batched native training's merge list, " +
+    "re-applied one-by-one through the independent regex formulation, " +
+    "reproduces the trained state)") {
+    import org.apache.spark.sql.functions.{col, lit, max, md5}
+    val vocab = spark.range(0, 2000)
+      .select(
+        md5(col("id").cast("string"))
+          .substr(lit(1), (col("id") % 16 + 6).cast("int")).as("w"),
+        (lit(2000L) / (col("id") + 1) + 1).as("freq"))
+      .groupBy("w").agg(max(col("freq")).as("freq"))
+    val r = Bpe.trainFromFreqs(vocab, 128, batch = 32)
+    assert(r.merges.size == 128, s"only ${r.merges.size} merges")
+    val replayed = r.merges.foldLeft(Bpe.initSymbols(vocab)) {
+      case (s, (a, b)) => Bpe.mergeOnce(s, a, b) }
+    assert(symsOf(replayed) == symsOf(r.syms),
+      "batched-native training diverged from sequential regex replay")
+  }
+
   test("BatchMergePairs rejects a conflicting batch outright — the " +
     "one-pass scan is only equivalent to sequential application for " +
     "fully disjoint pairs, so a weaker input must fail, not drift") {
