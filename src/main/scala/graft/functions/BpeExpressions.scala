@@ -46,7 +46,10 @@ object BpeNatives {
     var w = 0
     var i = 0
     while (i < nb) {
-      val len = UTF8String.numBytesForFirstByte(bytes(i))
+      // clamp to the remaining bytes: a truncated multibyte tail
+      // (malformed UTF-8 from binary/corrupt input) must yield a
+      // bounded final symbol, not a view past the array end
+      val len = math.min(UTF8String.numBytesForFirstByte(bytes(i)), nb - i)
       out(w) = UTF8String.fromBytes(bytes, i, len)
       w += 1
       i += len
@@ -75,19 +78,24 @@ case class CharSplit(child: Expression) extends UnaryExpression {
   * NON-CONFLICTING merges (a, b) -> ab to a symbol sequence in one
   * left-to-right pass over non-overlapping occurrences.
   *
-  * Equivalence to sequential application (what the replaced
-  * `mergeOnce` foldLeft computed, and what BpeSpec's round-trip replay
-  * pins): `Bpe.selectNonConflicting` guarantees no two chosen pairs
-  * share a symbol AND no pair names another pair's concatenation, so
+  * Equivalence to sequential application IN THE GIVEN (rank) ORDER —
+  * what the replaced `mergeOnce` foldLeft computed, and what BpeSpec's
+  * round-trip replay pins. The constructor enforces exactly
+  * `Bpe.selectNonConflicting`'s invariant: operands are pairwise
+  * distinct across pairs, and no operand equals an EARLIER pair's
+  * concatenation. Under it,
   *  - occurrences of different pairs can never overlap (an overlap at
   *    positions (i-1,i),(i,i+1) would force one pair's b to equal the
   *    other's a), and
-  *  - merging one pair can neither create nor destroy an occurrence of
-  *    another (the created symbol `ab` is in the used-set, so no chosen
-  *    pair references it).
-  * The per-pair occurrence sets are therefore fixed and disjoint, and
-  * one combined left-to-right scan selects exactly the union a
-  * sequential foldLeft would — in any fold order.
+  *  - no EARLIER pair's output can feed a LATER pair (a later operand
+  *    equal to an earlier concat is rejected), so the fold's later
+  *    passes see exactly the occurrences present in the input — which
+  *    is what the single scan consumes. (A later pair MAY name an
+  *    earlier operand's concatenation, e.g. (es,t) ranked before
+  *    (e,s): the fold runs (es,t) before any new "es" exists, and the
+  *    scan never revisits its own output — both skip it, consistently.
+  *    Only the given order carries this guarantee, which is the order
+  *    training applies and the replay test replays.)
   *
   * Lookup is alloc-free: `first` maps a pair's left symbol to its index
   * (a left symbol is unique across a non-conflicting batch), `seconds`/
@@ -96,19 +104,19 @@ case class CharSplit(child: Expression) extends UnaryExpression {
   */
 case class BatchMergePairs(child: Expression, pairs: Seq[(String, String)])
     extends UnaryExpression {
-  // enforce the FULL selectNonConflicting invariant, not just distinct
-  // left symbols: a batch like (a,b),(b,c) passes the weaker check but
-  // the one-pass scan would apply (a,b) at a position where the ranked
-  // sequential order applies (b,c) first — the equivalence argument
-  // below holds ONLY for fully disjoint batches, so a direct caller
-  // handing us anything weaker must fail loudly, not drift silently
+  // enforce selectNonConflicting's invariant, not just distinct left
+  // symbols: a batch like (a,b),(b,c) passes the weaker check but the
+  // one-pass scan would apply (a,b) at a position where the ranked
+  // sequential order applies (b,c) first — the given-order equivalence
+  // argued above needs the full invariant, so a direct caller handing
+  // us anything weaker must fail loudly, not drift silently
   require({
     val used = scala.collection.mutable.Set.empty[String]
     pairs.forall { case (a, b) =>
       !used(a) && !used(b) && { used ++= Seq(a, b, a + b); true }
     }
   }, "batch must be pairwise non-conflicting (no shared symbols, no " +
-    "pair naming another pair's concatenation) — use " +
+    "operand naming an earlier pair's concatenation) — use " +
     "Bpe.selectNonConflicting")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -212,6 +212,46 @@ object Scale10 {
           "doc_id", "text", n = 4).count()))
   }
 
+  /** Shared micro-batch harness for the stateful streaming flows
+    * (streamscale, streamdedup): write the first slice, start the
+    * query, then append each remaining slice and each sentinel with a
+    * synchronous drain between — deterministic micro-batches regardless
+    * of file-listing order. Returns the state-bearing progress entries
+    * and the wall time from query start to the last drain.
+    */
+  private def runMicroBatches(srcDir: String,
+      slices: IndexedSeq[DataFrame], sentinels: Seq[DataFrame],
+      start: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : (Seq[org.apache.spark.sql.streaming.StreamingQueryProgress], Double) = {
+    slices.head.coalesce(1).write.mode("append").parquet(srcDir)
+    val t0 = System.nanoTime()
+    val q = start()
+    q.processAllAvailable()
+    for (s <- slices.tail ++ sentinels) {
+      s.coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    q.stop()
+    (progress, sec)
+  }
+
+  /** One JSON line per micro-batch (state rows/evictions/bytes), then
+    * (max rows, total evicted, final rows) for the flow's invariants.
+    */
+  private def stateSeries(flow: String,
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : (Long, Long, Long) = {
+    for (p <- progress) {
+      val s = p.stateOperators(0)
+      println(s"""{"flow":"$flow","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
+    }
+    (progress.map(_.stateOperators(0).numRowsTotal).max,
+      progress.map(_.stateOperators(0).numRowsRemoved).sum,
+      progress.last.stateOperators(0).numRowsTotal)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/scale10")
     // optional extra args: run only these pipelines (dev loop)
@@ -518,28 +558,12 @@ object Scale10 {
       val nSlices = 8
       val idStep = (idHi - idLo) / nSlices + 1
       val srcDir = s"$outDir-streamdedupsrc/${System.nanoTime()}"
-      def slice(i: Int) = docs.filter(
-        col("doc_id") >= idLo + i.toLong * idStep &&
-          col("doc_id") < idLo + (i + 1).toLong * idStep)
-      slice(0).coalesce(1).write.mode("append").parquet(srcDir)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", StringType),
         org.apache.spark.sql.types.StructField("fetched_at",
           org.apache.spark.sql.types.TimestampType)))
-      val src = spark.readStream.schema(schema).parquet(srcDir)
-      val t0 = System.nanoTime()
-      val q = graft.streaming.StreamOps.nearDupPairsStream(
-          spark, src, "doc_id", "fetched_at", "text", 0.5, ttl = "1 day")
-        .toDF()
-        .writeStream.format("memory").queryName("streamdedup")
-        .outputMode("append").start()
-      q.processAllAvailable()
-      for (i <- 1 until nSlices) {
-        slice(i).coalesce(1).write.mode("append").parquet(srcDir)
-        q.processAllAvailable()
-      }
       // sentinel docs with far-future crawl times advance the watermark
       // past every bucket's lastSeen + ttl, firing all evictions
       val dayUs = 86400000000L
@@ -548,25 +572,27 @@ object Scale10 {
           lit("sentinel flush document").as("text"),
           timestamp_micros(lit(us)).as("fetched_at"))
       val maxUs = 1700000000000000L + idHi * 1000000L
-      sentinel(-1L, maxUs + 10L * dayUs)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-      sentinel(-2L, maxUs + 20L * dayUs)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
-      for (p <- progress) {
-        val s = p.stateOperators(0)
-        println(s"""{"flow":"streamdedup","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
-      }
-      q.stop()
+      val (progress, sec) = runMicroBatches(srcDir,
+        (0 until nSlices).map(i => docs.filter(
+          col("doc_id") >= idLo + i.toLong * idStep &&
+            col("doc_id") < idLo + (i + 1).toLong * idStep)),
+        Seq(sentinel(-1L, maxUs + 10L * dayUs),
+          sentinel(-2L, maxUs + 20L * dayUs)),
+        () => graft.streaming.StreamOps.nearDupPairsStream(spark,
+            spark.readStream.schema(schema).parquet(srcDir),
+            "doc_id", "fetched_at", "text", 0.5, ttl = "1 day")
+          .toDF()
+          .writeStream.format("memory").queryName("streamdedup")
+          .outputMode("append").start())
       val got = spark.table("streamdedup")
         .filter(col("id_a") >= 0)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-      // batch twin: same signatures, same banding, driver-side all-pairs
-      // over the collected sigs (5,000 x 32 longs — small)
+      // batch twin: same signatures, same banding, driver-side over the
+      // collected sigs (50,000 x 32 longs — fits easily). Grouped by
+      // (band, bhash) — the stream's own blocking — so the twin costs
+      // docs + candidate pairs, not the 1.25e9-iteration all-pairs a
+      // naive cross product would burn on this slice
       val withBands = docs.select(col("doc_id").as("id"),
           graft.functions.SketchFunctions
             .minhashSignature(col("text"), 3, 32).as("sig"))
@@ -575,16 +601,24 @@ object Scale10 {
           array(Dedup.bandHashExprs(col("sig"), 32, 8): _*).as("bh"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
-      val expected = (for {
-        (ia, sa, ba) <- withBands.iterator
-        (ib, sb, bb) <- withBands.iterator
-        if ia < ib && ba.zip(bb).exists { case (x, y) => x == y }
-        est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 32
-        if est >= 0.5
-      } yield (ia, ib, math.round(est * 10000.0) / 10000.0)).toSet
-      val maxState = progress.map(_.stateOperators(0).numRowsTotal).max
-      val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
-      val finalState = progress.last.stateOperators(0).numRowsTotal
+      val sigOf = withBands.map { case (id, sig, _) => id -> sig }.toMap
+      val candPairs = withBands.iterator
+        .flatMap { case (id, _, bh) =>
+          bh.iterator.zipWithIndex.map { case (h, b) => (b, h) -> id } }
+        .toSeq.groupBy(_._1).valuesIterator
+        .flatMap { bucket =>
+          val ids = bucket.map(_._2).distinct.sorted
+          ids.indices.iterator.flatMap(i =>
+            (i + 1 until ids.size).iterator.map(j => (ids(i), ids(j))))
+        }.toSet
+      val expected = candPairs.iterator.flatMap { case (ia, ib) =>
+        val est = sigOf(ia).iterator.zip(sigOf(ib).iterator)
+          .count { case (x, y) => x == y }.toDouble / 32
+        if (est >= 0.5)
+          Some((ia, ib, math.round(est * 10000.0) / 10000.0))
+        else None
+      }.toSet
+      val (maxState, removed, finalState) = stateSeries("streamdedup", progress)
       println(s"""{"flow":"streamdedup","docs":$nDocs,"pairs":${got.size},"parity":${got == expected},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"sec":${f(sec)}}""")
       require(got == expected, s"stream/batch divergence: " +
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
@@ -621,22 +655,6 @@ object Scale10 {
       val nSlices = 16
       val stepUs = (tmaxUs - tminUs) / nSlices + 1
       val srcDir = s"$outDir-streamsrc/${System.nanoTime()}"
-      def slice(i: Int) = ev.filter(
-        unix_micros(col("ts")) >= tminUs + i.toLong * stepUs &&
-          unix_micros(col("ts")) < tminUs + (i + 1).toLong * stepUs)
-      slice(0).coalesce(1).write.mode("append").parquet(srcDir)
-      val src = spark.readStream.schema(graft.streaming.StreamOps.eventSchema)
-        .parquet(srcDir)
-        .withWatermark("ts", "1 second")
-      val t0 = System.nanoTime()
-      val q = graft.streaming.StreamOps.statefulSessions(spark, src, 1800L)
-        .writeStream.format("memory").queryName("streamscale")
-        .outputMode("append").start()
-      q.processAllAvailable()
-      for (i <- 1 until nSlices) {
-        slice(i).coalesce(1).write.mode("append").parquet(srcDir)
-        q.processAllAvailable()
-      }
       // two far-future sentinels timeout-flush every real session
       // (StreamingSpec's deterministic-flush pattern)
       def sentinel(user: Long, us: Long) =
@@ -645,20 +663,19 @@ object Scale10 {
           lit("ping").as("event_type"), lit(0.0).as("value"),
           lit("{}").as("props"))
       val gapUs = 1800L * 1000000L
-      sentinel(-99L, tmaxUs + 10L * gapUs)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-      sentinel(-98L, tmaxUs + 20L * gapUs)
-        .coalesce(1).write.mode("append").parquet(srcDir)
-      q.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq
-        .filter(_.stateOperators.nonEmpty)
-      for (p <- progress) {
-        val s = p.stateOperators(0)
-        println(s"""{"flow":"streamscale","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
-      }
-      q.stop()
+      val (progress, sec) = runMicroBatches(srcDir,
+        (0 until nSlices).map(i => ev.filter(
+          unix_micros(col("ts")) >= tminUs + i.toLong * stepUs &&
+            unix_micros(col("ts")) < tminUs + (i + 1).toLong * stepUs)),
+        Seq(sentinel(-99L, tmaxUs + 10L * gapUs),
+          sentinel(-98L, tmaxUs + 20L * gapUs)),
+        () => graft.streaming.StreamOps.statefulSessions(spark,
+            spark.readStream
+              .schema(graft.streaming.StreamOps.eventSchema)
+              .parquet(srcDir)
+              .withWatermark("ts", "1 second"), 1800L)
+          .writeStream.format("memory").queryName("streamscale")
+          .outputMode("append").start())
       val got = spark.table("streamscale")
         .filter(col("user_id") >= 0)
         .select("user_id", "session_start_us", "session_end_us",
@@ -668,9 +685,7 @@ object Scale10 {
         .select("user_id", "session_start_us", "session_end_us",
           "n_events", "sum_value")
         .collect().map(_.toSeq).toSet
-      val maxState = progress.map(_.stateOperators(0).numRowsTotal).max
-      val removed = progress.map(_.stateOperators(0).numRowsRemoved).sum
-      val finalState = progress.last.stateOperators(0).numRowsTotal
+      val (maxState, removed, finalState) = stateSeries("streamscale", progress)
       val users = ev.select("user_id").distinct().count()
       println(s"""{"flow":"streamscale","sessions":${got.size},"parity":${got == want},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"distinct_users":$users,"sec":${f(sec)}}""")
       require(got == want, s"streaming/batch divergence: " +

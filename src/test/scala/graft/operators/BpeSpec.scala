@@ -229,6 +229,21 @@ class BpeSpec extends SparkTestBase {
       "batched-native training diverged from sequential regex replay")
   }
 
+  test("charSplit clamps a truncated multibyte tail: malformed UTF-8 " +
+    "yields a bounded final symbol, never a view past the array end") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 'a' followed by a lone 0xC3 lead byte (declares 2 bytes, has 1)
+    val malformed = UTF8String.fromBytes(Array(0x61.toByte, 0xC3.toByte))
+    val out = graft.functions.BpeNatives.charSplit(malformed)
+    assert(out.numElements() == 2)
+    assert(out.getUTF8String(0).toString == "a")
+    assert(out.getUTF8String(1).numBytes() == 1) // clamped, in-bounds
+    // well-formed multibyte at the end stays whole
+    val ok = UTF8String.fromString("aΩ")
+    val out2 = graft.functions.BpeNatives.charSplit(ok)
+    assert(out2.numElements() == 2 && out2.getUTF8String(1).toString == "Ω")
+  }
+
   test("BatchMergePairs rejects a conflicting batch outright — the " +
     "one-pass scan is only equivalent to sequential application for " +
     "fully disjoint pairs, so a weaker input must fail, not drift") {
