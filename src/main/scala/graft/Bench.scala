@@ -83,13 +83,15 @@ object Bench {
     * `factor` x nominal, that many simultaneous exceedances is itself
     * the evidence — on a clean host the per-query noise that crosses
     * 1.5x is rare and uncorrelated (r10's two judge runs: 0 and 1
-    * crossers of 106), so 8 concurrent crossers is far outside clean
-    * behavior while still far below what a real window produces
-    * (BENCH_r10's congested run had 22).
+    * crossers of 106), so 6 concurrent crossers is far outside clean
+    * behavior while still below what real windows produce (BENCH_r10's
+    * congested run had 22; r11's mildest uncorrected ~20%-inflated run
+    * had exactly 6 — the case this threshold is calibrated to catch —
+    * while its ~10-15% runs had 2-3).
     */
   def uniformlySlow(results: Seq[(String, Double)],
       nominals: Map[String, Double], factor: Double = 1.5,
-      minCount: Int = 8): Boolean =
+      minCount: Int = 6): Boolean =
     results.count { case (n, t) => t >= 0 &&
       nominals.get(n).exists(nom => t > nom * factor) } >= minCount
 
