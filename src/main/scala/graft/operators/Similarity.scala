@@ -141,6 +141,14 @@ object Similarity {
     * or trained upstream); this operator is the partition-and-probe step.
     * Returns the corpus with a `cell` column. Ties break toward the
     * smaller centroid id (struct comparison is (dist, cid)).
+    *
+    * Cost shape (measured, SCALE.md round-11 ivfrecall): per-row cost
+    * and generated-code size grow LINEARLY with nlist because each
+    * centroid is a literal in the argmin expression — the right trade
+    * up to a few hundred cells. A production-sized index (10⁴ cells,
+    * √N for 10⁸ vectors) should assign via a broadcast-join argmin over
+    * a centroid TABLE instead (explode-join-min: one shuffle-free pass,
+    * no plan-size growth).
     */
   def ivfAssign(corpus: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame =

@@ -532,6 +532,54 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, iters, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":$floor,"sec":${f(sec1)}}""")
+    } else if (only("ivfrecall")) {
+      // IVF's recall/cost dial, measured (the banding path has recall10;
+      // the IVF path had only correctness). 64 query vectors against
+      // sf0.1 (5k vecs) and the x10 slice (50k): ground truth = exact
+      // brute-force top-10; IVF probes its nprobe nearest of 16 k-means
+      // cells. recall@10 = fraction of true neighbors the probe found.
+      // The x10 slice is the interesting row: sign-masked replicas
+      // scramble cross-replica similarity, so true neighbors concentrate
+      // within each replica and cell geometry must find them among 10x
+      // the distractors.
+      for (dir <- Seq(SRC, outDir)) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint()
+        val queries = emb.filter(pmod(col("id"), lit(79)) === 0)
+          .orderBy("id").limit(64)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+          .localCheckpoint()
+        def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("qid", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        def timed(f: => Set[(Long, Long)]): (Set[(Long, Long)], Double) = {
+          f // warm
+          val t0 = System.nanoTime()
+          val r = f
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (truth, bruteSec) = timed(topPairs(
+          Similarity.bruteForceTopK(queries, emb, 10)))
+        // two index sizes: the graded 16-cell toy, and a sqrt(N)-shaped
+        // 64-cell index — each probed at scan fractions 1/16 .. 1/2.
+        // bootstrap every-97th then 2 Lloyd's rounds (the x36 training
+        // path), so the measured recall is the trained index's
+        for (nlist <- Seq(16, 64)) {
+          val init = emb.filter(pmod(col("id"), lit(97)) === 0)
+            .orderBy("id").limit(nlist).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          val (cents, _) = Similarity.kmeans(emb, "vec", 64, init, 2)
+          for (nprobe <- Seq(nlist / 16, nlist / 8, nlist / 4, nlist / 2)
+              .filter(_ >= 1).distinct) {
+            val (got, sec) = timed(topPairs(
+              Similarity.ivfTopK(queries, emb, cents, nprobe, 10)))
+            val recall = (truth & got).size.toDouble / truth.size
+            println(s"""{"flow":"ivfrecall","dir":"$dir","nlist":$nlist,"nprobe":$nprobe,"recall":${f(recall)},"sec":${f(sec)},"brute_sec":${f(bruteSec)},"truth_pairs":${truth.size}}""")
+          }
+        }
+      }
     } else if (only("streamdedup")) {
       // The OTHER stateful streaming operator at volume: ingest-time
       // near-dup detection (nearDupPairsStream — LSH-bucket-keyed
