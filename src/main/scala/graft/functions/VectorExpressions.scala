@@ -152,11 +152,104 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** nearest_centroid(vec): IntegerType cell id — the IVF assignment
+  * argmin in ONE compiled pass over nlist x dim, with the centroid
+  * matrix carried as instance data (ctx.addReferenceObj) instead of
+  * nlist literal expression subtrees. The literal-argmin formulation
+  * (least over per-centroid structs) is bit-identical but its plan and
+  * generated-code size grow linearly with nlist — measured degrading
+  * already at 64 cells (SCALE.md round-11 ivfrecall); this keeps the
+  * corpus-sized assignment pass constant-size at any production nlist.
+  *
+  * Semantics replicate the declarative twin on its whole well-formed
+  * domain (SimilaritySpec pins parity on real embeddings): squared-L2
+  * accumulated in ascending index order as doubles (float inputs
+  * widened per element), ties toward the smaller centroid id. One
+  * DELIBERATE tightening, also pinned: a malformed vector (length !=
+  * dim, or a null element) yields NULL here, where the least-over-
+  * structs formulation accidentally assigns it to the smallest cid
+  * (struct(null_dist, cid) compares null-first) — at 100 TB that
+  * accident funnels every corrupt row into one cell and poisons its
+  * probe results; null surfaces the corruption instead.
+  */
+case class NearestCentroid(child: Expression,
+    centroids: Seq[(Int, Array[Double])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "centroid set must be non-empty")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val dim: Int = centroids.head._2.length
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cvecs: Array[Array[Double]] =
+    centroids.map(_._2).toArray
+  @transient private lazy val childFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public for generated code (object-reference call). Boxed Integer so
+    * the mismatch/null-element case can yield SQL NULL.
+    */
+  def evalCell(v: ArrayData): Integer = {
+    if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
+    var bestD = Double.PositiveInfinity
+    var bestC = Int.MaxValue
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = (if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cv(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD || (d == bestD && cids(c) < bestC)) {
+        bestD = d
+        bestC = cids(c)
+      }
+      c += 1
+    }
+    Integer.valueOf(bestC)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalCell(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Integer ${ev.value}Tmp = $ref.evalCell($c);
+      if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Tmp.intValue(); }
+    """)
+  }
+
+  override def prettyName: String = "nearest_centroid"
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: fused native cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.toColumn(CosineSimilarity(
       ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+
+  /** Column API: one-pass IVF cell assignment (constant plan size in
+    * nlist).
+    */
+  def nearestCentroid(vec: Column,
+      centroids: Seq[(Int, Array[Double])]): Column =
+    ColumnShim.toColumn(NearestCentroid(ColumnShim.toExpression(vec),
+      centroids))
 
   /** Column API: fused native hyperplane LSH bucket. */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =

@@ -142,15 +142,28 @@ object Similarity {
     * Returns the corpus with a `cell` column. Ties break toward the
     * smaller centroid id (struct comparison is (dist, cid)).
     *
-    * Cost shape (measured, SCALE.md round-11 ivfrecall): per-row cost
-    * and generated-code size grow LINEARLY with nlist because each
-    * centroid is a literal in the argmin expression — the right trade
-    * up to a few hundred cells. A production-sized index (10⁴ cells,
-    * √N for 10⁸ vectors) should assign via a broadcast-join argmin over
-    * a centroid TABLE instead (explode-join-min: one shuffle-free pass,
-    * no plan-size growth).
+    * Assignment is the NearestCentroid native: one compiled pass over
+    * nlist x dim with the centroid matrix as instance data, so plan and
+    * generated-code size stay CONSTANT in nlist — the literal-argmin
+    * formulation (`ivfAssignDeclarative`, kept as the executable spec)
+    * grows linearly and measurably degraded already at 64 cells
+    * (SCALE.md round-11 ivfrecall). Bit-identical on well-formed
+    * vectors (SimilaritySpec pins parity): ascending-index double
+    * accumulation, ties toward the smaller cid. Malformed vectors
+    * (dim mismatch / null element) yield null — a deliberate
+    * tightening over the declarative formulation's accidental
+    * smallest-cid assignment; see NearestCentroid's scaladoc.
     */
   def ivfAssign(corpus: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame =
+    corpus.withColumn("cell",
+      graft.functions.VectorFunctions.nearestCentroid(col(vecCol), centroids))
+
+  /** Executable spec of ivfAssign as the least-over-literal-structs
+    * formulation — the SQL-oracle-shaped twin the native is
+    * parity-pinned against.
+    */
+  private[graft] def ivfAssignDeclarative(corpus: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame =
     corpus.withColumn("cell",
       least(centroidStructs(col(vecCol), centroids): _*).getField("cid"))

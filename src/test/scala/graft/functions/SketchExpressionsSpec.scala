@@ -297,20 +297,26 @@ class SketchExpressionsSpec extends SparkTestBase {
         else norm(out.get(0, bm.dataType), bm.dataType)
       assert(gen == interp, s"batch_merge_pairs on $in")
     }
-    // HyperplaneBucket (instance-state plane family) — double-array input
+    // HyperplaneBucket / NearestCentroid (instance-state families) —
+    // double-array input; NearestCentroid also returns null on dim
+    // mismatch, exercising its isNull re-check
     val vec = BoundReference(0, ArrayType(DoubleType), nullable = true)
     val hb = HyperplaneBucket(vec,
       Seq(Seq(1.0, -1.0, 0.5), Seq(-0.2, 0.4, 0.1)))
-    val projV = GenerateUnsafeProjection.generate(Seq(hb))
+    val nc = NearestCentroid(vec,
+      Seq((0, Array(1.0, 2.0, 3.0)), (1, Array(-1.0, -2.0, 0.0))))
+    val projV = GenerateUnsafeProjection.generate(Seq(hb, nc))
     for (in <- Seq(Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, 0.0),
         Seq(0.5), Seq.empty[Double], null)) {
       val row = InternalRow(
         if (in == null) null
         else new GenericArrayData(in.map(Double.box).toArray[Any]))
       val out = projV(row)
-      val interp = hb.eval(row)
-      val gen = if (out.isNullAt(0)) null else out.get(0, LongType)
-      assert(gen == interp, s"hyperplane_bucket on $in")
+      Seq(hb, nc).zipWithIndex.foreach { case (e, i) =>
+        val interp = e.eval(row)
+        val gen = if (out.isNullAt(i)) null else out.get(i, e.dataType)
+        assert(gen == interp, s"${e.prettyName} on $in")
+      }
     }
   }
 }

@@ -80,6 +80,47 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
 
+  test("NearestCentroid native equals the least-over-literal-structs " +
+    "spec on real embeddings — cells, ties, and null edges included") {
+    val corpus = emb.select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val cents = corpus.orderBy("id").limit(24).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).map(_.toDouble).toArray) }
+      .toSeq
+    val diff = Similarity.ivfAssign(corpus, "vec", cents).select("id", "cell")
+      .join(Similarity.ivfAssignDeclarative(corpus, "vec", cents)
+        .select(col("id"), col("cell").as("cell_spec")), Seq("id"))
+      .filter(!(col("cell") <=> col("cell_spec"))).count()
+    assert(diff == 0)
+    // a centroid that IS a corpus vector assigns that vector to itself
+    // at distance 0 (and the tie toward the smaller cid is exercised by
+    // duplicating it under a larger cid)
+    val dup = cents.head._2
+    val tied = cents :+ (99, dup)
+    val self = Similarity.ivfAssign(corpus.orderBy("id").limit(1), "vec", tied)
+      .select("cell").collect()(0).getInt(0)
+    assert(self == 0, s"tie must break toward the smaller cid, got $self")
+    // edge DIVERGENCE, deliberate and pinned: the native yields NULL
+    // for wrong-length / null-element vectors; the least-over-structs
+    // formulation accidentally assigns them to the smallest cid
+    // (struct(null_dist, cid) compares null-first, so least picks
+    // cid 0) — at scale that silently funnels every malformed vector
+    // into one cell, so the native tightens the contract instead of
+    // replicating the accident (unobservable on well-formed data,
+    // which is what the parity join above covers)
+    val edges = Seq(
+      (1L, Seq.fill(64)(Option(1.0f)).updated(3, None)),
+      (2L, Seq.fill(63)(Option(1.0f)))
+    ).toDF("id", "vec")
+    val e = Similarity.ivfAssign(edges, "vec", cents)
+      .select("cell").collect()
+    assert(e.forall(_.isNullAt(0)), "native must yield null on malformed")
+    val eSpec = Similarity.ivfAssignDeclarative(edges, "vec", cents)
+      .select("cell").collect()
+    assert(eSpec.forall(r => !r.isNullAt(0) && r.getInt(0) == 0),
+      "the declarative accident this test documents has changed")
+  }
+
   test("bruteForceTopK: a planted duplicate vector is its own top-1") {
     val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
     val dupQuery = emb.filter(col("vec_id") === 7)
