@@ -198,8 +198,16 @@ case class NearestCentroid(child: Expression,
       if (v.isNullAt(j)) return null
       j += 1
     }
-    var bestD = Double.PositiveInfinity
+    // Double.compare, not < / ==: primitive comparisons are always
+    // false against NaN, which would leave the phantom initial bestC
+    // in place for an all-NaN vector. Double.compare orders NaN above
+    // every real and equal to itself — the same contract as Spark's
+    // nanSafeCompareDoubles inside the declarative least(), so a
+    // NaN-element vector ties every centroid and breaks to the
+    // smallest cid in BOTH formulations (pinned in SimilaritySpec).
+    var bestD = Double.NaN
     var bestC = Int.MaxValue
+    var first = true
     var c = 0
     while (c < cvecs.length) {
       val cv = cvecs(c)
@@ -210,10 +218,12 @@ case class NearestCentroid(child: Expression,
         d += x * x
         i += 1
       }
-      if (d < bestD || (d == bestD && cids(c) < bestC)) {
+      val cmp = if (first) -1 else java.lang.Double.compare(d, bestD)
+      if (cmp < 0 || (cmp == 0 && cids(c) < bestC)) {
         bestD = d
         bestC = cids(c)
       }
+      first = false
       c += 1
     }
     Integer.valueOf(bestC)
@@ -237,6 +247,83 @@ case class NearestCentroid(child: Expression,
     copy(child = newChild)
 }
 
+/** nearest_centroid_dist(vec): struct<cell:int, dist:double> — the
+  * assignment argmin PLUS the winning squared distance, for consumers
+  * that need both (kmeansStep's inertia). Same one-pass constant-plan-
+  * size shape, same semantics (Double.compare NaN ordering, smaller-cid
+  * ties, null on shape-malformed input) as NearestCentroid; the loop is
+  * duplicated rather than shared because the int-only variant must stay
+  * allocation-free on the corpus-sized assignment pass while this one
+  * necessarily allocates its result row.
+  */
+case class NearestCentroidDist(child: Expression,
+    centroids: Seq[(Int, Array[Double])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "centroid set must be non-empty")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val dim: Int = centroids.head._2.length
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cvecs: Array[Array[Double]] =
+    centroids.map(_._2).toArray
+  @transient private lazy val childFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public for generated code (object-reference call). */
+  def evalCellDist(v: ArrayData): Any = {
+    if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
+    var bestD = Double.NaN
+    var bestC = Int.MaxValue
+    var first = true
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = (if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cv(i)
+        d += x * x
+        i += 1
+      }
+      val cmp = if (first) -1 else java.lang.Double.compare(d, bestD)
+      if (cmp < 0 || (cmp == 0 && cids(c) < bestC)) {
+        bestD = d
+        bestC = cids(c)
+      }
+      first = false
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, bestD))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalCellDist(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidDist", this,
+      classOf[NearestCentroidDist].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (InternalRow) $ref.evalCellDist($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override def prettyName: String = "nearest_centroid_dist"
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: fused native cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -249,6 +336,14 @@ object VectorFunctions {
   def nearestCentroid(vec: Column,
       centroids: Seq[(Int, Array[Double])]): Column =
     ColumnShim.toColumn(NearestCentroid(ColumnShim.toExpression(vec),
+      centroids))
+
+  /** Column API: assignment plus the winning squared distance
+    * (struct<cell, dist>) — kmeansStep's shape.
+    */
+  def nearestCentroidDist(vec: Column,
+      centroids: Seq[(Int, Array[Double])]): Column =
+    ColumnShim.toColumn(NearestCentroidDist(ColumnShim.toExpression(vec),
       centroids))
 
   /** Column API: fused native hyperplane LSH bucket. */

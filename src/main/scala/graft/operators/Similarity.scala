@@ -197,7 +197,8 @@ object Similarity {
   }
 
   /** One Lloyd's (k-means) iteration, the distributed shape: assignment
-    * is a map-side argmin over BROADCAST centroid literals (no shuffle of
+    * is a map-side one-pass argmin with the centroid matrix broadcast as
+    * expression instance data (no shuffle of
     * vectors against centroids), the update is ONE hash-aggregate with
     * map-side partial sums — (dim+1) doubles per cell — and only
     * k*(dim+1) values return to the driver: the sanctioned small collect,
@@ -215,8 +216,15 @@ object Similarity {
       centroids: Seq[(Int, Array[Double])])
       : (Seq[(Int, Array[Double])], Double) = {
     require(centroids.nonEmpty, "kmeansStep needs at least one centroid")
-    val best = least(centroidStructs(col(vecCol), centroids): _*)
-    val assigned = corpus.select(best.getField("cid").as("cell"),
+    // NearestCentroidDist native, same reason as ivfAssign: the
+    // least-over-literal-structs formulation grows the plan linearly in
+    // nlist, and training runs this expression over the whole corpus
+    // every iteration. Step-for-step parity is pinned by x36's oracle
+    // (DuckDB replays the training verbatim, assignment + inertia) and
+    // SimilaritySpec's kmeans invariants
+    val best = graft.functions.VectorFunctions
+      .nearestCentroidDist(col(vecCol), centroids)
+    val assigned = corpus.select(best.getField("cell").as("cell"),
       best.getField("dist").as("d2"), col(vecCol).as("__v"))
     val coordMeans = (0 until dim).map(i =>
       avg(element_at(col("__v"), i + 1).cast(DoubleType)).as(s"c$i"))

@@ -535,19 +535,24 @@ object Scale10 {
     } else if (only("ivfrecall")) {
       // IVF's recall/cost dial, measured (the banding path has recall10;
       // the IVF path had only correctness). 64 query vectors against
-      // sf0.1 (5k vecs) and the x10 slice (50k): ground truth = exact
-      // brute-force top-10; IVF probes its nprobe nearest of 16 k-means
-      // cells. recall@10 = fraction of true neighbors the probe found.
-      // The x10 slice is the interesting row: sign-masked replicas
-      // scramble cross-replica similarity, so true neighbors concentrate
-      // within each replica and cell geometry must find them among 10x
-      // the distractors.
+      // sf0.1 (2k vecs) and the x10 slice (20k): ground truth = exact
+      // brute-force top-10; IVF probes its nprobe nearest of a trained
+      // 16- or 64-cell index. recall@10 = fraction of true neighbors
+      // the probe found. Queries and centroid seeds are xxhash-ordered
+      // samples: a modulo-stride sample exhausted at 21 seeds on sf0.1
+      // (2,000 ids / 97) — silently shrinking the "64-cell" index — and
+      // an ascending-id prefix drew only the lowest replicas on the x10
+      // slice; hash order gives exactly n rows spread over the whole id
+      // range. The x10 slice is the interesting row: sign-masked
+      // replicas scramble cross-replica similarity, so true neighbors
+      // concentrate within each replica and cell geometry must find
+      // them among 10x the distractors.
       for (dir <- Seq(SRC, outDir)) {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
           .localCheckpoint()
-        val queries = emb.filter(pmod(col("id"), lit(79)) === 0)
-          .orderBy("id").limit(64)
+        val queries = emb.orderBy(xxhash64(col("id"), lit(1)), col("id"))
+          .limit(64)
           .select(col("id").as("qid"), col("vec").as("qvec"))
           .localCheckpoint()
         def topPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -566,10 +571,12 @@ object Scale10 {
         // bootstrap every-97th then 2 Lloyd's rounds (the x36 training
         // path), so the measured recall is the trained index's
         for (nlist <- Seq(16, 64)) {
-          val init = emb.filter(pmod(col("id"), lit(97)) === 0)
-            .orderBy("id").limit(nlist).collect().zipWithIndex
+          val init = emb.orderBy(xxhash64(col("id"), lit(2)), col("id"))
+            .limit(nlist).collect().zipWithIndex
             .map { case (r, i) =>
               (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          require(init.size == nlist,
+            s"seed pool exhausted: ${init.size} < $nlist")
           val (cents, _) = Similarity.kmeans(emb, "vec", 64, init, 2)
           for (nprobe <- Seq(nlist / 16, nlist / 8, nlist / 4, nlist / 2)
               .filter(_ >= 1).distinct) {

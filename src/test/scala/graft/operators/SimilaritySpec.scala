@@ -119,6 +119,26 @@ class SimilaritySpec extends SparkTestBase {
       .select("cell").collect()
     assert(eSpec.forall(r => !r.isNullAt(0) && r.getInt(0) == 0),
       "the declarative accident this test documents has changed")
+    // NaN elements are NOT shape-malformed: every distance goes NaN,
+    // Spark's nan-safe ordering ties all centroids, and BOTH
+    // formulations break to the smallest cid (Double.compare in the
+    // native replicates nanSafeCompareDoubles — a primitive < would
+    // leave a phantom Int.MaxValue cell here)
+    val nan = Seq((3L, Seq.fill(64)(Float.NaN))).toDF("id", "vec")
+    val nNan = Similarity.ivfAssign(nan, "vec", cents)
+      .select("cell").collect()(0)
+    val sNan = Similarity.ivfAssignDeclarative(nan, "vec", cents)
+      .select("cell").collect()(0)
+    assert(!nNan.isNullAt(0) && nNan.getInt(0) == 0, s"native: $nNan")
+    assert(!sNan.isNullAt(0) && sNan.getInt(0) == 0, s"spec: $sNan")
+    // kmeansStep's struct variant assigns the same cells as ivfAssign
+    val viaDist = corpus.limit(200).select(col("id"),
+      graft.functions.VectorFunctions.nearestCentroidDist(col("vec"), cents)
+        .getField("cell").as("cell"))
+    val viaInt = Similarity.ivfAssign(corpus.limit(200), "vec", cents)
+      .select("id", "cell")
+    assert(viaDist.join(viaInt.withColumnRenamed("cell", "c2"), Seq("id"))
+      .filter(!(col("cell") <=> col("c2"))).count() == 0)
   }
 
   test("bruteForceTopK: a planted duplicate vector is its own top-1") {
