@@ -212,17 +212,28 @@ class SketchExpressionsSpec extends SparkTestBase {
     }
     val adversarial = (Seq("hello world", "héllo wörld", "日本語のテキスト",
       "a😀b😀a😀b", "  ", "", "x", "aaaa", "ab ab ab") ++ fuzz).toDF("text")
+    // CharSplit rides the same fuzz: its declarative twin is the
+    // per-index substr enumeration it replaced in Bpe.initSymbols
+    def hofSplit(text: Column): Column =
+      when(length(text) >= 1,
+        transform(sequence(lit(1), length(text)),
+          i => text.substr(i, lit(1))))
+        .otherwise(array().cast(ArrayType(StringType)))
     for (frame <- Seq(adversarial, docs.select(col("text")))) {
       val got = frame.select(
         Dedup.charNgrams(col("text"), 3).as("gN"),
         hofNgrams(col("text"), 3).as("gH"),
         graft.operators.TextAnalysis.rollingHash(col("text")).as("rN"),
-        hofRolling(col("text")).as("rH")).collect()
+        hofRolling(col("text")).as("rH"),
+        graft.functions.BpeFunctions.charSplit(col("text")).as("sN"),
+        hofSplit(col("text")).as("sH")).collect()
       got.foreach { r =>
         assert(r.getSeq[String](0) == r.getSeq[String](1),
           s"ngrams diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
         assert(r.getLong(2) == r.getLong(3),
           s"rolling hash diverged: ${r.getLong(2)} vs ${r.getLong(3)}")
+        assert(r.getSeq[String](4) == r.getSeq[String](5),
+          s"char split diverged: ${r.getSeq[String](4)} vs ${r.getSeq[String](5)}")
       }
     }
     // null text: ngrams empty array, rolling hash NULL (both formulas)
