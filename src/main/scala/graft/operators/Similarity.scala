@@ -169,7 +169,12 @@ object Similarity {
       least(centroidStructs(col(vecCol), centroids): _*).getField("cid"))
 
   /** The `nprobe` nearest centroid ids for a vector, nearest first —
-    * the query-side half of IVF search.
+    * the query-side half of IVF search. Still the literal-structs
+    * formulation (O(nlist) plan size): it runs over the QUERY frame
+    * only — thousands of rows, not the corpus — so the per-plan cost
+    * is planning-time-bounded and the corpus-sized rule (NearestCentroid
+    * carrying the matrix as instance data) doesn't apply. Revisit if a
+    * production nlist (10⁴) ever makes the probe plan itself heavy.
     */
   def ivfProbeCells(vec: Column, centroids: Seq[(Int, Array[Double])],
       nprobe: Int): Column =
@@ -265,6 +270,10 @@ object Similarity {
     */
   def assignMargin(corpus: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    // diagnostic operator (determinism-margin studies), not a pipeline
+    // stage: the O(nlist) literal-struct sort per row is fine at probe
+    // sizes and keeps the margin definition visibly identical to the
+    // SQL the oracle replays
     require(centroids.size >= 2, "margin needs at least two centroids")
     val sorted = array_sort(array(
       centroidStructs(col(vecCol), centroids): _*))
