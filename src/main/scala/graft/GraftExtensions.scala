@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions wiring: exposes the native graft expressions to
@@ -15,6 +17,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
+
+  /** The instance-data natives (HyperplaneBucket, NearestCentroid,
+    * BatchMergePairs) carry their parameter family as constructor data —
+    * bound once at plan time, shipped per-instance via addReferenceObj —
+    * rather than as a per-row child expression. SQL can still reach them
+    * when the argument is a FOLDABLE literal array: fold it here, at
+    * injection, into the instance data. A non-foldable argument (a
+    * column) genuinely cannot work — the whole point of the instance
+    * form is a plan-time-constant family — so reject it loudly.
+    */
+  private def foldedLiteral(e: Expression, to: ArrayType,
+      what: String): ArrayData = {
+    require(e.foldable,
+      s"$what must be a foldable literal array (e.g. array(array(...))): " +
+        "instance data binds at plan time, not per row")
+    val v = Cast(e, to).eval()
+    require(v != null, s"$what must not be null")
+    v.asInstanceOf[ArrayData]
+  }
+
+  /** array<array<double>> literal -> row-major matrix. */
+  private def litDoubleMatrix(e: Expression,
+      what: String): Seq[Array[Double]] = {
+    val rows = foldedLiteral(e, ArrayType(ArrayType(DoubleType)), what)
+      .toObjectArray(ArrayType(DoubleType))
+    require(rows.forall(_ != null), s"$what must not contain null rows")
+    rows.toSeq.map(_.asInstanceOf[ArrayData].toDoubleArray())
+  }
+
+  /** array<array<string>> literal of [left, right] pairs. */
+  private def litStringPairs(e: Expression,
+      what: String): Seq[(String, String)] = {
+    val ps = foldedLiteral(e, ArrayType(ArrayType(StringType)), what)
+      .toObjectArray(ArrayType(StringType))
+    ps.toSeq.map { p =>
+      require(p != null, s"$what must not contain null pairs")
+      val a = p.asInstanceOf[ArrayData]
+      require(a.numElements() == 2,
+        s"each $what element must be a [left, right] pair")
+      (a.getUTF8String(0).toString, a.getUTF8String(1).toString)
+    }
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session =>
@@ -58,6 +102,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_split",
         "char_split(text) - one string per code point, one pass"),
       (args: Seq[Expression]) => graft.functions.CharSplit(args.head)))
+    // ---- instance-data natives: literal family folded at injection ----
+    e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
+      info("hyperplane_bucket",
+        "hyperplane_bucket(vec, planes) - sign-pattern LSH bucket id; " +
+          "planes is a literal array<array<double>>"),
+      (args: Seq[Expression]) => graft.functions.HyperplaneBucket(args(0),
+        litDoubleMatrix(args(1), "hyperplane_bucket planes").map(_.toSeq))))
+    e.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid",
+        "nearest_centroid(vec, centroids) - argmin-L2 cell index; " +
+          "centroids is a literal array<array<double>>, cell id = position"),
+      (args: Seq[Expression]) => graft.functions.NearestCentroid(args(0),
+        litDoubleMatrix(args(1), "nearest_centroid centroids")
+          .zipWithIndex.map { case (v, i) => (i, v) })))
+    e.injectFunction((FunctionIdentifier("nearest_centroid_dist"),
+      info("nearest_centroid_dist",
+        "nearest_centroid_dist(vec, centroids) - struct(cell, dist) of the " +
+          "argmin-L2 cell; centroids as in nearest_centroid"),
+      (args: Seq[Expression]) => graft.functions.NearestCentroidDist(args(0),
+        litDoubleMatrix(args(1), "nearest_centroid_dist centroids")
+          .zipWithIndex.map { case (v, i) => (i, v) })))
+    e.injectFunction((FunctionIdentifier("batch_merge_pairs"),
+      info("batch_merge_pairs",
+        "batch_merge_pairs(syms, pairs) - apply non-conflicting BPE merge " +
+          "pairs in one pass; pairs is a literal array<array<string>> of " +
+          "[left, right]"),
+      (args: Seq[Expression]) => graft.functions.BatchMergePairs(args(0),
+        litStringPairs(args(1), "batch_merge_pairs pairs"))))
   }
 }
 

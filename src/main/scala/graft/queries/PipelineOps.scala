@@ -985,15 +985,34 @@ object PipelineOps {
             SELECT id, min(x) AS cluster
             FROM reach GROUP BY id ORDER BY id"""))
 
-  /** Centroid set shared by x11/x33: every 97th vector in id order. */
+  /** Centroid set shared by x11/x33/x36: every 97th vector in id order,
+    * capped at 16. The every-Nth + limit pattern under-fills SILENTLY
+    * when the id range shrinks (the ivfrecall flow's "64-cell" index was
+    * 21 cells before its sample-size assert) — so the guard lives here,
+    * next to the pattern. It can NOT require a full 16: the pool is 6 at
+    * sf0.001/sf0.01 and 16 (of 21) at sf0.1 today, and the oracle SQL
+    * replays the same selection, so a 6-cell index is the graded,
+    * agreed-upon shape at small SFs. What must never happen silently is
+    * the index degenerating below what downstream assumes: x33 probes
+    * the 2 nearest cells, so anything under 4 cells turns "IVF" into a
+    * near-full scan with a green oracle. That floor fails loudly.
+    */
   private def ivfCentroids(s: org.apache.spark.sql.SparkSession,
-      d: String): Seq[(Int, Array[Double])] =
-    t(s, d, "embeddings").filter(pmod(col("vec_id"), lit(97)) === 0)
+      d: String): Seq[(Int, Array[Double])] = {
+    val pool = t(s, d, "embeddings")
+      .filter(pmod(col("vec_id"), lit(97)) === 0)
       .orderBy("vec_id").limit(16)
-      .collect().zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](r.fieldIndex("embedding"))
-          .map(_.toDouble).toArray)
-      }.toSeq
+      .collect()
+    require(pool.length >= 4,
+      s"IVF seed pool starved: every-97th-id sampling yielded only " +
+        s"${pool.length} centroids (< 4) — the embeddings slice shrank; " +
+        "widen the stride or the corpus (see ivfrecall's sample-size " +
+        "lesson in SCALE.md)")
+    pool.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](r.fieldIndex("embedding"))
+        .map(_.toDouble).toArray)
+    }.toSeq
+  }
 
   /** IVF probe SEARCH (the full index path, completing x11's assignment
     * step): top-5 cosine over only each query's 2 nearest cells. Same

@@ -85,6 +85,79 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(a.getSeq[String](0) == b.getSeq[String](0)) }
   }
 
+  test("hyperplane_bucket / nearest_centroid / nearest_centroid_dist " +
+    "resolve in SQL with literal plane/centroid families and agree " +
+    "with the Column API") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_bucket"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq(Array(0.3f, -1.2f, 0.8f), Array(-0.5f, 0.1f, 0.0f),
+      Array(2.0f, 2.0f, -3.0f))
+      .toDF("vec").createOrReplaceTempView("ext_vec_t")
+    // SQL double literals (0.5D) keep the cast exact; the injection also
+    // folds decimal literals via the Cast, which plain 0.5 exercises
+    val got = spark.sql(
+      """SELECT hyperplane_bucket(vec,
+        |         array(array(1.0D, 0.0D, 0.0D), array(0.5, -0.5, 2.0))) AS hb,
+        |       nearest_centroid(vec,
+        |         array(array(0.0D, -1.0D, 1.0D), array(1.0D, 1.0D, -1.0D))) AS nc,
+        |       nearest_centroid_dist(vec,
+        |         array(array(0.0D, -1.0D, 1.0D), array(1.0D, 1.0D, -1.0D))) AS nd
+        |FROM ext_vec_t""".stripMargin).collect()
+    val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.5, -0.5, 2.0))
+    val cents = Seq(0 -> Array(0.0, -1.0, 1.0), 1 -> Array(1.0, 1.0, -1.0))
+    val viaCol = spark.table("ext_vec_t").select(
+      functions.VectorFunctions.hyperplaneBucket($"vec", planes).as("hb"),
+      functions.VectorFunctions.nearestCentroid($"vec", cents).as("nc"),
+      functions.VectorFunctions.nearestCentroidDist($"vec", cents).as("nd"))
+      .collect()
+    got.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getInt(1) == b.getInt(1))
+      assert(a.getStruct(2) == b.getStruct(2))
+    }
+    // both cells appear across the probe vectors (the family is real)
+    assert(got.map(_.getInt(1)).toSet == Set(0, 1))
+  }
+
+  test("batch_merge_pairs resolves in SQL with a literal pair batch, " +
+    "agrees with the Column API, and rejects a conflicting batch") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("batch_merge_pairs"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq(Seq("t", "h", "e", "t", "a"), Seq("h", "t", "h", "h"))
+      .toDF("syms").createOrReplaceTempView("ext_bpe_t")
+    val got = spark.sql(
+      """SELECT batch_merge_pairs(syms,
+        |         array(array('t', 'h'), array('e', 'a'))) AS m
+        |FROM ext_bpe_t""".stripMargin).collect()
+    val viaCol = spark.table("ext_bpe_t").select(
+      functions.BpeFunctions.batchMergePairs($"syms",
+        Seq("t" -> "h", "e" -> "a")).as("m")).collect()
+    got.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getSeq[String](0) == b.getSeq[String](0)) }
+    assert(got(0).getSeq[String](0) == Seq("th", "e", "t", "a"))
+    // the constructor's non-conflict invariant must fire through the SQL
+    // path too, at analysis, not produce silent drift
+    val conflict = intercept[Exception] {
+      spark.sql("""SELECT batch_merge_pairs(syms,
+        array(array('a', 'b'), array('b', 'c'))) AS m FROM ext_bpe_t""")
+        .collect()
+    }
+    assert(conflict.getMessage.contains("non-conflicting") ||
+      Option(conflict.getCause)
+        .exists(_.getMessage.contains("non-conflicting")))
+    // a non-literal family cannot bind instance data — loud rejection
+    val nonLit = intercept[Exception] {
+      spark.sql("""SELECT batch_merge_pairs(syms,
+        array(array(syms[0], 'x'))) AS m FROM ext_bpe_t""").collect()
+    }
+    assert(nonLit.getMessage.contains("foldable") ||
+      Option(nonLit.getCause).exists(_.getMessage.contains("foldable")))
+  }
+
   test("approx_top_k_ss aggregate resolves in SQL") {
     import spark.implicits._
     val hasExt = spark.sessionState.functionRegistry
