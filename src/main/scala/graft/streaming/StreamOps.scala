@@ -139,22 +139,51 @@ object StreamOps {
   case class SessionState(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
   case class SessionOut(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, sum_value: Double)
+  /** One buffered event awaiting finalization (event_id dropped: bounds,
+    * count and the exact cents sum are all arrival-order-independent).
+    */
+  case class PendingEv(us: Long, cents: Long)
+  /** Per-user buffer: `partial` is the compacted below-watermark prefix
+    * of the OLDEST open session (its events can never be preceded by a
+    * new arrival, so only their aggregate matters); `pending` holds the
+    * individual events at or above the compaction watermark — the only
+    * ones a late arrival could still reorder against.
+    */
+  case class SessionBuf(partial: Option[SessionState],
+      pending: Seq[PendingEv])
 
-  /** Custom sessionization with explicit state + processing-time timeout:
-    * the imperative escape hatch (flatMapGroupsWithState) for session
+  /** Custom sessionization with explicit state + event-time timeout: the
+    * imperative escape hatch (flatMapGroupsWithState) for session
     * semantics session_window can't express (e.g. emitting closed
     * sessions exactly once with custom close rules).
     *
-    * A session also closes when its user goes quiet: the state carries an
-    * EVENT-time timeout at lastUs + gap, so the session is emitted when
-    * the watermark passes the gap — the same clock the gap predicate
-    * uses, which is what keeps timeout-closes consistent with the batch
-    * twin (a processing-time timeout could close a session that an
-    * in-gap event would still extend, double-emitting it). Streaming
-    * callers must withWatermark the input; state size tracks ACTIVE
-    * users only. (Batch runs invoke each group exactly once and never
-    * fire timeouts, so in batch the final session per user stays
-    * un-emitted by design — StreamingSpec asserts exactly that.)
+    * ARRIVAL CONTRACT: correct under OUT-OF-ORDER arrival up to the
+    * input's watermark delay — an event arriving while its timestamp is
+    * still >= the current watermark lands in the right session, splits
+    * or bridges neighbouring sessions exactly as the batch twin would,
+    * and parity with `Sessionize.sessions` holds bit-for-bit
+    * (StreamingSpec proves it under bounded shuffling). An event older
+    * than the watermark when it arrives is DROPPED, deterministically
+    * and by design — the output then equals the batch twin computed on
+    * the surviving events, never a silently-wrong merge (StreamingSpec
+    * pins that divergence too). Choose the watermark delay to cover the
+    * source's real disorder bound; `withWatermark` on the input is
+    * required for streaming runs.
+    *
+    * Mechanics: events buffer in per-user state until the watermark
+    * passes their session's close (lastUs + gap) — only then can no
+    * allowed arrival extend, bridge, or split the session, so only then
+    * is it emitted (exactly once, Append mode). Buffered events below
+    * the watermark compact into a per-session aggregate prefix, so state
+    * per user is O(events inside the lateness horizon) + one aggregate,
+    * NOT the session history: with in-order arrival and a tight delay
+    * the buffer stays a handful of rows (the streamscale flow measures
+    * this at 1M events). The state carries an event-time timeout at the
+    * oldest open session's close so quiet users flush exactly when the
+    * watermark says their gap elapsed — the same clock the gap predicate
+    * uses. (Batch runs invoke each group exactly once with no watermark:
+    * every gap-closed session is emitted, the final still-open session
+    * per user stays un-emitted by design — StreamingSpec asserts that.)
     */
   def statefulSessions(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): Dataset[SessionOut] = {
@@ -162,47 +191,94 @@ object StreamOps {
     val gapUs = gapSeconds * 1000000L
 
     def update(user: Long, evs: Iterator[Ev],
-        state: GroupState[SessionState]): Iterator[SessionOut] = {
+        state: GroupState[SessionBuf]): Iterator[SessionOut] = {
       def emit(st: SessionState): SessionOut =
         SessionOut(user, st.startUs, st.lastUs, st.n, st.sumCents / 100.0)
-      if (state.hasTimedOut) {
-        // user went quiet: close and emit the open session, free the state
-        val st = state.get
-        state.remove()
-        return Iterator(emit(st))
-      }
-      var cur = state.getOption
-      val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
-      evs.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
-        val us = tsMicros(e.ts)
-        val cents = math.round(e.value * 100.0)
+      // None = batch run (no watermark, no timeouts): emit all closed
+      // sessions now. Some(wm) = streaming: emit only what the watermark
+      // has made immutable.
+      val wmUs: Option[Long] =
+        try Some(state.getCurrentWatermarkMs() * 1000L)
+        catch { case _: UnsupportedOperationException => None }
+      val buf = state.getOption.getOrElse(SessionBuf(None, Nil))
+      // documented late-drop: below-watermark arrivals can no longer be
+      // placed correctly (their session may already be emitted) — drop
+      // them HERE, explicitly, so the semantics don't depend on which
+      // late rows the engine's own pre-filter happens to catch
+      val fresh = evs.map(e => PendingEv(tsMicros(e.ts),
+          math.round(e.value * 100.0)))
+        .filter(p => wmUs.forall(p.us >= _))
+      // rebuild sessions over (compacted prefix + sorted buffer): the
+      // compacted prefix is strictly older than every pending event by
+      // construction (compaction only folds events below a watermark no
+      // later arrival may precede)
+      val pend = (buf.pending ++ fresh).sortBy(_.us)
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[(SessionState, Vector[PendingEv])]
+      var cur = buf.partial.map(p => (p, Vector.empty[PendingEv]))
+      for (e <- pend) {
         cur match {
-          case Some(st) if us - st.lastUs <= gapUs =>
-            cur = Some(st.copy(lastUs = us, n = st.n + 1,
-              sumCents = st.sumCents + cents))
-          case Some(st) =>
-            closed += emit(st)
-            cur = Some(SessionState(us, us, 1, cents))
+          case Some((st, es)) if e.us - st.lastUs <= gapUs =>
+            cur = Some((SessionState(st.startUs, e.us, st.n + 1,
+              st.sumCents + e.cents), es :+ e))
+          case Some(closed) =>
+            sessions += closed
+            cur = Some((SessionState(e.us, e.us, 1, e.cents), Vector(e)))
           case None =>
-            cur = Some(SessionState(us, us, 1, cents))
+            cur = Some((SessionState(e.us, e.us, 1, e.cents), Vector(e)))
         }
       }
-      cur match {
-        case Some(st) =>
-          state.update(st)
-          // close when the event-time watermark passes the gap horizon.
-          // A late-but-allowed event can put lastUs+gap BEHIND the
-          // current watermark, which Spark rejects — clamp forward.
-          // (getCurrentWatermarkMs throws in batch, where timeouts never
-          // fire anyway.)
-          val base = st.lastUs / 1000L + gapSeconds * 1000L
-          val ts =
-            try math.max(state.getCurrentWatermarkMs() + 1L, base)
-            catch { case _: UnsupportedOperationException => base }
-          state.setTimeoutTimestamp(ts)
-        case None => state.remove()
+      cur.foreach(sessions += _)
+      wmUs match {
+        case None =>
+          // batch: emit every closed session, leave the open one; the
+          // single invocation means state bookkeeping is moot
+          state.remove()
+          sessions.dropRight(1).map(s => emit(s._1)).iterator
+        case Some(wm) =>
+          // final = the watermark passed the close: no allowed arrival
+          // (us >= wm) can extend (needs us <= lastUs+gap < wm) or merge
+          // it backward (finals form a prefix: an earlier session closes
+          // even earlier). Emit exactly those.
+          val (fin, open) = sessions.span(_._1.lastUs + gapUs < wm)
+          if (open.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            // compact the oldest open session's below-watermark events
+            // into the aggregate prefix (no later arrival can precede
+            // them; arrivals only extend/bridge, never split a session,
+            // so the aggregate stays exact)
+            val (st0, evs0) = open.head
+            val keep0 = evs0.dropWhile(_.us < wm)
+            val compacted = evs0.length - keep0.length
+            val partial: Option[SessionState] =
+              if (compacted == 0) {
+                // nothing newly compactable. The old prefix belongs to
+                // the FIRST session overall; it survives iff that
+                // session is still open (fin empty), else it was just
+                // emitted inside fin's head.
+                if (fin.isEmpty) buf.partial else None
+              } else {
+                // new prefix = session aggregate minus the kept suffix
+                // (st0 already folds the old prefix in when this is the
+                // first session, so subtraction is correct either way)
+                val kept = keep0.foldLeft((0L, 0L)) { case ((n, c), e) =>
+                  (n + 1, c + e.cents) }
+                Some(SessionState(st0.startUs,
+                  if (keep0.isEmpty) st0.lastUs else evs0(compacted - 1).us,
+                  st0.n - kept._1, st0.sumCents - kept._2))
+              }
+            val pendingOut = keep0 ++ open.tail.flatMap(_._2)
+            state.update(SessionBuf(partial, pendingOut))
+            // wake when the watermark passes the oldest open session's
+            // close; clamp above the current watermark (Spark rejects a
+            // timeout at or below it)
+            val base = open.head._1.lastUs / 1000L + gapSeconds * 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1L, base))
+          }
+          fin.map(s => emit(s._1)).iterator
       }
-      closed.iterator
     }
 
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")

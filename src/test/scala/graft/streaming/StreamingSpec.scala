@@ -144,6 +144,117 @@ class StreamingSpec extends SparkTestBase {
       s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
   }
 
+  test("out-of-order arrival WITHIN the watermark delay: stateful " +
+    "sessionize parity holds bit-for-bit under bounded shuffling") {
+    // Real streams deliver bounded disorder, not event-time order. Model
+    // it: each event's DELIVERY time = ts + deterministic jitter in
+    // [0, 10min), micro-batches sliced by delivery — so events cross
+    // micro-batch boundaries out of event-time order, late events land
+    // in sessions the state already extended past, and some arrive
+    // before session predecessors. With watermark delay (30min) > max
+    // jitter (10min) no event is ever below the watermark at arrival
+    // (ts >= delivery - 10min > maxSeenTs - 30min), so the contract
+    // promises EXACT parity with the batch operator.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftooo").toString
+    val jitterUs = 600L * 1000000L // 10 min
+    val delivered = batchEvents.withColumn("deliver_us",
+      unix_micros(col("ts")) +
+        pmod(col("event_id") * lit(2654435761L), lit(jitterUs)))
+    val (dLo, dHi) = {
+      val r = delivered.agg(min("deliver_us"), max("deliver_us"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val nSlices = 6
+    val step = (dHi - dLo) / nSlices + 1
+    val maxUs = batchEvents
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    def sentinel(user: Long, us: Long) =
+      Seq((-user, user, "ping", 0.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(lit(us)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    val gapUs = 1800L * 1000000L
+    val src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+      .withWatermark("ts", "30 minutes")
+    delivered.filter(col("deliver_us") < dLo + step)
+      .drop("deliver_us").coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamOps.statefulSessions(spark, src, 1800L)
+      .writeStream.format("memory").queryName("ooosessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    for (i <- 1 until nSlices) {
+      delivered.filter(col("deliver_us") >= dLo + i.toLong * step &&
+          col("deliver_us") < dLo + (i + 1).toLong * step)
+        .drop("deliver_us").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    sentinel(-99L, maxUs + 10L * gapUs).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    sentinel(-98L, maxUs + 20L * gapUs).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ooosessions")
+      .filter(col("user_id") >= 0)
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Sessionize.sessions(batchEvents, 1800L)
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
+  }
+
+  test("arrival BEYOND the watermark delay: the late event is dropped " +
+    "deterministically — output equals the batch twin of the surviving " +
+    "events, never a silently-wrong merge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftlate").toString
+    val t0 = 1700000000000000L // µs
+    def ev(id: Long, user: Long, us: Long) =
+      Seq((id, user, "click", 1.0, "{}"))
+        .toDF("event_id", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(lit(us)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    val src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+      .withWatermark("ts", "1 second")
+    // batch 1: user 1's SECOND event + a watermark pusher 3h ahead
+    ev(2L, 1L, t0 + 600L * 1000000L)
+      .union(ev(10L, 2L, t0 + 10800L * 1000000L))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamOps.statefulSessions(spark, src, 1800L)
+      .writeStream.format("memory").queryName("latesessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: user 1's FIRST event arrives 3h late — far beyond the 1s
+    // delay; the batch twin would merge it into one [t0, t0+10min]
+    // session, the stream must DROP it instead
+    ev(1L, 1L, t0).coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // flush every session
+    ev(99L, 3L, t0 + 20L * 3600L * 1000000L)
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    ev(98L, 3L, t0 + 40L * 3600L * 1000000L)
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("latesessions")
+      .filter(col("user_id") === 1L)
+      .select("session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toSeq).toSet
+    // documented divergence: user 1's session is the surviving event
+    // alone — not the merged two-event session the full batch twin
+    // computes, and not a corrupted [t0+10min, t0] inversion
+    val survivor = t0 + 600L * 1000000L
+    assert(got == Set(Seq(survivor, survivor, 1L)),
+      s"late event not dropped cleanly: $got")
+  }
+
   test("stream-static join enriches each micro-batch against the dim") {
     val dim = batchEvents.select(col("user_id").as("d_user")).distinct()
       .withColumn("tier",
