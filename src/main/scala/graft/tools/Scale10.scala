@@ -47,7 +47,10 @@ import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
   * `botgap` (sparse-bot sessionize corner), `boilergrams`
   * (decontamination exchange A/B), `longdocs` (native text tier at
   * 2k/10k tokens/doc), `skewjoin` (AQE skew-join vs manual salt),
-  * `streamscale` (streaming sessionize state under x10 volume).
+  * `streamscale` (streaming sessionize state under x10 volume; extra
+  * args: `rocksdb` = RocksDB state store, `shuffled` = bounded
+  * out-of-order delivery), `streamdedup` (streaming LSH dedup state;
+  * extra arg `rocksdb`).
   * Extra args after a flow name restrict it to the named pipelines.
   */
 object Scale10 {
@@ -237,15 +240,34 @@ object Scale10 {
     (progress, sec)
   }
 
+  /** Flip this run's streaming state store to RocksDB when asked;
+    * returns the short provider name for the flow's JSON lines. The
+    * default store keeps every version of every key on the JVM heap;
+    * RocksDB keeps the working set off-heap in native memory + local
+    * SST files — the production choice once state outgrows the heap.
+    */
+  private def stateProvider(spark: SparkSession, rocksdb: Boolean): String =
+    if (rocksdb) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      "rocksdb"
+    } else "hdfs"
+
   /** One JSON line per micro-batch (state rows/evictions/bytes), then
     * (max rows, total evicted, final rows) for the flow's invariants.
+    * memoryUsedBytes is the provider's own accounting: resident heap
+    * for the default store, native (block cache + memtables + pinned
+    * blocks) for RocksDB.
     */
   private def stateSeries(flow: String,
       progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
       : (Long, Long, Long) = {
     for (p <- progress) {
       val s = p.stateOperators(0)
-      println(s"""{"flow":"$flow","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}}""")
+      val rocks = Option(s.customMetrics.get("rocksdbTotalMemoryUsage"))
+        .map(v => s""","rocksdb_mem_bytes":$v""").getOrElse("")
+      println(s"""{"flow":"$flow","batch":${p.batchId},"input_rows":${p.numInputRows},"state_rows":${s.numRowsTotal},"state_removed":${s.numRowsRemoved},"state_mem_bytes":${s.memoryUsedBytes}$rocks}""")
     }
     (progress.map(_.stateOperators(0).numRowsTotal).max,
       progress.map(_.stateOperators(0).numRowsRemoved).sum,
@@ -603,6 +625,10 @@ object Scale10 {
       //    bucket rows;
       //  - state is bounded by active buckets: peak rows <= 8 bands x
       //    live docs.
+      // Extra arg `rocksdb` swaps the state store provider — this flow
+      // is the heavy-state one (~380k live bucket rows), so it is where
+      // the off-heap claim earns its numbers.
+      val provider = stateProvider(spark, only("rocksdb"))
       val docs = spark.read.parquet(s"$outDir/documents.parquet")
         .select(col("doc_id"), col("text"),
           timestamp_seconds(lit(1700000000L) + col("doc_id")).as("fetched_at"))
@@ -674,7 +700,7 @@ object Scale10 {
         else None
       }.toSet
       val (maxState, removed, finalState) = stateSeries("streamdedup", progress)
-      println(s"""{"flow":"streamdedup","docs":$nDocs,"pairs":${got.size},"parity":${got == expected},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"sec":${f(sec)}}""")
+      println(s"""{"flow":"streamdedup","provider":"$provider","docs":$nDocs,"pairs":${got.size},"parity":${got == expected},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"sec":${f(sec)}}""")
       require(got == expected, s"stream/batch divergence: " +
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
       require(removed > 0 && finalState <= 16,
@@ -685,30 +711,44 @@ object Scale10 {
       // Streaming state under volume (VERDICT r10 task 4): parity is
       // proven at sf0.001 (StreamingSpec); here the x10 events slice
       // (1M rows) runs through the REAL streaming engine as 16
-      // event-time-ordered micro-batches — a day of traffic arriving
-      // the way a stream arrives — recording the state store's
-      // rows/bytes/evictions per batch. Three invariants, require()d:
+      // micro-batches — a day of traffic arriving the way a stream
+      // arrives — recording the state store's rows/bytes/evictions per
+      // batch. Extra args: `rocksdb` swaps the state store provider
+      // (SCALE.md's production-state claim, measured); `shuffled`
+      // delivers each event ts + jitter(event_id) in [0, 10min) under a
+      // 30-min watermark delay — bounded DISORDER at volume, the
+      // arrival contract's parity leg exercised on 1M events instead of
+      // the unit test's corpus. Three invariants, require()d:
       //  - parity: emitted sessions == the batch operator's output,
-      //    bit-for-bit, at 10x the proven volume (in-order arrival
-      //    makes the event-time timeout safe: a batch's watermark
-      //    trails its slice start, so an in-gap follow-up event always
-      //    arrives before its session's timeout can fire);
+      //    bit-for-bit (ordered runs: the watermark trails each slice's
+      //    start; shuffled runs: jitter < delay keeps every arrival
+      //    above the watermark — either way the buffer-until-watermark
+      //    operator owes exactness);
       //  - eviction: numRowsRemoved > 0 across the run — the
       //    event-time TTL actually frees quiet users' state under
       //    load, not just in the unit test;
       //  - drainage: after the sentinel flush the store holds only the
       //    sentinel users' state (<= 2 rows) — state is bounded by
       //    OPEN sessions, nothing leaks.
+      val provider = stateProvider(spark, only("rocksdb"))
+      val shuffled = only("shuffled")
+      val arrival = if (shuffled) "shuffled" else "ordered"
+      val jitterUs = 600L * 1000000L
       val ev = spark.read.parquet(s"$outDir/events.parquet")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .localCheckpoint()
-      val (tminUs, tmaxUs) = {
-        val r = ev.agg(min(unix_micros(col("ts"))),
-          max(unix_micros(col("ts")))).collect()(0)
-        (r.getLong(0), r.getLong(1))
+      // delivery order: event time, or event time + bounded jitter
+      val evD = ev.withColumn("deliver_us",
+        if (shuffled) unix_micros(col("ts")) +
+          pmod(col("event_id") * lit(2654435761L), lit(jitterUs))
+        else unix_micros(col("ts")))
+      val (tmaxUs, dminUs, dmaxUs) = {
+        val r = evD.agg(max(unix_micros(col("ts"))),
+          min(col("deliver_us")), max(col("deliver_us"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       val nSlices = 16
-      val stepUs = (tmaxUs - tminUs) / nSlices + 1
+      val stepUs = (dmaxUs - dminUs) / nSlices + 1
       val srcDir = s"$outDir-streamsrc/${System.nanoTime()}"
       // two far-future sentinels timeout-flush every real session
       // (StreamingSpec's deterministic-flush pattern)
@@ -718,17 +758,19 @@ object Scale10 {
           lit("ping").as("event_type"), lit(0.0).as("value"),
           lit("{}").as("props"))
       val gapUs = 1800L * 1000000L
+      val wmDelay = if (shuffled) "30 minutes" else "1 second"
       val (progress, sec) = runMicroBatches(srcDir,
-        (0 until nSlices).map(i => ev.filter(
-          unix_micros(col("ts")) >= tminUs + i.toLong * stepUs &&
-            unix_micros(col("ts")) < tminUs + (i + 1).toLong * stepUs)),
+        (0 until nSlices).map(i => evD.filter(
+          col("deliver_us") >= dminUs + i.toLong * stepUs &&
+            col("deliver_us") < dminUs + (i + 1).toLong * stepUs)
+          .drop("deliver_us")),
         Seq(sentinel(-99L, tmaxUs + 10L * gapUs),
           sentinel(-98L, tmaxUs + 20L * gapUs)),
         () => graft.streaming.StreamOps.statefulSessions(spark,
             spark.readStream
               .schema(graft.streaming.StreamOps.eventSchema)
               .parquet(srcDir)
-              .withWatermark("ts", "1 second"), 1800L)
+              .withWatermark("ts", wmDelay), 1800L)
           .writeStream.format("memory").queryName("streamscale")
           .outputMode("append").start())
       val got = spark.table("streamscale")
@@ -742,7 +784,7 @@ object Scale10 {
         .collect().map(_.toSeq).toSet
       val (maxState, removed, finalState) = stateSeries("streamscale", progress)
       val users = ev.select("user_id").distinct().count()
-      println(s"""{"flow":"streamscale","sessions":${got.size},"parity":${got == want},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"distinct_users":$users,"sec":${f(sec)}}""")
+      println(s"""{"flow":"streamscale","provider":"$provider","arrival":"$arrival","sessions":${got.size},"parity":${got == want},"max_state_rows":$maxState,"final_state_rows":$finalState,"evicted":$removed,"distinct_users":$users,"sec":${f(sec)}}""")
       require(got == want, s"streaming/batch divergence: " +
         s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
       require(removed > 0, "event-time TTL never evicted state under load")
