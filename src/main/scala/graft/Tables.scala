@@ -18,16 +18,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain long
-    * (legacy flag) and truncate to microseconds ourselves. `div` keeps the
-    * arithmetic integral — a double division would lose precision at
-    * 1.7e18 ns epochs (2^53 < 1.7e18).
+  /** events.parquet's `ts` encoding is the driver's choice and has
+    * changed across rounds, so branch on what the footer actually says
+    * rather than assuming either shape:
+    *  - INT64 TIMESTAMP(NANOS): Spark's reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); the legacy flag reads the nanos as a
+    *    plain long and we truncate to micros ourselves. `div` keeps the
+    *    arithmetic integral — a double division would lose precision at
+    *    1.7e18 ns epochs (2^53 < 1.7e18).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP. Every graft session pins
+    *    spark.sql.session.timeZone=UTC (GraftSession.builder), so the
+    *    cast maps wall-clock micros to the same epoch micros the nanos
+    *    path produced — and the same values DuckDB's naive TIMESTAMP
+    *    reads for the oracle.
+    * Already-TIMESTAMP data (our own generated slices) passes through.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Lazy scan of one table; schema comes from parquet metadata. */

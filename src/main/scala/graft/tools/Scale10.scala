@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
-  IntervalJoin, Ranking, Sessionize, Similarity}
+  IntervalJoin, Ranking, Sessionize, Similarity, TextAnalysis}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -212,7 +212,28 @@ object Scale10 {
         Decontaminate.overlapHits(
           docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0),
-          "doc_id", "text", n = 4).count()))
+          "doc_id", "text", n = 4).count()),
+      // x35's end-to-end chain at corpus scale: normalize -> digest
+      // dedup -> near-dup pairs -> components -> cluster census. The
+      // graded x35 verifies the pair stage with exact blocked Jaccard
+      // (quadratic within lang blocks — DuckDB-replayable on its capped
+      // slice, hopeless at 500k docs); here the pair stage is the
+      // documented scale path, MinHash-LSH (one (band,bhash) shuffle),
+      // with every other stage identical. This is the composition a
+      // 100 TB corpus clean actually runs.
+      "corpus_pipeline" -> (() => {
+        val normed = docs.select(col("doc_id"), col("lang"),
+          TextAnalysis.normalize(col("text")).as("ntext"))
+        val keepIds = normed.groupBy(md5(col("ntext")).as("digest"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val kept = normed.join(keepIds, Seq("doc_id"))
+        val pairs = Dedup.minhashNearDups(kept, "doc_id", "ntext", 0.6)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        Components.minLabel(kept.select(col("doc_id").as("id")), pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("members"))
+          .count()
+      }))
   }
 
   /** Shared micro-batch harness for the stateful streaming flows
@@ -1035,7 +1056,7 @@ object Scale10 {
       }
       val docNames = flowNames(Set("minhash_neardups",
         "simhash_md5_neardups", "vocab_encode", "repetition_signals",
-        "bpe_pairs", "decontaminate"), "docs100")
+        "bpe_pairs", "decontaminate", "corpus_pipeline"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
