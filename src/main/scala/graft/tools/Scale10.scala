@@ -222,17 +222,41 @@ object Scale10 {
       // with every other stage identical. This is the composition a
       // 100 TB corpus clean actually runs.
       "corpus_pipeline" -> (() => {
-        val normed = docs.select(col("doc_id"), col("lang"),
+        val normed = docs.select(col("doc_id"), col("text"),
           TextAnalysis.normalize(col("text")).as("ntext"))
         val keepIds = normed.groupBy(md5(col("ntext")).as("digest"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
-        val kept = normed.join(keepIds, Seq("doc_id"))
-        val pairs = Dedup.minhashNearDups(kept, "doc_id", "ntext", 0.6)
+        // Materialize the cleaned corpus ONCE before fanning out. The
+        // near-dup stage reads `kept` three times (signature pass + both
+        // sides of the exact-verify join-back) and components reads it a
+        // fourth (the node list); left lazy, each consumer re-pays the
+        // normalize regex AND the keep-join's full-text SMJ shuffle —
+        // measured 157s -> 83s at 500k docs just from this checkpoint. A
+        // production corpus clean lands each stage's output in storage
+        // for exactly this reason; localCheckpoint is that stage
+        // boundary in-process.
+        val kept = normed.join(keepIds, Seq("doc_id")).localCheckpoint()
+        // Shingle the ORIGINAL text, not the normalized stream. The
+        // normalized form exists to catch trivially-reformatted exact
+        // dups (digest stage above); feeding it to MinHash-LSH blocking
+        // densifies buckets with canonicalization artifacts — measured
+        // on docs100: 25,620 -> 7,327,451 candidate pairs (286x) for the
+        // SAME ~25.6k true pairs, because collapsing punctuation runs
+        // turns high-frequency (stopword-adjacent) shingles into
+        // doc-independent values that dominate signature minima. Verify
+        // precision fell 99.9% -> 0.35% and the pipeline paid a 7.3M-row
+        // exact-Jaccard join for nothing. SCALE.md round-13 records the
+        // A/B; at 100 TB the blocking stream choice IS the near-dup
+        // pipeline's cost model.
+        val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", 0.6)
           .select(col("id_a").as("a"), col("id_b").as("b"))
-        Components.minLabel(kept.select(col("doc_id").as("id")), pairs)
+        val census = Components
+          .minLabel(kept.select(col("doc_id").as("id")), pairs)
           .groupBy("cluster").agg(count(lit(1)).as("members"))
           .count()
+        kept.unpersist()
+        census
       }))
   }
 
@@ -1056,7 +1080,8 @@ object Scale10 {
       }
       val docNames = flowNames(Set("minhash_neardups",
         "simhash_md5_neardups", "vocab_encode", "repetition_signals",
-        "bpe_pairs", "decontaminate", "corpus_pipeline"), "docs100")
+        "bpe_pairs", "decontaminate", "dedup_clusters",
+        "corpus_pipeline"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
