@@ -221,43 +221,54 @@ object Scale10 {
       // documented scale path, MinHash-LSH (one (band,bhash) shuffle),
       // with every other stage identical. This is the composition a
       // 100 TB corpus clean actually runs.
-      "corpus_pipeline" -> (() => {
-        val normed = docs.select(col("doc_id"), col("text"),
-          TextAnalysis.normalize(col("text")).as("ntext"))
-        val keepIds = normed.groupBy(md5(col("ntext")).as("digest"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select("doc_id")
-        // Materialize the cleaned corpus ONCE before fanning out. The
-        // near-dup stage reads `kept` three times (signature pass + both
-        // sides of the exact-verify join-back) and components reads it a
-        // fourth (the node list); left lazy, each consumer re-pays the
-        // normalize regex AND the keep-join's full-text SMJ shuffle —
-        // measured 157s -> 83s at 500k docs just from this checkpoint. A
-        // production corpus clean lands each stage's output in storage
-        // for exactly this reason; localCheckpoint is that stage
-        // boundary in-process.
-        val kept = normed.join(keepIds, Seq("doc_id")).localCheckpoint()
-        // Shingle the ORIGINAL text, not the normalized stream. The
-        // normalized form exists to catch trivially-reformatted exact
-        // dups (digest stage above); feeding it to MinHash-LSH blocking
-        // densifies buckets with canonicalization artifacts — measured
-        // on docs100: 25,620 -> 7,327,451 candidate pairs (286x) for the
-        // SAME ~25.6k true pairs, because collapsing punctuation runs
-        // turns high-frequency (stopword-adjacent) shingles into
-        // doc-independent values that dominate signature minima. Verify
-        // precision fell 99.9% -> 0.35% and the pipeline paid a 7.3M-row
-        // exact-Jaccard join for nothing. SCALE.md round-13 records the
-        // A/B; at 100 TB the blocking stream choice IS the near-dup
-        // pipeline's cost model.
-        val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", 0.6)
-          .select(col("id_a").as("a"), col("id_b").as("b"))
-        val census = Components
-          .minLabel(kept.select(col("doc_id").as("id")), pairs)
-          .groupBy("cluster").agg(count(lit(1)).as("members"))
-          .count()
-        kept.unpersist()
-        census
-      }))
+      "corpus_pipeline" -> (() => corpusCleanCensus(docs).count()))
+  }
+
+  /** x35's end-to-end corpus clean on the scale path, returning the
+    * (cluster, members) census: normalize -> digest dedup -> near-dup
+    * pairs -> connected components -> census. The graded x35 verifies
+    * the pair stage with exact blocked Jaccard (quadratic within
+    * blocks — DuckDB-replayable on its capped slice, hopeless at 500k
+    * docs); here it is MinHash-LSH, everything else identical.
+    * Scale10Spec pins the census replica invariants in CI; SCALE.md
+    * round-13 carries the measured decades. Two at-scale lessons are
+    * baked in:
+    *  - Materialize the cleaned corpus ONCE before fanning out. The
+    *    near-dup stage reads `kept` three times (signature pass + both
+    *    sides of the exact-verify join-back) and components a fourth
+    *    (the node list); left lazy, each consumer re-pays the
+    *    normalize regex AND the keep-join's full-text SMJ shuffle —
+    *    measured 157s -> 83s at 500k docs from this one checkpoint. A
+    *    production corpus clean lands each stage's output in storage
+    *    for exactly this reason; localCheckpoint is that stage
+    *    boundary in-process. (Safe to free on return: minLabel
+    *    materializes everything it read into its own checkpoints.)
+    *  - Shingle the ORIGINAL text, not the normalized stream. The
+    *    normalized form exists to catch trivially-reformatted exact
+    *    dups (the digest stage); feeding it to MinHash-LSH blocking
+    *    densifies buckets with canonicalization artifacts — measured
+    *    on docs100: 25,620 -> 7,327,451 candidate pairs (286x) for
+    *    the SAME ~25.6k true pairs, because collapsing punctuation
+    *    runs turns high-frequency (stopword-adjacent) shingles into
+    *    doc-independent values that dominate signature minima. Verify
+    *    precision fell 99.9% -> 0.35%; the pipeline paid a 7.3M-row
+    *    exact-Jaccard join for nothing. At 100 TB the blocking-stream
+    *    choice IS the near-dup pipeline's cost model.
+    */
+  private[tools] def corpusCleanCensus(docs: DataFrame): DataFrame = {
+    val normed = docs.select(col("doc_id"), col("text"),
+      TextAnalysis.normalize(col("text")).as("ntext"))
+    val keepIds = normed.groupBy(md5(col("ntext")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept = normed.join(keepIds, Seq("doc_id")).localCheckpoint()
+    val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", 0.6)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val census = Components
+      .minLabel(kept.select(col("doc_id").as("id")), pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("members"))
+    kept.unpersist()
+    census
   }
 
   /** Shared micro-batch harness for the stateful streaming flows

@@ -85,6 +85,35 @@ class Scale10Spec extends SparkTestBase {
     }
   }
 
+  test("corpus pipeline census: replica 0 equals the base census " +
+    "row-for-row; other replicas match within banding tolerance; no " +
+    "cluster crosses replicas") {
+    // The SCALE.md round-13 claim in CI: the end-to-end clean's cluster
+    // census scales with the corpus because near-dup structure stays
+    // within replicas. Replica 0 is the untouched base text, so its
+    // census must be IDENTICAL; replicas 1..R-1 rehash every shingle
+    // under the token rename, so banding may shift borderline pairs
+    // (same +-tolerance the pair test above uses), moving a few docs
+    // between clusters.
+    val base = Scale10.corpusCleanCensus(docs)
+      .collect().map(_.toSeq).toSet
+    val rep = Scale10.corpusCleanCensus(Replicas.documents(docs, R))
+      .collect()
+    // every cluster label lives in exactly one replica's id range, and
+    // its member count never exceeds that replica's doc count — a
+    // cross-replica merge would need a cross-replica pair, which the
+    // pair test above already forbids; this checks the census end of it
+    val perRep = rep.groupBy(_.getLong(0) / Replicas.docIdStride)
+    assert(perRep.keySet == (0L until R).toSet)
+    val rep0 = perRep(0L).map(_.toSeq).toSet
+    assert(rep0 == base, "replica 0 census diverged from base")
+    for (r <- 1L until R) {
+      val n = perRep(r).length
+      assert(math.abs(n - base.size) <= math.max(2, base.size / 20),
+        s"replica $r census $n clusters vs base ${base.size}")
+    }
+  }
+
   // ----------------------------------------------------------- embeddings
 
   test("embedding replicas: within-replica sign-band pairs (ids AND " +
