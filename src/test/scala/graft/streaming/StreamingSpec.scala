@@ -209,6 +209,72 @@ class StreamingSpec extends SparkTestBase {
       s"${got.diff(want).take(3)} extra, ${want.diff(got).take(3)} missing")
   }
 
+  test("seeded disorder fuzz: random corpora under random bounded " +
+    "jitter are bit-parity with the batch twin across three seeds") {
+    // The fixed-jitter parity test exercises ONE disorder pattern; the
+    // buffer-until-watermark operator owes exactness for EVERY arrival
+    // order within the delay. Three seeded random corpora (8 users,
+    // random 1s..20min inter-arrivals against a 10-min gap, so splits,
+    // bridges, and singleton sessions all occur; sub-ms micros included)
+    // each delivered in a random order bounded by 5-min jitter under a
+    // 15-min watermark delay, sliced into 5 micro-batches by delivery.
+    import spark.implicits._
+    val gapSec = 600L
+    val jitterUs = 300L * 1000000L // 5 min < 15-min delay
+    for (seed <- Seq(11, 42, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val t0 = 1700000000000000L
+      val evs: Seq[(Long, Long, Long, String, Double)] =
+        (1 to 8).flatMap { u =>
+          var ts = t0 + rnd.nextInt(600) * 1000000L
+          (1 to (5 + rnd.nextInt(20))).map { i =>
+            ts += 1000000L + (rnd.nextDouble() * 1200 * 1000000L).toLong
+            (u.toLong * 1000 + i, ts + rnd.nextInt(1000), u.toLong,
+              "click", rnd.nextInt(10000) / 100.0)
+          }
+        }
+      def toDf(rows: Seq[(Long, Long, Long, String, Double)]) =
+        rows.toDF("event_id", "us", "user_id", "event_type", "value")
+          .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type"), col("value"),
+            lit("{}").as("props"))
+      val delivered = evs.map(e => (e, e._2 + (rnd.nextDouble() * jitterUs).toLong))
+        .sortBy { case (e, d) => (d, e._1) }.map(_._1)
+      val batches = delivered.grouped(math.max(1, delivered.size / 5)).toSeq
+      val dir = Files.createTempDirectory(s"graftfuzz$seed").toString
+      val src = spark.readStream.schema(StreamOps.eventSchema).parquet(dir)
+        .withWatermark("ts", "15 minutes")
+      toDf(batches.head).coalesce(1).write.mode("append").parquet(dir)
+      val q = StreamOps.statefulSessions(spark, src, gapSec)
+        .writeStream.format("memory").queryName(s"fuzzsessions$seed")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      for (b <- batches.tail) {
+        toDf(b).coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      val maxUs = evs.map(_._2).max
+      for ((sid, k) <- Seq((99L, 10L), (98L, 20L))) {
+        toDf(Seq((-sid, maxUs + k * gapSec * 1000000L, -sid, "ping", 0.0)))
+          .coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"fuzzsessions$seed")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val want = graft.operators.Sessionize.sessions(toDf(evs), gapSec)
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      assert(want.size >= 8, s"seed $seed degenerate corpus")
+      assert(got == want, s"seed $seed: ${got.diff(want).take(3)} extra, " +
+        s"${want.diff(got).take(3)} missing")
+    }
+  }
+
   test("arrival BEYOND the watermark delay: the late event is dropped " +
     "deterministically — output equals the batch twin of the surviving " +
     "events, never a silently-wrong merge") {
