@@ -389,10 +389,13 @@ class StreamingSpec extends SparkTestBase {
     assert(landed.select("event_id").distinct().count() == batchEvents.count())
   }
 
-  test("streaming near-dup candidates equal the batch blocking+estimate " +
-    "across micro-batch boundaries") {
-    import spark.implicits._
-    // planted corpus: 30 base docs + exact copies + near copies
+  /** Planted near-dup corpus (30 base docs + exact copies + near
+    * copies) and the batch twin of the stream's blocking + estimator:
+    * pairs sharing >=1 band whose signature-agreement fraction >= 0.5.
+    * Shared by the in-order and shuffled-arrival near-dup tests.
+    */
+  private def nearDupFixture: (org.apache.spark.sql.DataFrame,
+      Set[(Long, Long, Double)]) = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 30).select("doc_id", "text")
     val planted = base
@@ -401,8 +404,6 @@ class StreamingSpec extends SparkTestBase {
       .union(base.filter(col("doc_id") < 5)
         .select((col("doc_id") + 2000).as("doc_id"),
           concat(col("text"), lit(" extra token")).as("text")))
-    // batch twin of the SAME blocking + estimator: pairs sharing >=1
-    // band whose signature-agreement fraction >= threshold
     val sig = planted.select(col("doc_id").as("id"),
         graft.functions.SketchFunctions
           .minhashSignature(col("text"), 3, 32).as("sig"))
@@ -418,6 +419,13 @@ class StreamingSpec extends SparkTestBase {
       est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 32
       if est >= 0.5
     } yield (ia, ib, math.round(est * 10000.0) / 10000.0)).toSet
+    (planted, expected)
+  }
+
+  test("streaming near-dup candidates equal the batch blocking+estimate " +
+    "across micro-batch boundaries") {
+    import spark.implicits._
+    val (planted, expected) = nearDupFixture
     assert(expected.nonEmpty, "fixture planted no candidate pairs")
     // stream the corpus in two separate files, one micro-batch each, so
     // pairs split across batches must come from the bucket STATE; crawl
@@ -443,6 +451,40 @@ class StreamingSpec extends SparkTestBase {
       s"stream-batch mismatch: missing=${expected -- got} extra=${got -- expected}")
     // the near-copy pairs specifically must cross the batch boundary
     assert((0L until 5L).forall(i => got.exists(p => p._1 == i && p._2 == i + 2000)))
+  }
+
+  test("streaming near-dup under shuffled arrival: pair set is arrival-" +
+    "order-independent while state never evicts inside the horizon") {
+    import spark.implicits._
+    // Bucket state is append-plus-compare: for any candidate pair, one
+    // member arrives second and finds the other in state — so as long
+    // as no eviction fires (crawl stamps span ~35 min against a 1-day
+    // ttl) the emitted pair SET must equal the batch blocking for EVERY
+    // delivery order, not just crawl order. Seeded shuffle, 4 files,
+    // one micro-batch each.
+    val (planted, expected) = nearDupFixture
+    val stamped = planted.withColumn("fetched_at",
+      timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle(stamped.collect().toSeq)
+    val dir = Files.createTempDirectory("graftneardupooo").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("fetched_at", TimestampType)))
+    for (chunk <- shuffled.grouped(math.max(1, shuffled.size / 4)))
+      spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(chunk).asJava), schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = StreamOps.runToMemory(spark,
+      StreamOps.nearDupPairsStream(spark, src, "doc_id", "fetched_at",
+        "text", 0.5, ttl = "1 day").toDF(), "neardupooo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == expected,
+      s"order-dependence: missing=${expected -- got} extra=${got -- expected}")
   }
 
   test("streaming exact content dedup drops re-crawled identical texts") {
