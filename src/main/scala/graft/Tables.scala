@@ -33,6 +33,9 @@ object Tables {
     *    path produced — and the same values DuckDB's naive TIMESTAMP
     *    reads for the oracle.
     * Already-TIMESTAMP data (our own generated slices) passes through.
+    * Any OTHER encoding (a future driver switch to INT64 millis, string
+    * timestamps, …) fails loudly here, at the loader, instead of
+    * surfacing as downstream analysis errors far from the cause.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,7 +45,12 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unrecognized type $other; " +
+            "teach Tables.events how this encoding maps to epoch micros " +
+            "before any query consumes it")
     }
   }
 

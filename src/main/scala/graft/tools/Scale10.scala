@@ -264,9 +264,18 @@ object Scale10 {
     val kept = normed.join(keepIds, Seq("doc_id")).localCheckpoint()
     val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", 0.6)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+    // Materialize the census BEFORE freeing kept's blocks. Today that is
+    // belt-and-braces (minLabel eagerly localCheckpoints its result, so
+    // census's lineage already starts at a LogicalRDD), but relying on
+    // that would couple this unpersist to minLabel's internals: a lazy
+    // minLabel or an early-return path there would free blocks still
+    // needed by the un-evaluated census. One row per cluster — cheap,
+    // and the flow's .count() right after reads the materialized blocks
+    // instead of recomputing.
     val census = Components
       .minLabel(kept.select(col("doc_id").as("id")), pairs)
       .groupBy("cluster").agg(count(lit(1)).as("members"))
+      .localCheckpoint()
     kept.unpersist()
     census
   }

@@ -58,4 +58,14 @@ class TablesSpec extends SparkTestBase {
     writeEvents(dir, timestamp_micros(col("us")), TimestampType)
     assert(loadTs(dir) == micros)
   }
+
+  test("an unrecognized ts encoding fails at the loader, naming the type") {
+    // e.g. a future driver switch to string timestamps — must die HERE,
+    // not as analysis errors deep inside the events suites
+    val dir = Files.createTempDirectory("tab_bad").toString
+    writeEvents(dir, date_format(timestamp_micros(col("us")),
+      "yyyy-MM-dd HH:mm:ss"), StringType)
+    val e = intercept[IllegalStateException] { loadTs(dir) }
+    assert(e.getMessage.contains("StringType"))
+  }
 }
