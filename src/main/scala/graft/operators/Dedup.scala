@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -373,6 +374,59 @@ object Dedup {
   /** Jaccard over character n-gram sets. */
   def charNgramJaccard(textA: Column, textB: Column, n: Int): Column =
     setJaccard(charNgrams(textA, n), charNgrams(textB, n))
+
+  /** Per-document CROSS-document duplication fraction — the "fraction
+    * of text duplicated across documents" signal of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * for each document, the fraction of its word n-gram OCCURRENCES
+    * whose gram also appears in at least one OTHER document. 1.0 means
+    * every passage exists elsewhere in the corpus (a pure copy); high
+    * values mark boilerplate-heavy documents that survive exact and
+    * near-dup removal because only parts of them repeat. Complements
+    * Repetition.signals, which measures repetition WITHIN a document.
+    *
+    * Output: (idCol, n_grams, n_dup, dup_frac); documents shorter than
+    * n tokens have no grams — n_grams = 0, dup_frac = 0.0 (nothing to
+    * judge). dup_frac is one IEEE division of two exact integer counts:
+    * bit-identical in any engine, no rounding needed.
+    *
+    * Scale shape at 100 TB: the same single gram-keyed exchange as
+    * Decontaminate's overlap join, self-corpus instead of cross-corpus.
+    * Explode → hash-aggregate on (gram, id) with map-side combine
+    * (collapses within-doc repeats before the shuffle), a window count
+    * over the gram partition for the distinct-document frequency (the
+    * exchange serves both the count and the join-back — no second
+    * shuffle against a gram-keyed frequency table), then one aggregate
+    * back to the document key. Every shuffle is keyed by gram or id;
+    * nothing global, nothing driver-side.
+    */
+  def crossDocDupFraction(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    Seq("n_grams", "n_dup", "dup_frac", "gram", "occ", "docs_with").foreach(
+      c => require(idCol != c, s"Dedup.crossDocDupFraction reserves '$c'"))
+    val perDocGram = fanOut(docs)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    // rows are distinct (gram, doc) after the aggregate, so a plain
+    // window count over the gram partition IS the distinct-doc
+    // frequency — and rides the aggregate's existing clustering
+    val docsWith = count(lit(1))
+      .over(Window.partitionBy(col("gram")))
+    val per = perDocGram
+      .withColumn("docs_with", docsWith)
+      .groupBy(col(idCol))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("docs_with") >= 2, col("occ")).otherwise(lit(0L)))
+          .as("n_dup"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_dup").cast(DoubleType) / col("n_grams"), lit(0.0))
+          .as("dup_frac"))
+  }
 
   /** Exact pairwise token-set Jaccard within a blocking key — the
     * quadratic verifier, for use inside small blocks only.

@@ -1524,8 +1524,124 @@ object PipelineOps {
             FROM r WHERE match_rank <= 2
             ORDER BY event_id, match_rank"""))
 
+  /** Semantic dedup (operators.SemanticDedup — the SemDeDup recipe):
+    * assign every embedding to its nearest centroid (the shared
+    * x11/x33/x36 seed set), connect within-cell pairs with
+    * round(cosine, 6) >= 0.4, and keep one representative per
+    * connected group. Deterministic: cell-assignment margins are the
+    * x11/x33 argument, and the nearest threshold-0.4 cosine sits
+    * >= 1.2e-4 away at every graded SF (probed over the full
+    * within-cell pair set) — 100x the 1e-6 rounding grain. The oracle
+    * replays assignment, pairing, and the reachability closure
+    * (x32's recursive CTE) verbatim.
+    */
+  private val x45 = Q(
+    "x45_semantic_dedup",
+    (s, d) => SemanticDedup.clusters(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      ivfCentroids(s, d), 0.4).orderBy("id"),
+    Some("""WITH RECURSIVE
+              c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS INT) AS cid, embedding AS cvec
+                    FROM (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+              d AS (SELECT e.vec_id, e.embedding, c.cid,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+                           * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                    FROM embeddings e CROSS JOIN c),
+              ca AS (SELECT vec_id, embedding, cid FROM
+                      (SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM ca a JOIN ca b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    WHERE round(
+                        list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                        / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                        / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+                      6) >= 0.4),
+              e2 AS (SELECT id_a AS a, id_b AS b FROM p
+                     UNION SELECT id_b, id_a FROM p),
+              reach(id, x) AS (
+                SELECT vec_id, vec_id FROM ca
+                UNION
+                SELECT r.id, e2.b FROM reach r JOIN e2 ON r.x = e2.a
+              )
+            SELECT ca.vec_id AS id, ca.cid AS cell, cl.cluster,
+                   ca.vec_id = cl.cluster AS keep
+            FROM ca JOIN (SELECT id, min(x) AS cluster
+                          FROM reach GROUP BY id) cl ON cl.id = ca.vec_id
+            ORDER BY id"""))
+
+  /** Corpus-bigram-LM quality score (operators.LmQuality — the CCNet
+    * perplexity filter re-expressed engine-native): every document's
+    * average add-one-smoothed bigram log-likelihood under the corpus's
+    * own bigram model. Cross-engine determinism comes from integer
+    * micro-nat terms — see LmQuality's scaladoc.
+    */
+  private val x46 = Q(
+    "x46_bigram_lm",
+    (s, d) => LmQuality.bigramLogLikelihood(
+      t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 ucnt AS (SELECT w, count(*) AS cu
+                          FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+                 v AS (SELECT count(*) AS v FROM ucnt),
+                 big AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(l)),
+                             i -> l[i] || ' ' || l[i + 1])) AS g,
+                           unnest(list_transform(range(1, len(l)),
+                             i -> l[i])) AS w1
+                         FROM toks),
+                 bcnt AS (SELECT g, count(*) AS cb FROM big GROUP BY g),
+                 t AS (SELECT doc_id,
+                         CAST(round(ln((cb + 1.0) / (cu + v)) * 1000000.0,
+                           0) AS BIGINT) AS m
+                       FROM big JOIN bcnt USING (g)
+                                JOIN ucnt ON big.w1 = ucnt.w
+                                CROSS JOIN v),
+                 p AS (SELECT doc_id, count(*) AS n_trans,
+                              CAST(sum(m) AS BIGINT) AS sm
+                       FROM t GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(p.n_trans, 0) AS n_trans,
+                   coalesce(CAST(p.sm AS DOUBLE) / p.n_trans / 1000000.0,
+                     0.0) AS avg_ll
+            FROM documents d LEFT JOIN p USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Cross-document duplicated-5-gram fraction (Dedup
+    * .crossDocDupFraction — the Lee et al. 2022 duplicate-text signal):
+    * per document, the fraction of its word 5-gram occurrences whose
+    * gram appears in >= 2 distinct documents. All-integer counts plus
+    * one IEEE division — no rounding needed anywhere.
+    */
+  private val x47 = Q(
+    "x47_dup_ngram_frac",
+    (s, d) => Dedup.crossDocDupFraction(
+      t(s, d, "documents"), "doc_id", "text", 5).orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 grams AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(l) - 3),
+                               i -> array_to_string(l[i:i+4], ' '))) AS gram
+                           FROM toks),
+                 pg AS (SELECT gram, doc_id, count(*) AS occ
+                        FROM grams GROUP BY gram, doc_id),
+                 wf AS (SELECT *, count(*) OVER (PARTITION BY gram)
+                          AS docs_with FROM pg),
+                 per AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_grams,
+                                CAST(sum(CASE WHEN docs_with >= 2 THEN occ
+                                         ELSE 0 END) AS BIGINT) AS n_dup
+                         FROM wf GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_dup, 0) AS n_dup,
+                   coalesce(CAST(n_dup AS DOUBLE) / n_grams, 0.0) AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42, x43, x44)
+    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
 }

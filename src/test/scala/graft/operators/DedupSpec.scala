@@ -159,6 +159,40 @@ class DedupSpec extends SparkTestBase {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("crossDocDupFraction: copied spans count, unique text does not, " +
+    "short docs score 0") {
+    // d1/d2 share the 5-gram span "p q r s t" (d2 embeds it in fresh
+    // text); d3 is fully unique; d4 is too short for any 5-gram
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x1 x2 p q r s t x3 x4"),
+      (3L, "m1 m2 m3 m4 m5 m6"),
+      (4L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupFraction(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // d1: grams pqrst,qrstu,rstuv,stuvw -> only pqrst repeats elsewhere
+    assert(out(1L) == (4L, 1L, 0.25))
+    // d2: 5 grams, only pqrst shared
+    assert(out(2L) == (5L, 1L, 0.2))
+    assert(out(3L) == (2L, 0L, 0.0))
+    assert(out(4L) == (0L, 0L, 0.0))
+  }
+
+  test("crossDocDupFraction: exact duplicate docs score 1.0 and " +
+    "within-doc repeats alone score 0") {
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6"),
+      (2L, "c1 c2 c3 c4 c5 c6"), // full copy of 1
+      // repeats its own 5-gram twice but shares nothing across docs
+      (3L, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5")).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupFraction(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 1.0)
+    assert(out(3L) == 0.0)
+  }
+
   test("jaccard is 1 for identical, 0 for disjoint token sets") {
     val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
     val r = df.select(Dedup.jaccard(col("t1"), col("t2")),
