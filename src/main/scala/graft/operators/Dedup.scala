@@ -391,7 +391,10 @@ object Dedup {
     * bit-identical in any engine, no rounding needed.
     *
     * Scale shape at 100 TB: the same single gram-keyed exchange as
-    * Decontaminate's overlap join, self-corpus instead of cross-corpus.
+    * Decontaminate's overlap join, self-corpus instead of cross-corpus
+    * — but keyed by RAW grams, not digests: a word 5-gram (~30 chars)
+    * sits at the 32-char md5 hex break-even, so digesting buys nothing
+    * (Decontaminate's 8-grams, ~48 chars, are past it).
     * Explode → hash-aggregate on (gram, id) with map-side combine
     * (collapses within-doc repeats before the shuffle), a window count
     * over the gram partition for the distinct-document frequency (the

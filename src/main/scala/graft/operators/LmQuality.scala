@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    design — broadcasting a web-scale vocabulary is the mistake.
   *    V rides along as a broadcast ONE-ROW frame (the Mix.scala
   *    pattern), not a driver collect.
+  *  - Exchanges carry RAW grams, deliberately breaking Decontaminate's
+  *    digest-before-shuffle rule: that rule pays off when grams exceed
+  *    the 32-char md5 hex (8-grams, ~48 chars); a bigram (~12 chars of
+  *    real text) is SMALLER than its digest, so digesting would grow
+  *    shuffle bytes ~2.5x — and the count tables need the gram string
+  *    anyway if the model is to be stored or inspected.
   *
   * Determinism (the oracle-hash contract): every per-transition term
   * is rounded to an exact INTEGER of micro-nats —

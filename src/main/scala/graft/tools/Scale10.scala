@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
-  IntervalJoin, Ranking, Sessionize, Similarity, TextAnalysis}
+  IntervalJoin, LmQuality, Ranking, SemanticDedup, Sessionize, Similarity,
+  TextAnalysis}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -151,6 +152,36 @@ object Scale10 {
       // adaptive choice is what keeps the decade near-flat
       "embed_neardups_auto" -> (() =>
         Similarity.autoBandNearDupPairs(emb, 0.3).count()),
+      // SemDeDup's scale contract measured: nlist grows with the corpus
+      // so cells stay ~128 vectors and the within-cell quadratic is
+      // per-task-flat across decades. Hash-ordered seed sample (the
+      // ivfrecall ascending-id sampling-bias lesson); the collect is
+      // nlist*(dim+1) values driver-side — same sanctioned class as the
+      // kmeans centroid return, growing with the INDEX, not the corpus
+      // rows a cell holds.
+      "semantic_dedup" -> (() => {
+        val n = emb.count()
+        val nlist = math.max(4L, n / 128L).toInt
+        val cents = emb
+          .orderBy(md5(col("id").cast("string")), col("id"))
+          .limit(nlist).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](r.fieldIndex("vec"))
+              .map(_.toDouble).toArray)
+          }.toSeq
+        SemanticDedup.clusters(emb, "id", "vec", cents, 0.4).count()
+      }),
+      // Both text signals are counted through a predicate on the
+      // COMPUTED column: a bare count() of the row-preserving final
+      // left-join lets the optimizer skip the scoring work entirely
+      // (measured: flat 0.3s from 5k to 500k docs — a measurement of
+      // nothing), while the filter forces the full model build + score.
+      "bigram_lm" -> (() =>
+        LmQuality.bigramLogLikelihood(docs, "doc_id", "text")
+          .filter(col("avg_ll") < 0).count()),
+      "dup_ngram_frac" -> (() =>
+        Dedup.crossDocDupFraction(docs, "doc_id", "text", 5)
+          .filter(col("dup_frac") > 0).count()),
       "vocab_encode" -> (() => {
         val toks = docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -397,7 +428,8 @@ object Scale10 {
         genEmb(spark, dir100, nReps = 100)
         println(s"""{"generated":"$dir100/embeddings.parquet"}""")
       }
-      val names = flowNames(Set("embed_neardups_auto"), "emb100")
+      val names = flowNames(
+        Set("embed_neardups_auto", "semantic_dedup"), "emb100")
       time(SRC, names)
       time(dir100, names)
     } else if (only("dupskew")) {
@@ -1101,7 +1133,7 @@ object Scale10 {
       val docNames = flowNames(Set("minhash_neardups",
         "simhash_md5_neardups", "vocab_encode", "repetition_signals",
         "bpe_pairs", "decontaminate", "dedup_clusters",
-        "corpus_pipeline"), "docs100")
+        "corpus_pipeline", "bigram_lm", "dup_ngram_frac"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

@@ -475,6 +475,67 @@ class PlanSpec extends SparkTestBase {
     pin("x09_ann_lsh", "HyperplaneBucket")
   }
 
+  test("x45: semantic dedup's pair stage is a cell-keyed join — no " +
+    "cartesian, no forced broadcast, assignment via the native") {
+    val df = q("x45_semantic_dedup")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the operator eagerly checkpoints its stages (pair blocking needs
+    // the assigned frame thrice), so the native shows in the OPERATOR's
+    // plan, not the returned checkpoint-backed frame: assert on a fresh
+    // assignment plan over the same centroid shape instead
+    val cents = Seq(0 -> Array.fill(64)(0.0), 1 -> Array.fill(64)(1.0))
+    val assignPlan = graft.operators.Similarity.ivfAssign(
+      graft.Tables.load(spark, sfDir, "embeddings")
+        .select(org.apache.spark.sql.functions.col("embedding").as("vec")),
+      "vec", cents)
+    val natives = assignPlan.queryExecution.executedPlan.expressions
+      .flatMap(_.collect {
+        case e: graft.functions.NearestCentroid => e
+      })
+    assert(natives.nonEmpty ||
+      assignPlan.queryExecution.executedPlan.toString
+        .contains("nearest_centroid"),
+      "assignment lost the NearestCentroid native")
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"unexpected join hint: $hints")
+  }
+
+  test("x46: the bigram model build runs ONCE — AQE reuses the " +
+    "(sz, gram) count exchange across the vocab/bigram/unigram branches") {
+    val df = q("x46_bigram_lm")
+    df.collect()
+    val reused = deepNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused.nonEmpty,
+      s"no ReusedExchange in the final adaptive plan:\n" +
+        df.queryExecution.executedPlan.toString)
+    assert(!planOf(df).contains("CartesianProduct"))
+    // the one-row vocab scalar is the only sanctioned broadcast hint
+    // (the x38 rule)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.forall(_.child.output.exists(_.name == "v")),
+      s"found a hint over a non-scalar frame: $hints")
+  }
+
+  test("x47: the distinct-doc frequency window is PARTITIONED by gram " +
+    "(never a global window), and the shape survives no-broadcast") {
+    val df = q("x47_dup_ngram_frac")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty, "expected the docs_with window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window funnels every gram through one task")
+    assert(!planOf(df).contains("CartesianProduct"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(q("x47_dup_ngram_frac").count() > 0)
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
