@@ -82,7 +82,11 @@ object SemanticDedup {
       .select(col("id"), col("cell"), col("cluster"),
         (col("id") === col("cluster")).as("keep"))
       .localCheckpoint()
+    // out is materialized (eager checkpoint): both upstream checkpoint
+    // tables now have zero readers — free them instead of waiting for
+    // the ContextCleaner (the minLabel eager-unpersist rule)
     assigned.unpersist()
+    labels.unpersist()
     out
   }
 }

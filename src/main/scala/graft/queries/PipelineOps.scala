@@ -1581,8 +1581,15 @@ object PipelineOps {
     */
   private val x46 = Q(
     "x46_bigram_lm",
+    // the trailing predicate is an always-true sanity bound (log
+    // probabilities are <= 0; transition-less docs score exactly 0) —
+    // its real job is keeping a bare count() honest: without a
+    // reference to the COMPUTED column, the optimizer elides the
+    // row-preserving final left join and "benchmarks" a corpus scan
+    // (measured: flat 0.3s from 5k to 500k docs in the Scale10 flow)
     (s, d) => LmQuality.bigramLogLikelihood(
-      t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      t(s, d, "documents"), "doc_id", "text")
+      .filter(col("avg_ll") <= 0.0).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
                           FROM documents),
                  ucnt AS (SELECT w, count(*) AS cu
@@ -1618,8 +1625,11 @@ object PipelineOps {
     */
   private val x47 = Q(
     "x47_dup_ngram_frac",
+    // always-true bound on the computed fraction, same count()-honesty
+    // role as x46's predicate (dup_frac is 0 when nothing repeats)
     (s, d) => Dedup.crossDocDupFraction(
-      t(s, d, "documents"), "doc_id", "text", 5).orderBy("doc_id"),
+      t(s, d, "documents"), "doc_id", "text", 5)
+      .filter(col("dup_frac") >= 0.0).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
                           FROM documents),
                  grams AS (SELECT doc_id,
