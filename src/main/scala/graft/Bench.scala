@@ -2,6 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** The timed action for every benchmark surface here (Bench, TimeQ,
+    * BenchBudgetSpec): materialize EVERY output row, discarding them
+    * executor-side — what a consumer writing the result would pay,
+    * minus the sink. NOT `count()`: under count the optimizer is free
+    * to elide exactly the work being benchmarked — pruned projections
+    * turn a per-doc text pipeline into a bare scan-count, aggregate
+    * pruning drops unreferenced aggregate expressions (measured: s29's
+    * HLL sketch vanished, 0.56s vs 4.4s real), and a row-preserving
+    * final left join against aggregated-unique keys disappears
+    * entirely (x46/x47: flat 0.3s from 5k to 500k docs). The
+    * count-vs-materialize audit (tools/CountHonesty, SCALE.md
+    * round-14) found 18 of 109 queries over 2x hollow, ~17s of elided
+    * work at sf0.1.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   /** Canary-normalized inventory total. `adjusted_total` substitutes only
     * the retried outliers, so a congested run's NON-retried middle stays
     * inflated (rounds 7/8 both over-reported ~3s vs a clean judge rerun).
@@ -109,7 +126,7 @@ object Bench {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory)
         SparkEntry.queries.foreach { case (name, fn) =>
-          try fn(spark, warmDir).count()
+          try materialize(fn(spark, warmDir))
           catch { case e: Throwable =>
             System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
         }
@@ -147,7 +164,7 @@ object Bench {
         if (i > 0 && i % canaryStride == 0) canaries += runCanary()
         val t0 = System.nanoTime()
         val elapsed =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
@@ -171,7 +188,7 @@ object Bench {
       .map { case (name, first) =>
         val t0 = System.nanoTime()
         val retry =
-          try { SparkEntry.queries(name)(spark, sfDir).count()
+          try { materialize(SparkEntry.queries(name)(spark, sfDir))
             (System.nanoTime() - t0) / 1e9 }
           catch { case scala.util.control.NonFatal(_) => -1.0 }
         name -> ((first, retry))
@@ -199,7 +216,7 @@ object Bench {
             // NonFatal only: an OOM or interrupt must fail the bench
             // run, not be recorded as a "failed query" sentinel
             tries +=
-              (try { SparkEntry.queries(name)(spark, sfDir).count()
+              (try { materialize(SparkEntry.queries(name)(spark, sfDir))
                 (System.nanoTime() - t0) / 1e9 }
               catch { case scala.util.control.NonFatal(_) => -1.0 })
           }
@@ -242,7 +259,10 @@ object Bench {
     val normalized =
       normalizedTotal(results, allRetried, canaries.toSeq, canaryStride)
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
+    // "timed" self-identifies the round-14 primitive change (count ->
+    // full materialization): totals are NOT comparable with rounds <= 13,
+    // which benchmarked the count()-weakened plans (~17s less work)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,9 +16,13 @@ object TimeQ {
       .appName("graft-timeq").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to reps) {
+      // Bench.materialize, not count(): same primitive as the graded
+      // bench, so an A/B here predicts the driver's number (count lets
+      // the optimizer elide the work being optimized — see Bench)
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"TIMEQ $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+      graft.Bench.materialize(df)
+      println(f"TIMEQ $name rep$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }

@@ -20,7 +20,9 @@ class BenchBudgetSpec extends SparkTestBase {
     assume(new java.io.File(dir).isDirectory, "sf0.01 testdata not present")
     val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      // the graded primitive (full materialization) — a budget on the
+      // count()-weakened plan would miss creep in the elided work
+      Bench.materialize(fn(spark, dir))
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = times.map(_._2).sum
