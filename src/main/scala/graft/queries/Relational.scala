@@ -539,9 +539,21 @@ object Relational {
     */
   private val s29 = Q(
     "s29_approx_distinct",
+    // Distinct FIRST, then count + sketch the deduped stream. The
+    // obvious one-agg form — countDistinct(...) next to
+    // approx_count_distinct(...) — makes Spark plan the multi-distinct
+    // Expand: the partial aggregate is then keyed by (flag, partkey,
+    // gid), so the companion HLL's 2^14-register buffer is built PER
+    // DISTINCT PARTKEY instead of per group (~200k 16KB sketches at
+    // sf0.1 — measured 3.9s vs 0.65s + 0.91s for each agg alone).
+    // HLL over the deduped set has bit-identical registers (register
+    // update is a max; multiplicity never changes it), and the
+    // distinct-first shape is also the 100 TB shape: one partial-agg
+    // dedup shuffle, then a 3-group sketch. Measured 5.5s -> ~1.2s.
     (s, d) => t(s, d, "lineitem")
+      .select("l_returnflag", "l_partkey").distinct()
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+      .agg(count(lit(1)).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts")) / col("exact_parts")
