@@ -54,16 +54,21 @@ object SemanticDedup {
       centroids: Seq[(Int, Array[Double])],
       simThreshold: Double): DataFrame = {
     require(centroids.nonEmpty, "semantic dedup needs at least one centroid")
+    // A malformed vector assigns to no cell (NearestCentroid yields
+    // null); it can pair with nothing, so it would silently become a
+    // kept singleton — fail loudly instead, matching the loader's
+    // posture on unrecognized encodings. The probe rides the
+    // checkpoint's materialization as an observe() metric (the
+    // minLabel convergence pattern): no second pass over the corpus.
+    val obs = new org.apache.spark.sql.Observation("semdedup_bad")
     val assigned = Similarity
       .ivfAssign(
         corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centroids)
-      // a malformed vector assigns to no cell (NearestCentroid yields
-      // null); it can pair with nothing, so it would silently become a
-      // kept singleton — fail loudly instead, matching the loader's
-      // posture on unrecognized encodings
+      .observe(obs, coalesce(sum(when(col("cell").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"))
       .localCheckpoint()
-    val badRows = assigned.filter(col("cell").isNull).count()
+    val badRows = obs.get("bad").asInstanceOf[Long]
     require(badRows == 0L,
       s"semantic dedup: $badRows vectors failed centroid assignment " +
         "(dim mismatch or null element) — clean the corpus first")
