@@ -148,6 +148,63 @@ object Bpe {
     chosen.toSeq
   }
 
+  /** The longest PREFIX of `merges` that is pairwise non-conflicting
+    * under selectNonConflicting's rule (no shared symbol, no use of an
+    * earlier prefix member's concatenation). Unlike selectNonConflicting
+    * — which SKIPS conflicting candidates because training may reorder
+    * within a count round — encoding must preserve the trained rank
+    * order exactly, so the walk STOPS at the first conflict: batched
+    * application of a non-conflicting prefix is provably identical to
+    * applying its merges one-by-one (the BatchMergePairs equivalence),
+    * while skipping past a conflict would reorder the tokenizer.
+    */
+  private[graft] def nonConflictingPrefix(
+      merges: Seq[(String, String)]): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = merges.iterator
+    var stop = false
+    while (!stop && it.hasNext) {
+      val (a, b) = it.next()
+      if (!used(a) && !used(b)) {
+        out += ((a, b))
+        used ++= Seq(a, b, a + b)
+      } else stop = true
+    }
+    out.toSeq
+  }
+
+  /** ENCODE with a trained tokenizer: apply a merge list (rank order —
+    * the order training chose them) to a (w, freq, ...) vocabulary,
+    * returning it with `syms` holding each word's final symbol
+    * sequence. This is the production half of BPE that training exists
+    * for: the corpus-sized work of encoding a 100 TB corpus is one
+    * wordcount (wordFreqs) + one join back (the x25 vocab-encode
+    * shape); THIS loop runs on the distinct vocabulary only.
+    *
+    * Merges apply in exact rank order via order-preserving
+    * non-conflicting prefix batches (nonConflictingPrefix), each batch
+    * one BatchMergePairs pass — plan depth grows with the number of
+    * CONFLICT BOUNDARIES, not merges, and a lazy checkpoint every 16
+    * batches bounds it for production-depth (32k-merge) tokenizers the
+    * same way the training loop bounds its rounds.
+    */
+  def encodeVocab(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var sym = initSymbols(words.filter(!col("w").contains(SEP)))
+    var rest = merges
+    var batches = 0
+    while (rest.nonEmpty) {
+      val batch = nonConflictingPrefix(rest)
+      sym = sym.withColumn("syms",
+        graft.functions.BpeFunctions.batchMergePairs(col("syms"), batch))
+      rest = rest.drop(batch.size)
+      batches += 1
+      if (batches % 16 == 0) sym = sym.localCheckpoint(false)
+    }
+    sym
+  }
+
   /** `iters` BPE training merges from the character-level initial state,
     * `batch` merges per round: each round counts pairs once, collects a
     * small ranked candidate slice, greedily takes the top-`batch`

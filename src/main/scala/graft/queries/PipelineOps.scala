@@ -1650,8 +1650,74 @@ object PipelineOps {
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY doc_id"""))
 
+  /** The fixed "shipped tokenizer" x48 encodes with — rank order is
+    * load-bearing (BPE applies merges in training order). Chosen to
+    * exercise the order semantics on this corpus: (th,e) consumes
+    * (t,h)'s concatenation and (ba,t) consumes (b,a)'s — each forces an
+    * order-preserving batch boundary in encodeVocab — and (o,w) fires
+    * on `window` but NOT on `row`, whose `o` was already merged into
+    * `ro` by the earlier rank-3 rule.
+    */
+  private val bpeTokenizer: Seq[(String, String)] = Seq(
+    ("s", "t"), ("a", "n"), ("r", "o"), ("t", "a"), ("e", "r"),
+    ("t", "h"), ("th", "e"), ("q", "u"), ("o", "w"), ("l", "u"),
+    ("i", "n"), ("s", "m"), ("b", "a"), ("ba", "t"), ("c", "o"),
+    ("k", "e"))
+
+  /** BPE ENCODE (operators.Bpe.encodeVocab — the production half of
+    * x42's training): apply the shipped tokenizer to the corpus
+    * vocabulary, emitting each word's piece sequence and count. The
+    * corpus-sized work is ONE wordcount; the merge loop runs on the
+    * distinct vocabulary (the x25/x42 shape). The oracle replays the
+    * exact greedy left-to-right non-overlapping merge semantics with a
+    * boundary-safe double-separator replace inside a recursive CTE
+    * over merge ranks — RE2 has no lookahead, so the padding carries
+    * the symbol boundaries the Spark side's anchored regex asserts.
+    */
+  private val x48 = Q(
+    "x48_bpe_encode",
+    (s, d) => Bpe.encodeVocab(
+      Bpe.wordFreqs(t(s, d, "documents"), "text"), bpeTokenizer)
+      .select(col("w"), col("freq"),
+        size(col("syms")).as("n_pieces"),
+        array_join(col("syms"), " ").as("encoded"))
+      .orderBy("w"),
+    Some {
+      val vals = bpeTokenizer.zipWithIndex
+        .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(", ")
+      s"""WITH RECURSIVE
+            m(rank, a, b) AS (VALUES $vals),
+            v AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                  WHERE NOT contains(w, chr(1))
+                  GROUP BY w),
+            init AS (SELECT w, freq,
+                       chr(1)||chr(1) || array_to_string(
+                         string_split(w, ''), chr(1)||chr(1))
+                       || chr(1)||chr(1) AS s
+                     FROM v),
+            enc(w, freq, s, i) AS (
+              SELECT w, freq, s, 0 FROM init
+              UNION ALL
+              SELECT e.w, e.freq,
+                     replace(e.s,
+                       chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+                       chr(1)||m.a||m.b||chr(1)),
+                     e.i + 1
+              FROM enc e JOIN m ON m.rank = e.i + 1
+            )
+          SELECT w, freq,
+                 CAST(len(string_split(substring(s, 3, length(s) - 4),
+                   chr(1)||chr(1))) AS INT) AS n_pieces,
+                 array_to_string(string_split(substring(s, 3,
+                   length(s) - 4), chr(1)||chr(1)), ' ') AS encoded
+          FROM enc WHERE i = (SELECT max(rank) FROM m)
+          ORDER BY w"""
+    })
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47)
+    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
 }

@@ -494,6 +494,25 @@ object Scale10 {
       Thread.sleep(1000) // async listener deliveries
       spark.listenerManager.unregister(listener)
       println(s"""{"flow":"bpe1k","dir":"$dir100","merges":${merges.size},"collect_actions":${actions.get()},"sec":${f(sec)}}""")
+      // ENCODE with the just-trained tokenizer (x48's operator at
+      // trained depth): how many order-preserving prefix batches the
+      // real merge list decomposes into, and what applying them to the
+      // full 100x vocabulary costs. Forced through the syms column —
+      // a count() would prune the merge projections entirely.
+      val vocab = graft.operators.Bpe.wordFreqs(docs100, "text")
+        .localCheckpoint()
+      val t1 = System.nanoTime()
+      val pieces = graft.operators.Bpe.encodeVocab(vocab, merges)
+        .agg(sum(size(col("syms"))).as("p")).collect()(0).getLong(0)
+      val sec1 = (System.nanoTime() - t1) / 1e9
+      var restM = merges
+      var nBatches = 0
+      while (restM.nonEmpty) {
+        restM = restM.drop(
+          graft.operators.Bpe.nonConflictingPrefix(restM).size)
+        nBatches += 1
+      }
+      println(s"""{"flow":"bpe1k","pipeline":"encode","merges":${merges.size},"batches":$nBatches,"total_pieces":$pieces,"sec":${f(sec1)}}""")
     } else if (only("skew100")) {
       // Key-skew stress on the events tier (VERDICT r8 task 2): the
       // x100 slice (10M rows) with ~10% of all events reassigned to ONE

@@ -285,6 +285,57 @@ class BpeSpec extends SparkTestBase {
     assert(sec < 5.0, f"initSymbols took $sec%.2f s")
   }
 
+  test("encodeVocab applies a shipped tokenizer in exact rank order: " +
+    "hand-computed pieces, concatenation-conflict boundaries, and " +
+    "order-dependence all hold") {
+    // the x48 tokenizer's hand-verified words (PipelineOps scaladoc):
+    // (th,e) consumes (t,h)'s concat, (ba,t) consumes (b,a)'s, and
+    // (o,w) must NOT fire on `row` because rank-3 (r,o) ate the o
+    val tok = Seq(
+      ("s", "t"), ("a", "n"), ("r", "o"), ("t", "a"), ("e", "r"),
+      ("t", "h"), ("th", "e"), ("q", "u"), ("o", "w"), ("l", "u"),
+      ("i", "n"), ("s", "m"), ("b", "a"), ("ba", "t"), ("c", "o"),
+      ("k", "e"))
+    val out = Bpe.encodeVocab(
+      Bpe.wordFreqs(docs("the customer batch table window row aaaa"),
+        "text"), tok)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(out("the") == Seq("the"))
+    assert(out("customer") == Seq("c", "u", "st", "o", "m", "er"))
+    assert(out("batch") == Seq("bat", "c", "h"))
+    assert(out("table") == Seq("ta", "b", "l", "e"))
+    assert(out("window") == Seq("w", "in", "d", "ow"))
+    assert(out("row") == Seq("ro", "w")) // NOT (o,w): order dependence
+    assert(out("aaaa") == Seq("a", "a", "a", "a")) // no (a,a) rule
+  }
+
+  test("encodeVocab equals the sequential mergeOnce replay on the " +
+    "graded corpus vocabulary — prefix batching never reorders") {
+    val tok = Seq(
+      ("s", "t"), ("a", "n"), ("r", "o"), ("t", "a"), ("e", "r"),
+      ("t", "h"), ("th", "e"), ("q", "u"), ("o", "w"), ("l", "u"),
+      ("i", "n"), ("s", "m"), ("b", "a"), ("ba", "t"), ("c", "o"),
+      ("k", "e"))
+    val vocab = Bpe.wordFreqs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text")
+    val batched = Bpe.encodeVocab(vocab, tok)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    val sequential = tok.foldLeft(Bpe.initSymbols(vocab)) {
+      case (df, (a, b)) => Bpe.mergeOnce(df, a, b)
+    }.select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(batched == sequential)
+  }
+
+  test("nonConflictingPrefix stops AT the first conflict instead of " +
+    "skipping it — the property that makes batching order-safe") {
+    val ms = Seq(("t", "h"), ("th", "e"), ("x", "y"))
+    // (th,e) uses (t,h)'s concatenation: the prefix must stop before
+    // it even though (x,y) further down would not conflict
+    assert(Bpe.nonConflictingPrefix(ms) == Seq(("t", "h")))
+    assert(Bpe.nonConflictingPrefix(ms.drop(1)) ==
+      Seq(("th", "e"), ("x", "y")))
+  }
+
   test("train issues one driver action per ROUND: iters=64 at batch=16 " +
     "is at most iters/batch + 1 actions, not one per merge") {
     // count job-launching actions only: the lazy per-round checkpoint
