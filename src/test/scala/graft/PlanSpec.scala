@@ -455,7 +455,8 @@ class PlanSpec extends SparkTestBase {
           case e @ (_: WordShingles | _: RollingHash31 | _: CharNgrams |
             _: ShingleHashSet | _: MinHashSignature | _: CharSplit |
             _: SimHash64 | _: SimHashMd5_60 | _: CosineSimilarity |
-            _: HyperplaneBucket) => e.getClass.getSimpleName
+            _: HyperplaneBucket | _: BatchMergePairs) =>
+            e.getClass.getSimpleName
         })).toSet
     def pin(query: String, expected: String*): Unit = {
       val got = nativesOf(q(query))
@@ -469,6 +470,7 @@ class PlanSpec extends SparkTestBase {
     pin("x37_decontaminate", "WordShingles")
     pin("x40_repetition_signals", "WordShingles")
     pin("x42_bpe_pairs", "CharSplit")
+    pin("x48_bpe_encode", "CharSplit", "BatchMergePairs")
     // the ANN natives carry the same risk in the vector tier: the HOF
     // zip_with/aggregate formulations are interpreted per element
     pin("x08_ann_bruteforce", "CosineSimilarity")

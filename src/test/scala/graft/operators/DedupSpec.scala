@@ -193,6 +193,19 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == 0.0)
   }
 
+  test("crossDocDupFraction law: duplicating the whole corpus drives " +
+    "every doc with grams to exactly 1.0") {
+    // every gram then exists in the doc's copy -> df >= 2 for all grams
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val doubled = base.union(
+      base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val out = Dedup.crossDocDupFraction(doubled, "doc_id", "text", 5)
+    assert(out.filter(col("n_grams") > 0 && col("dup_frac") =!= 1.0)
+      .count() == 0)
+    assert(out.filter(col("n_grams") > 0).count() > 0)
+  }
+
   test("jaccard is 1 for identical, 0 for disjoint token sets") {
     val df = Seq(("a b c", "a b c", "x y z")).toDF("t1", "t2", "t3")
     val r = df.select(Dedup.jaccard(col("t1"), col("t2")),

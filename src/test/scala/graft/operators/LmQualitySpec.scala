@@ -52,6 +52,18 @@ class LmQualitySpec extends SparkTestBase {
     assert(out(2L)._1 == 1L)
   }
 
+  test("transition-count law: per-doc n_trans sums to the corpus's " +
+    "total bigram mass (sum of len-1 over docs)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val got = LmQuality.bigramLogLikelihood(docs, "doc_id", "text")
+      .agg(sum("n_trans")).collect()(0).getLong(0)
+    val expect = docs
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("t"))
+      .agg(sum(when(col("t") > 0, col("t")).otherwise(0L)))
+      .collect()(0).getLong(0)
+    assert(got == expect)
+  }
+
   test("graded slice sanity: all docs scored, scores negative, exact dups tie") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val out = LmQuality.bigramLogLikelihood(docs, "doc_id", "text").cache()

@@ -74,6 +74,32 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("failed centroid assignment"))
   }
 
+  test("duplication law: an exact copy of every vector clusters with " +
+    "its original and never becomes a keeper") {
+    // threshold 0.95 exceeds the corpus's max genuine within-cell
+    // cosine (~0.51 probed across SFs), so the ONLY pairs are
+    // (original, copy): cos(v, v) = 1, same cell by determinism of
+    // assignment. Every original keeps; every copy labels to its
+    // original.
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val n = 100000L
+    val doubled = emb.union(
+      emb.select((col("vid") + n).as("vid"), col("emb")))
+    val cents = emb.orderBy("vid").limit(8).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+    val out = SemanticDedup.clusters(doubled, "vid", "emb", cents, 0.95)
+      .cache()
+    try {
+      assert(out.filter(col("id") < n && !col("keep")).count() == 0,
+        "an original lost keeper status to its own copy")
+      assert(out.filter(col("id") >= n &&
+        (col("keep") || col("cluster") =!= col("id") - n)).count() == 0,
+        "a copy kept, or labelled to something other than its original")
+    } finally out.unpersist()
+  }
+
   test("graded slice sanity: clusters form and keeps are the min ids") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val cents = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
