@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   * double-precision fold lands on the identical pair set whenever no
   * true similarity sits within 1e-6 of the threshold (verified ≥1e-4
   * margins on every graded slice; see PipelineOps x45).
+  *
+  * Blocking recall is THRESHOLD-DEPENDENT, measured (SCALE.md
+  * round-14 `semrecall`): at the tight thresholds semantic dedup
+  * operates at (≥0.95 — a true semantic duplicate is a near-identical
+  * direction), within-cell blocking finds 99.8–100% of all true pairs
+  * even at nlist = corpus/128, because near-identical vectors almost
+  * never straddle an argmin boundary. At loose thresholds (~0.4,
+  * merely-correlated pairs) recall collapses with nlist (0.42 → 0.08)
+  * — there the right operator is the similarity-calibrated sign-band
+  * LSH (Similarity.signBandNearDupPairs / autoBandNearDupPairs), not
+  * cell blocking.
   */
 object SemanticDedup {
 

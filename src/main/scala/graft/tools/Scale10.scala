@@ -670,6 +670,110 @@ object Scale10 {
       val rv = graft.operators.Bpe.trainFromFreqs(vocab, iters, batch = 256)
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(s"""{"flow":"bpe8k","corpus":"zipf200k","merges":${rv.merges.size},"rounds":${rv.rounds},"floor":$floor,"sec":${f(sec1)}}""")
+    } else if (only("semrecall")) {
+      // Semantic dedup's blocking recall, measured (the ivfrecall
+      // pattern applied to x45): cell blocking can only see
+      // WITHIN-cell pairs, so near-dups straddling a cell boundary are
+      // structurally invisible — the SemDeDup trade the paper accepts
+      // for tractability. Ground truth = exact all-pairs cosine >= 0.4
+      // (brute force; fine at these sizes, the thing blocking exists
+      // to avoid at scale). cmp_frac = the fraction of all n(n-1)/2
+      // comparisons blocking actually performs — the cost dial recall
+      // is traded against. Centroid seeds are hash-ordered samples
+      // (the ivfrecall sampling-bias lesson).
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- Seq(SRC, outDir)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint()
+        val n = e.count()
+        val pa = e.select(col("id").as("ia"), col("vec").as("va"))
+        val pb = e.select(col("id").as("ib"), col("vec").as("vb"))
+        val truth = pa.join(pb, col("ia") < col("ib"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+            >= 0.4)
+          .select("ia", "ib").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (nlist <- Seq(4L, 16L, 64L, math.max(4L, n / 128L))
+             .distinct.sorted.map(_.toInt)) {
+          val cents = e
+            .orderBy(md5(col("id").cast("string")), col("id"))
+            .limit(nlist).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          val assigned = Similarity.ivfAssign(e, "vec", cents)
+            .localCheckpoint()
+          val cmp = assigned.groupBy("cell")
+            .agg(count(lit(1)).as("k")).collect()
+            .map(r => { val k = r.getLong(1); k * (k - 1) / 2 }).sum
+          val la = assigned.select(
+            col("cell"), col("id").as("ia"), col("vec").as("va"))
+          val lb = assigned.select(
+            col("cell"), col("id").as("ib"), col("vec").as("vb"))
+          val found = la.join(lb, Seq("cell"))
+            .filter(col("ia") < col("ib"))
+            .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+              >= 0.4)
+            .select("ia", "ib").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          assigned.unpersist()
+          // blocking's candidates are a strict subset of all pairs: a
+          // "found" pair missing from truth means the two runs diverged
+          require(found.subsetOf(truth),
+            "within-cell pair set escaped the brute-force ground truth")
+          val recall =
+            if (truth.isEmpty) 1.0 else found.size.toDouble / truth.size
+          println(s"""{"flow":"semrecall","dir":"$dir","nlist":$nlist,"recall":${f4(recall)},"found":${found.size},"truth":${truth.size},"cmp_frac":${f4(cmp.toDouble / (n * (n - 1) / 2))}}""")
+        }
+        // Second leg — the threshold semantic dedup actually RUNS at:
+        // plant a near-copy of every vector (one coordinate scaled
+        // 1.01x, cosine ~0.9996) and measure blocking recall on the
+        // >= 0.95 truth set. A real semantic duplicate is this shape —
+        // nearly identical direction — and the question is whether the
+        // planted pair ever straddles a cell boundary.
+        val jit = e.select((col("id") + n).as("id"),
+          transform(col("vec"), (x, i) =>
+            when(i === pmod(col("id"), lit(64)),
+              x * lit(1.01f)).otherwise(x)).as("vec"))
+        val planted = e.unionByName(jit).localCheckpoint()
+        val n2 = 2 * n
+        val qa = planted.select(col("id").as("ia"), col("vec").as("va"))
+        val qb = planted.select(col("id").as("ib"), col("vec").as("vb"))
+        val truth95 = qa.join(qb, col("ia") < col("ib"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+            >= 0.95)
+          .select("ia", "ib").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        for (nlist <- Seq(16L, math.max(4L, n2 / 128L))
+             .distinct.sorted.map(_.toInt)) {
+          val cents = planted
+            .orderBy(md5(col("id").cast("string")), col("id"))
+            .limit(nlist).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          val assigned = Similarity.ivfAssign(planted, "vec", cents)
+            .localCheckpoint()
+          val la = assigned.select(
+            col("cell"), col("id").as("ia"), col("vec").as("va"))
+          val lb = assigned.select(
+            col("cell"), col("id").as("ib"), col("vec").as("vb"))
+          val found = la.join(lb, Seq("cell"))
+            .filter(col("ia") < col("ib"))
+            .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+              >= 0.95)
+            .select("ia", "ib").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          assigned.unpersist()
+          require(found.subsetOf(truth95),
+            "within-cell pair set escaped the brute-force ground truth")
+          val recall = if (truth95.isEmpty) 1.0
+            else found.size.toDouble / truth95.size
+          println(s"""{"flow":"semrecall","dir":"$dir","leg":"planted095","nlist":$nlist,"recall":${f4(recall)},"found":${found.size},"truth":${truth95.size}}""")
+        }
+        planted.unpersist()
+        e.unpersist()
+      }
     } else if (only("ivfrecall")) {
       // IVF's recall/cost dial, measured (the banding path has recall10;
       // the IVF path had only correctness). 64 query vectors against
