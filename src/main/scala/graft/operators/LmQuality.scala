@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    stream (the Repetition pattern: a codegen'd transform+concat,
   *    no second pass over the text), then one hash-aggregate keyed by
   *    (sz, gram) with map-side partial combine builds both model
-  *    tables. Gram keys partition evenly at any corpus size.
+  *    tables. Real text is ZIPFIAN in gram frequency — a hot bigram
+  *    ("of the") is a fat aggregation key and a fat join key — but
+  *    the aggregate collapses repeats map-side before the exchange,
+  *    and the scoring joins below are exactly the shape AQE's
+  *    skew-join split handles (measured 3.0x on the zipfian events
+  *    slice, SCALE.md round-11; Skew.saltedAgg is the fallback for
+  *    trigger-blind deployments).
   *  - Scoring re-exchanges transitions against the model on the gram
   *    key twice (bigram count, then prefix unigram count). The model
   *    tables grow with the corpus, so these are shuffle joins by
