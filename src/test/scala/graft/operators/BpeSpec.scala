@@ -326,6 +326,33 @@ class BpeSpec extends SparkTestBase {
     assert(batched == sequential)
   }
 
+  test("encodeVocab fuzz: conflict-HEAVY random tokenizers equal the " +
+    "sequential mergeOnce replay (20 seeded cases) — the prefix " +
+    "batching's order preservation under arbitrary conflicts") {
+    // unlike the BatchMergePairs fuzz above, the merge lists here are
+    // raw — duplicates, chained concatenations, shared symbols — so
+    // every case exercises nonConflictingPrefix's batch boundaries
+    val rnd = new scala.util.Random(2024)
+    val alphabet = Vector("a", "b", "c", "ab", "bc", "ca", "abc")
+    for (caseNo <- 0 until 20) {
+      val words = (0 until 12).map { _ =>
+        (0 to rnd.nextInt(8)).map(_ =>
+          "abc".charAt(rnd.nextInt(3)).toString).mkString
+      }.distinct
+      val tok = (0 until 10).map(_ =>
+        (alphabet(rnd.nextInt(alphabet.size)),
+          alphabet(rnd.nextInt(alphabet.size))))
+      val vocab = words.zipWithIndex
+        .map { case (w, i) => (w, (i + 1).toLong) }.toDF("w", "freq")
+      val batched = Bpe.encodeVocab(vocab, tok)
+        .select("w", "syms").as[(String, Seq[String])].collect().toMap
+      val sequential = tok.foldLeft(Bpe.initSymbols(vocab)) {
+        case (df, (a, b)) => Bpe.mergeOnce(df, a, b)
+      }.select("w", "syms").as[(String, Seq[String])].collect().toMap
+      assert(batched == sequential, s"case $caseNo tok=$tok")
+    }
+  }
+
   test("nonConflictingPrefix stops AT the first conflict instead of " +
     "skipping it — the property that makes batching order-safe") {
     val ms = Seq(("t", "h"), ("th", "e"), ("x", "y"))
