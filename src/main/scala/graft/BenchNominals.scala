@@ -131,5 +131,10 @@ object BenchNominals {
     "x45_semantic_dedup" -> 3.591,
     "x46_bigram_lm" -> 2.601,
     "x47_dup_ngram_frac" -> 1.753,
-    "x48_bpe_encode" -> 0.775)
+    "x48_bpe_encode" -> 0.775,
+    // added by hand from the quietest clean run (58.7s board): the rest
+    // of the map comes from a mid-band run, and regenerating everything
+    // from the fast end would turn ordinary box noise into spurious
+    // distributional congestion triggers; scaled to the mid-band level
+    "x49_quality_select" -> 0.8)
 }

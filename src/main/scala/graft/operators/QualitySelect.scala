@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile-threshold quality selection — the step between scoring and
+  * training: given per-document quality scores (TextAnalysis
+  * .qualityScore, LmQuality, Repetition), KEEP the best fraction of
+  * each group (CCNet keeps the best perplexity tertile per language;
+  * Wenzek et al. 2020 §4.3). Two formulations:
+  *
+  *  - `topFraction` (exact, the graded form): the cut is an ORDER
+  *    STATISTIC — the score at rank ceil(n·fraction) per group,
+  *    descending — and everything scoring >= the cut is kept, ties
+  *    included. No percentile interpolation anywhere: interpolated
+  *    quantiles ((b-a)·frac arithmetic) are not bit-reproducible
+  *    across engines for arbitrary 4-decimal scores (s37 works
+  *    because whole-number quantities interpolate to exact halves),
+  *    while rank selection + equality-compare of already-rounded
+  *    scores is. Uses one rank window per group — fine when groups
+  *    are languages/sources (bounded count, millions of rows each),
+  *    and the window sort is per-GROUP, so a hot language serializes:
+  *    that is the approx path's job.
+  *  - `thresholdApprox` (the 100 TB path): per-group
+  *    approx_percentile sketch -> broadcast cut -> one map-side
+  *    filter pass. No sort anywhere; the sketch is mergeable map-side
+  *    partial state. Within-epsilon of the exact cut (spec-asserted),
+  *    not hash-reproducible across engines — which is why it is the
+  *    scale path and not the oracle path.
+  */
+object QualitySelect {
+
+  /** Exact per-group top-fraction selection. Output: the input plus
+    * (cut, keep). `fracDenom` expresses the fraction as 1/fracDenom so
+    * both engines compute ceil(n / d) from the same arithmetic —
+    * ceil(n · 0.333…) and ceil(n / 3.0) differ at exact multiples.
+    * Groups smaller than d keep their single best row (ceil(n/d) >= 1).
+    */
+  def topFraction(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, fracDenom: Int): DataFrame = {
+    require(fracDenom >= 1, "fraction denominator must be >= 1")
+    Seq("rn", "n", "cut", "keep").foreach(c =>
+      require(idCol != c && scoreCol != c && groupCol != c,
+        s"QualitySelect.topFraction reserves column name '$c'"))
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val cuts = scored
+      .withColumn("rn", row_number().over(byScore))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("rn") ===
+        ceil(col("n") / lit(fracDenom.toDouble)).cast("long"))
+      .select(col(groupCol), col(scoreCol).as("cut"))
+    scored.join(cuts, Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("cut"),
+        (col(scoreCol) >= col("cut")).as("keep"))
+  }
+
+  /** Approximate threshold selection — the scale path: per-group
+    * percentile sketch (one hash-aggregate, mergeable partials),
+    * broadcast the tiny cut table, one filter pass. `accuracy` is
+    * approx_percentile's inverse-epsilon knob.
+    */
+  def thresholdApprox(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, fracDenom: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(fracDenom >= 1, "fraction denominator must be >= 1")
+    val q = 1.0 - 1.0 / fracDenom
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy))
+        .as("cut"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("cut"),
+        (col(scoreCol) >= col("cut")).as("keep"))
+  }
+}

@@ -1716,8 +1716,46 @@ object PipelineOps {
           ORDER BY w"""
     })
 
+  /** Quantile-threshold quality selection (operators.QualitySelect —
+    * the CCNet keep-the-best-tertile step): per-language order-
+    * statistic cut at rank ceil(n/3) over the x04 quality score, keep
+    * everything at or above it, ties included. No percentile
+    * interpolation anywhere — rank selection over already-rounded
+    * scores is the cross-engine-deterministic formulation (see the
+    * operator's scaladoc for why interpolated quantiles are not).
+    */
+  private val x49 = Q(
+    "x49_quality_select",
+    (s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text"), stop), 4)
+          .as("score"))
+      QualitySelect.topFraction(scored, "doc_id", "score", "lang", 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS ns
+                FROM documents),
+            sc AS (SELECT doc_id, lang,
+                     round((least(n/50.0, 1.0) + nd/n
+                            + least(ns/n*10.0, 1.0)) / 3.0, 4) AS score
+                   FROM f),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY score DESC, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY lang) AS n
+                  FROM sc),
+            cut AS (SELECT lang, score AS cut FROM r
+                    WHERE rn = CAST(ceil(n / 3.0) AS BIGINT))
+          SELECT sc.doc_id, sc.lang, sc.score, cut.cut,
+                 sc.score >= cut.cut AS keep
+          FROM sc JOIN cut USING (lang) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48)
+    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
 }
