@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
-  IntervalJoin, LmQuality, Ranking, SemanticDedup, Sessionize, Similarity,
-  TextAnalysis}
+  IntervalJoin, LmQuality, QualitySelect, Ranking, SemanticDedup,
+  Sessionize, Similarity, TextAnalysis}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -182,6 +182,17 @@ object Scale10 {
       "dup_ngram_frac" -> (() =>
         Dedup.crossDocDupFraction(docs, "doc_id", "text", 5)
           .filter(col("dup_frac") > 0).count()),
+      // x49's SCALE path (thresholdApprox): sketch-aggregate the cut
+      // per language, broadcast it, one filter pass — no sort. The
+      // graded exact form's per-group rank window is the part that
+      // cannot survive a hot group; this is the formulation that does.
+      "quality_select" -> (() => {
+        val sc = docs.select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.langMarkers("en")), 4).as("score"))
+        QualitySelect.thresholdApprox(sc, "doc_id", "score", "lang", 3)
+          .filter(col("keep")).count()
+      }),
       "vocab_encode" -> (() => {
         val toks = docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -1256,7 +1267,8 @@ object Scale10 {
       val docNames = flowNames(Set("minhash_neardups",
         "simhash_md5_neardups", "vocab_encode", "repetition_signals",
         "bpe_pairs", "decontaminate", "dedup_clusters",
-        "corpus_pipeline", "bigram_lm", "dup_ngram_frac"), "docs100")
+        "corpus_pipeline", "bigram_lm", "dup_ngram_frac",
+        "quality_select"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
