@@ -1754,8 +1754,114 @@ object PipelineOps {
                  sc.score >= cut.cut AS keep
           FROM sc JOIN cut USING (lang) ORDER BY doc_id"""))
 
+  /** DuckDB twin of Split.hashBucket: first 8 md5 hex chars of the id
+    * rendered as VARCHAR, read as an integer on the [0, 2^32) grid.
+    */
+  private def duckHashBucket(idCol: String): String =
+    s"('0x'||substr(md5(CAST($idCol AS VARCHAR)),1,8))::UBIGINT"
+
+  /** Exact integer cutoff for a cumulative per-mille weight — the same
+    * Long arithmetic as Split.cutoff, evaluated here at oracle-build
+    * time so both engines compare against literally the same constant.
+    */
+  private def pmCutoff(cumPerMille: Long): Long = (cumPerMille << 32) / 1000L
+
+  /** Deterministic hash split (Split.assign): the train/val/test
+    * assignment as a pure function of doc_id — append-stable,
+    * order-independent, RNG-free. 800/100/100 per-mille bands on the
+    * md5-prefix grid; the oracle replays the integer cutoffs verbatim.
+    */
+  private val x50 = Q(
+    "x50_hash_split",
+    (s, d) => Split.assign(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang,
+                   CASE WHEN ${duckHashBucket("doc_id")} < ${pmCutoff(800)}
+                          THEN 'train'
+                        WHEN ${duckHashBucket("doc_id")} < ${pmCutoff(900)}
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** Deterministic stratified downsample (Split.stratifiedSample):
+    * rebalance the corpus by keeping 25% of the majority language and
+    * 50% of zh, everything else intact — the language-rebalancing pass
+    * of a multilingual mix, reproducible because membership is a pure
+    * function of (doc_id, stratum weights).
+    */
+  private val x51 = Q(
+    "x51_stratified_sample",
+    (s, d) => Split.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "doc_id", "lang", Map("en" -> 250, "zh" -> 500), 1000)
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, source FROM documents
+            WHERE ${duckHashBucket("doc_id")} <
+              CASE lang WHEN 'en' THEN ${pmCutoff(250)}
+                        WHEN 'zh' THEN ${pmCutoff(500)}
+                        ELSE ${pmCutoff(1000)} END
+            ORDER BY doc_id"""))
+
+  /** TF-IDF top-3 terms per document (TfIdf.topTerms). Both engines
+    * rank on the ALREADY-ROUNDED score with the term as tiebreak, so a
+    * libm ulp on ln cannot flip a rank (see TfIdf scaladoc).
+    */
+  private val x52 = Q(
+    "x52_tfidf_terms",
+    (s, d) => TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "rn"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                         FROM documents),
+                 tf AS (SELECT doc_id, term, count(*) AS tf
+                        FROM tok GROUP BY 1, 2),
+                 df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+                 n AS (SELECT count(*) AS n_docs FROM documents),
+                 sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                          round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df),
+                                4) AS score
+                        FROM tf JOIN df USING (term) CROSS JOIN n),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term) AS rn
+                       FROM sc)
+            SELECT doc_id, term, tf, df, score, rn
+            FROM r WHERE rn <= 3 ORDER BY doc_id, rn"""))
+
+  /** Gopher-style rule gate with per-rule verdicts (FilterRules):
+    * word-count bounds, mean-word-length bounds, type-token-ratio
+    * floor, stop-word floor — all exact rational arithmetic, keep =
+    * AND of the four flags.
+    */
+  private val x53 = Q(
+    "x53_filter_reasons",
+    (s, d) => FilterRules(t(s, d, "documents"), "doc_id", "text", stop)
+      .orderBy("doc_id"),
+    Some("""WITH f AS (SELECT doc_id,
+                  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+                  CAST(list_sum(list_transform(string_split(text,' '),
+                       x -> length(x))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS avglen,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS ttr,
+                  CAST(len(list_filter(string_split(text,' '),
+                       x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS stopr
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   n_tokens BETWEEN 20 AND 80 AS r_len,
+                   avglen BETWEEN 3.0 AND 4.5 AS r_wordlen,
+                   ttr >= 0.5 AS r_ttr,
+                   stopr >= 0.05 AS r_stop,
+                   (n_tokens BETWEEN 20 AND 80) AND
+                   (avglen BETWEEN 3.0 AND 4.5) AND
+                   ttr >= 0.5 AND stopr >= 0.05 AS keep
+            FROM f ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
-    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49)
+    x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
+    x50, x51, x52, x53)
 }
