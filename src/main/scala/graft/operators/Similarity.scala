@@ -281,6 +281,61 @@ object Similarity {
       element_at(sorted, 1).getField("dist")).as("margin"))
   }
 
+  /** 1-NN label agreement: each vector's nearest neighbor (by exact
+    * cosine, self excluded) and whether the neighbor carries the same
+    * label — the standard embedded-eval-set probe for label noise /
+    * cluster purity (a leave-one-out 1-NN classifier, scored per row so
+    * the caller aggregates accuracy by label, source, or anything
+    * else). EXACT, broadcast-eval-set form: every partition scores the
+    * whole set against its slice (eval sets are small by construction —
+    * 100k vectors × 64 floats is ~25 MB broadcast), reusing
+    * bruteForceTopK's crossJoin + scoredTopK tail so rounding and
+    * tie-break match the SQL oracle verbatim. For corpus-scale
+    * self-kNN use selfKnnLabelAgreementByCell below.
+    */
+  def knnLabelAgreement(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("label"))
+    val q = e.select(col("id").as("qid"), col("vec").as("qvec"))
+    labeledAgreement(e, scoredTopK(e.crossJoin(broadcast(q)), 1))
+  }
+
+  /** Corpus-scale self-1-NN label agreement, IVF-cell-blocked: assign
+    * every vector to its nearest cell (one map pass over broadcast
+    * centroid instance data), explode each vector's `nprobe` probe
+    * cells, and equi-join probes to assignments on the cell id — a
+    * PLAIN join, not a broadcast: both sides are the corpus, so AQE
+    * picks the shuffle strategy, and the per-cell pair mass is
+    * |cell|²·nprobe/nlist of the all-pairs square. Approximate exactly
+    * like IVF search (a true nearest neighbor in an unprobed cell is
+    * missed — the same recall/cost dial as ivfTopK, measured against
+    * the exact form in the scale flows).
+    */
+  def selfKnnLabelAgreementByCell(corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("label"))
+    val assigned = ivfAssign(e, "vec", centroids)
+    val probes = e
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("cell",
+        explode(ivfProbeCells(col("qvec"), centroids, nprobe)))
+    labeledAgreement(e, scoredTopK(assigned.join(probes, Seq("cell")), 1))
+  }
+
+  /** Shared tail: attach both endpoints' labels to a top-1 result and
+    * emit the per-vector agreement verdict.
+    */
+  private def labeledAgreement(e: DataFrame, top1: DataFrame): DataFrame =
+    top1
+      .join(e.select(col("id").as("qid"), col("label")), "qid")
+      .join(e.select(col("id"), col("label").as("nn_label")), "id")
+      .select(col("qid").as("vec_id"), col("label"),
+        col("id").as("nn_id"), col("nn_label"), col("sim"),
+        (col("label") === col("nn_label")).as("agree"))
+
   /** Pairwise near-duplicate vectors: all (a<b) pairs with cosine >=
     * threshold, blocked by LSH bucket to avoid the full cross product
     * (pairs split across buckets are missed — recall tested vs brute).

@@ -1859,9 +1859,40 @@ object PipelineOps {
                    ttr >= 0.5 AND stopr >= 0.05 AS keep
             FROM f ORDER BY doc_id"""))
 
+  /** 1-NN label agreement (Similarity.knnLabelAgreement): leave-one-out
+    * nearest-neighbor label match per vector — the label-noise /
+    * cluster-purity probe over the embedded eval set. Exact brute-force
+    * at the graded SF (the oracle replays the all-pairs square); the
+    * corpus-scale path is the IVF-cell-blocked variant, measured
+    * against this exact form in the scale flows.
+    */
+  private val x54 = Q(
+    "x54_knn_label_agree",
+    (s, d) => Similarity.knnLabelAgreement(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("vec_id"),
+    Some {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.vec[i] AS DOUBLE) * CAST($y.vec[i] AS DOUBLE)))"
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec, label
+                     FROM embeddings),
+               p AS (SELECT a.id AS qid, b.id AS id,
+                            round(${dot("a", "b")}
+                                  / sqrt(${dot("a", "a")})
+                                  / sqrt(${dot("b", "b")}), 6) AS sim
+                     FROM e a JOIN e b ON a.id <> b.id),
+               r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, id) AS rk
+                     FROM p)
+          SELECT r.qid AS vec_id, q.label, r.id AS nn_id,
+                 n.label AS nn_label, r.sim, q.label = n.label AS agree
+          FROM r JOIN e q ON q.id = r.qid JOIN e n ON n.id = r.id
+          WHERE rk = 1 ORDER BY vec_id"""
+    })
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53)
+    x50, x51, x52, x53, x54)
 }

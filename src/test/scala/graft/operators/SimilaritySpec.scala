@@ -407,4 +407,54 @@ class SimilaritySpec extends SparkTestBase {
       assert(r.getAs[Int]("cell") == i, s"vec $i assigned to ${r.getAs[Int]("cell")}")
     }
   }
+
+  test("knnLabelAgreement finds each vector's true neighbor and scores " +
+    "the label match") {
+    // 1-2 mutually nearest (same label), 3 nearest to 1 (other label)
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.8f, 0.6f), 8)).toDF("id", "vec", "lab")
+    val out = Similarity.knnLabelAgreement(corpus, "id", "vec", "lab")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(5)))
+    assert(out.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 2L, false)))
+  }
+
+  private def knnCentroids(n: Int): Seq[(Int, Array[Double])] =
+    emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+      .orderBy("vec_id").limit(n).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+
+  test("cell-blocked self-kNN with every cell probed reproduces the " +
+    "exact agreement verbatim") {
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val cents = knnCentroids(8)
+    val exact = Similarity
+      .knnLabelAgreement(corpus, "vec_id", "embedding", "label")
+    val blocked = Similarity.selfKnnLabelAgreementByCell(
+      corpus, "vec_id", "embedding", "label", cents, nprobe = cents.size)
+    // probing all cells covers every (query, corpus) pair exactly once
+    assert(exact.exceptAll(blocked).count() == 0)
+    assert(blocked.exceptAll(exact).count() == 0)
+  }
+
+  test("cell-blocked self-kNN at nprobe=2 stays close to the exact " +
+    "agreement rate (the recall/cost dial)") {
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val cents = knnCentroids(8)
+    val n = corpus.count().toDouble
+    def rate(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("agree")).count() / n
+    val exact = Similarity
+      .knnLabelAgreement(corpus, "vec_id", "embedding", "label")
+    val blocked = Similarity.selfKnnLabelAgreementByCell(
+      corpus, "vec_id", "embedding", "label", cents, nprobe = 2)
+    // every query must still emit a verdict (its own cell is probed)
+    assert(blocked.count() == n.toLong)
+    assert(math.abs(rate(blocked) - rate(exact)) <= 0.1,
+      s"agreement drifted: exact ${rate(exact)} vs blocked ${rate(blocked)}")
+  }
 }
