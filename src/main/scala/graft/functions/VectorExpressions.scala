@@ -324,11 +324,149 @@ case class NearestCentroidDist(child: Expression,
     copy(child = newChild)
 }
 
+/** nearest_neighbor_cosine(vec, id): struct<nn_id, nn_label, sim> —
+  * the row's best cosine neighbor within the broadcast `queries`
+  * matrix, its own id excluded. The brute-force-ANN-done-right shape
+  * for a SMALL query set against an arbitrarily large corpus: the eval
+  * set rides as expression instance data (ids + LABELS + vectors +
+  * PRECOMPUTED norms — the norms would otherwise recompute per pair,
+  * and carrying the label kills the post-hoc label join whose inferred
+  * isnotnull filter re-evaluated this pass below the exchange), each
+  * corpus row makes one fused pass over the matrix, and no joined pair
+  * row ever materializes. Measured at sf0.1 (2000×2000 self-square):
+  * the BroadcastNestedLoopJoin + max_by formulation paid ~5 s mostly
+  * in 4M joined-row copies; this expression runs the same arithmetic
+  * inside one codegen'd map pass (see SCALE.md).
+  *
+  * Selection order replays the oracle contract (round(sim, 6) desc,
+  * then id asc): candidates are compared on their HALF-UP 6-decimal
+  * rounding — ties on the rounded grid fall to the smaller id — while
+  * the emitted sim stays unrounded (the caller applies Spark's round,
+  * so the output value is bit-identical to the per-pair formulation).
+  * Null on malformed input (wrong dim, null element), and null when
+  * every query is excluded (eval set of one).
+  */
+case class NearestNeighborCosine(left: Expression, right: Expression,
+    queries: Seq[(Long, Int, Array[Double])]) extends BinaryExpression {
+  require(queries.size >= 2,
+    "query set needs >= 2 entries (1-NN with self excluded is undefined " +
+      "on a singleton)")
+  require(queries.forall(_._3.length == queries.head._3.length),
+    "query vectors must share one dimension")
+  override def dataType: DataType = StructType(Seq(
+    StructField("nn_id", LongType, nullable = false),
+    StructField("nn_label", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  @transient private lazy val dim: Int = queries.head._3.length
+  @transient private lazy val qids: Array[Long] = queries.map(_._1).toArray
+  @transient private lazy val qlabels: Array[Int] = queries.map(_._2).toArray
+  @transient private lazy val qvecs: Array[Array[Double]] =
+    queries.map(_._3).toArray
+  @transient private lazy val qnorms: Array[Double] =
+    qvecs.map(q => math.sqrt(q.map(x => x * x).sum))
+  @transient private lazy val vecFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Half-up 6-decimal rounding for the SELECTION comparison only —
+    * agrees with Spark/DuckDB round everywhere two candidates could
+    * realistically collide (exactly equal sims round equal under any
+    * scheme; distinct vectors sit far above the 1e-16 scale where the
+    * grids differ).
+    */
+  private def r6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+    else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+  /** Public for generated code (object-reference call). Malformed input
+    * THROWS rather than nulling: a wrong-dimension or null-element
+    * vector in an eval set is a data defect to surface, and a null
+    * result here would let a downstream isnotnull filter push this
+    * whole quadratic pass below the parallelizing exchange (observed:
+    * the join-based formulation evaluated the matrix scan twice, once
+    * single-threaded on the scan — see Similarity.knnLabelAgreement).
+    */
+  def evalNeighbor(v: ArrayData, id: Long): Any = {
+    require(v.numElements() == dim,
+      s"nearest_neighbor_cosine: vector of ${v.numElements()} dims " +
+        s"against a $dim-dim query set")
+    var nv = 0.0
+    var j = 0
+    while (j < dim) {
+      require(!v.isNullAt(j),
+        s"nearest_neighbor_cosine: null element at index $j")
+      val x = if (vecFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      nv += x * x
+      j += 1
+    }
+    val vnorm = math.sqrt(nv)
+    var bestKey = Double.NegativeInfinity
+    var bestSim = 0.0
+    var bestQ = -1
+    var q = 0
+    while (q < qvecs.length) {
+      if (qids(q) != id) {
+        val qv = qvecs(q)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          val x = if (vecFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += x * qv(i)
+          i += 1
+        }
+        // dot / vnorm / qnorm — division order matches cosineOrNull and
+        // the SQL oracle, so the selected pair's value is bit-identical
+        val sim = dot / vnorm / qnorms(q)
+        val key = r6(sim)
+        val cmp = java.lang.Double.compare(key, bestKey)
+        if (bestQ < 0 || cmp > 0 || (cmp == 0 && qids(q) < qids(bestQ))) {
+          bestKey = key
+          bestSim = sim
+          bestQ = q
+        }
+      }
+      q += 1
+    }
+    // queries.size >= 2 guarantees a candidate for any id
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](qids(bestQ), qlabels(bestQ), bestSim))
+  }
+
+  override def nullSafeEval(v: Any, id: Any): Any =
+    evalNeighbor(v.asInstanceOf[ArrayData], id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestNeighborCosine", this,
+      classOf[NearestNeighborCosine].getName)
+    nullSafeCodeGen(ctx, ev, (v, id) => s"""
+      ${ev.value} = (InternalRow) $ref.evalNeighbor($v, $id);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override def prettyName: String = "nearest_neighbor_cosine"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestNeighborCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: fused native cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.toColumn(CosineSimilarity(
       ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+
+  /** Column API: one-pass best-cosine-neighbor against a broadcast
+    * (id, label, vector) query matrix — struct<nn_id, nn_label, sim>,
+    * the row's own id excluded.
+    */
+  def nearestNeighborCosine(vec: Column, id: Column,
+      queries: Seq[(Long, Int, Array[Double])]): Column =
+    ColumnShim.toColumn(NearestNeighborCosine(ColumnShim.toExpression(vec),
+      ColumnShim.toExpression(id), queries))
 
   /** Column API: one-pass IVF cell assignment (constant plan size in
     * nlist).

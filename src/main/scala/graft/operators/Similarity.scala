@@ -297,8 +297,33 @@ object Similarity {
       vecCol: String, labelCol: String): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       col(labelCol).as("label"))
-    val q = e.select(col("id").as("qid"), col("vec").as("qvec"))
-    labeledAgreement(e, scoredTopK(e.crossJoin(broadcast(q)), 1))
+    // the sanctioned eval-set collect: the (id, label, vector) matrix
+    // rides as expression instance data (NearestNeighborCosine),
+    // bounded by the eval set itself — 100k × 64 floats is ~50 MB of
+    // doubles, the broadcast class of collect, never the corpus.
+    // Carrying the label in the instance data (rather than joining it
+    // back) keeps the whole operator join-free: a label join's
+    // inferred isnotnull(best) filter pushed the quadratic pass below
+    // the exchange and evaluated it twice, once single-threaded.
+    val queries = e.select(col("id"), col("label"), col("vec"))
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(1),
+          r.getSeq[Number](2).map(_.doubleValue()).toArray)
+      }.toSeq
+    val best = graft.functions.VectorFunctions
+      .nearestNeighborCosine(col("vec"), col("id"), queries)
+    // decouple the quadratic pass's parallelism from the input file
+    // layout: an eval set often arrives as one small file (one scan
+    // partition), which would single-thread the n·m matrix scan; the
+    // round-robin exchange is linear in the eval set and negligible
+    // next to the pass it spreads (measured 5.0 -> 0.9 s at sf0.1)
+    e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id").as("vec_id"), col("label"), best.as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.nn_id").as("nn_id"),
+        col("best.nn_label").as("nn_label"),
+        round(col("best.sim"), 6).as("sim"))
+      .withColumn("agree", col("label") === col("nn_label"))
   }
 
   /** Corpus-scale self-1-NN label agreement, IVF-cell-blocked: assign
@@ -322,8 +347,28 @@ object Similarity {
       .select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("cell",
         explode(ivfProbeCells(col("qvec"), centroids, nprobe)))
-    labeledAgreement(e, scoredTopK(assigned.join(probes, Seq("cell")), 1))
+    labeledAgreement(e, top1(assigned.join(probes, Seq("cell"))))
   }
+
+  /** Top-1 as an AGGREGATE, not a rank window: argmax by (sim desc, id
+    * asc) via max_by over the tie-break struct (sim, -id) — the same
+    * rounding and ordering contract as scoredTopK's k=1 row (x54's
+    * oracle replays the window formulation and hash-matches this one),
+    * but with map-side partial combine: each partition reduces its
+    * candidate slice to ONE row per query before any exchange, so the
+    * n·m scored pairs never shuffle (measured at sf0.1: the window
+    * form's 4M-row exchange+sort made x54 a 9 s query; this form is
+    * the same query at a fraction of that — see SCALE.md).
+    */
+  private def top1(joined: DataFrame): DataFrame =
+    joined
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qvec"), col("vec")), 6).as("sim"))
+      .groupBy("qid")
+      .agg(max_by(struct(col("id"), col("sim")),
+        struct(col("sim"), (-col("id")).as("t"))).as("best"))
+      .select(col("qid"), col("best.id").as("id"), col("best.sim").as("sim"))
 
   /** Shared tail: attach both endpoints' labels to a top-1 result and
     * emit the per-vector agreement verdict.

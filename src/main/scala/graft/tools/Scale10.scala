@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
-  IntervalJoin, LmQuality, QualitySelect, Ranking, SemanticDedup,
-  Sessionize, Similarity, TextAnalysis}
+  FilterRules, IntervalJoin, LmQuality, QualitySelect, Ranking,
+  SemanticDedup, Sessionize, Similarity, Split, TextAnalysis, TfIdf}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -192,6 +192,41 @@ object Scale10 {
             TextAnalysis.langMarkers("en")), 4).as("score"))
         QualitySelect.thresholdApprox(sc, "doc_id", "score", "lang", 3)
           .filter(col("keep")).count()
+      }),
+      // x50/x51's shape: one stateless map over the scan — the claim
+      // to verify across decades is pure linearity (no shuffle should
+      // ever appear). The filters force the md5 assignment to compute.
+      "hash_split" -> (() =>
+        Split.assign(docs.select(col("doc_id")), "doc_id",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100))
+          .filter(col("split") === "val").count()),
+      // x52: explode -> two hash-aggs -> vocab join -> per-doc top-k
+      // window; the vocabulary (join key side) grows 10x with the
+      // replica corpus, exercising the AQE broadcast-vs-SMJ decision.
+      "tfidf_terms" -> (() =>
+        TfIdf.topTerms(docs, "doc_id", "text", 3)
+          .filter(col("score") > 0).count()),
+      // x53: pure per-row rule gate, keep depends on every rule so
+      // nothing prunes.
+      "filter_rules" -> (() =>
+        FilterRules(docs, "doc_id", "text",
+          TextAnalysis.langMarkers("en"))
+          .filter(col("keep")).count()),
+      // x54's SCALE path: IVF-cell-blocked self-1-NN (plain cell
+      // equi-join, pair mass ~ sum|cell|^2 * nprobe/nlist) — the
+      // graded exact broadcast square is the part that cannot survive
+      // a corpus decade. Centroids seeded from the dir's own slice.
+      "knn_label_agree" -> (() => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val cents = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+          .orderBy("vec_id").limit(32).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Float](r.fieldIndex("embedding"))
+              .map(_.toDouble).toArray)
+          }.toSeq
+        Similarity.selfKnnLabelAgreementByCell(
+          e, "vec_id", "embedding", "label", cents, nprobe = 4)
+          .filter(col("agree")).count()
       }),
       "vocab_encode" -> (() => {
         val toks = docs.select(col("doc_id"),

@@ -538,6 +538,81 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("x50/x51: hash split and stratified sample are stateless map " +
+    "passes — no window, no join, no aggregation shuffle anywhere") {
+    for (name <- Seq("x50_hash_split", "x51_stratified_sample")) {
+      val df = q(name)
+      assert(windowsOf(df).isEmpty, s"$name planned a window")
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.isEmpty, s"$name planned a join: $joins")
+      // the presentation orderBy range-partitions; nothing may
+      // hash-partition — a hash exchange here would mean the assignment
+      // stopped being a pure per-row map
+      assert(!planOf(df).contains("hashpartitioning"),
+        s"$name hash-shuffles:\n${planOf(df)}")
+    }
+  }
+
+  test("x52: tf-idf aggregates partially map-side and ranks in a " +
+    "per-document window — no cartesian beyond the 1-row total") {
+    val df = q("x52_tfidf_terms")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "top-k must rank within documents, never globally")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // tf and df each plan a partial+final pair: token repeats collapse
+    // before the (doc, term) shuffle and pair rows before the term one
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("x53: the rule gate is a pure per-row projection — no exchange " +
+    "of any kind before the presentation sort") {
+    val df = q("x53_filter_reasons")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("x54: exact form is the deliberate broadcast square; the " +
+    "cell-blocked scale path plans only equi-joins") {
+    val exact = q("x54_knn_label_agree")
+    // the all-pairs square lives INSIDE the NearestNeighborCosine
+    // instance-data pass: no window, no join of ANY kind, no pair row
+    // ever materializes (labels ride in the instance data — a label
+    // join's inferred isnotnull filter would re-evaluate the pass
+    // below the parallelizing exchange)
+    assert(windowsOf(exact).isEmpty,
+      "top-1 planned a rank window — the scored square would shuffle")
+    val joins = exact.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"the exact form must be join-free: $joins")
+    val plan = planOf(exact)
+    // exactly ONE evaluation of the native — a pushed filter or a
+    // collapsed projection would clone the quadratic pass
+    assert("nearest_neighbor_cosine".r.findAllIn(plan).size == 1, plan)
+
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val cents = e.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(97)) === 0)
+      .orderBy("vec_id").limit(8).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+    val blocked = graft.operators.Similarity.selfKnnLabelAgreementByCell(
+      e, "vec_id", "embedding", "label", cents, nprobe = 2)
+    val bplan = planOf(blocked)
+    assert(!bplan.contains("BroadcastNestedLoopJoin") &&
+      !bplan.contains("CartesianProduct"),
+      s"cell blocking degenerated to an all-pairs square:\n$bplan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

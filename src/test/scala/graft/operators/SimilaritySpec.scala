@@ -420,6 +420,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 2L, false)))
   }
 
+  test("nearest_neighbor_cosine fails loudly on malformed eval vectors " +
+    "instead of nulling them away") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.5f), 8)).toDF("id", "vec", "lab") // wrong dim
+    val e = intercept[Exception] {
+      Similarity.knnLabelAgreement(corpus, "id", "vec", "lab").collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("dimension") || e.getMessage.contains("dims")),
+      s"unexpected failure shape: $e")
+  }
+
   private def knnCentroids(n: Int): Seq[(Int, Array[Double])] =
     emb.filter(pmod(col("vec_id"), lit(97)) === 0)
       .orderBy("vec_id").limit(n).collect()
