@@ -216,6 +216,16 @@ object Scale10 {
       // equi-join, pair mass ~ sum|cell|^2 * nprobe/nlist) — the
       // graded exact broadcast square is the part that cannot survive
       // a corpus decade. Centroids seeded from the dir's own slice.
+      // x54's graded form across the decade: the instance-data native
+      // keeps the all-pairs square a single map pass, so even 20k
+      // vectors (400M pairs) stay tractable — the point where the
+      // blocked variant below must take over is visible as the gap
+      // between these two rows' growth rates.
+      "knn_label_exact" -> (() => {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.knnLabelAgreement(e, "vec_id", "embedding", "label")
+          .filter(col("agree")).count()
+      }),
       "knn_label_agree" -> (() => {
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
         val cents = e.filter(pmod(col("vec_id"), lit(97)) === 0)
