@@ -324,6 +324,104 @@ case class NearestCentroidDist(child: Expression,
     copy(child = newChild)
 }
 
+/** nearest_cells(vec): array<int> — the `k` nearest centroid ids,
+  * nearest first, ties toward the smaller cid: exactly the
+  * slice(array_sort(structs(dist, cid)), 1, k) contract of
+  * Similarity.ivfProbeCells (parity-pinned in SimilaritySpec), with
+  * the centroid matrix as instance data so plan and generated-code
+  * size stay constant in nlist. The declarative probe was fine while
+  * probes ran only over a small QUERY frame; corpus-wide self-kNN
+  * (every row probes) put the O(nlist) interpreted struct sort on the
+  * corpus path — the same promotion NearestCentroid earned for
+  * assignment. Selection is one pass with a k-slot insertion (k is
+  * nprobe-sized: <= 16 in every flow), no allocation beyond the
+  * result. Null on malformed input (dim mismatch / null element),
+  * matching NearestCentroid's documented tightening.
+  */
+case class NearestCells(child: Expression,
+    centroids: Seq[(Int, Array[Double])], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "centroid set must be non-empty")
+  require(k >= 1 && k <= centroids.size,
+    s"k must be in [1, ${centroids.size}], got $k")
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val dim: Int = centroids.head._2.length
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cvecs: Array[Array[Double]] =
+    centroids.map(_._2).toArray
+  @transient private lazy val childFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Public for generated code (object-reference call). */
+  def evalCells(v: ArrayData): Any = {
+    if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      j += 1
+    }
+    // k-slot insertion sort by (dist, cid) ascending — Double.compare
+    // ordering so NaN sorts last, like the declarative struct sort
+    val bd = new Array[Double](k)
+    val bc = new Array[Int](k)
+    var n = 0
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = (if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)) - cv(i)
+        d += x * x
+        i += 1
+      }
+      val cd = cids(c)
+      // find insertion point among the current n kept slots
+      var p = n
+      while (p > 0 && {
+        val cmp = java.lang.Double.compare(d, bd(p - 1))
+        cmp < 0 || (cmp == 0 && cd < bc(p - 1))
+      }) p -= 1
+      if (p < k) {
+        val last = math.min(n, k - 1)
+        var m = last
+        while (m > p) {
+          bd(m) = bd(m - 1)
+          bc(m) = bc(m - 1)
+          m -= 1
+        }
+        bd(p) = d
+        bc(p) = cd
+        if (n < k) n += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(java.util.Arrays.copyOf(bc, n))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalCells(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (ArrayData) $ref.evalCells($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override def prettyName: String = "nearest_cells"
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** nearest_neighbor_cosine(vec, id): struct<nn_id, nn_label, sim> —
   * the row's best cosine neighbor within the broadcast `queries`
   * matrix, its own id excluded. The brute-force-ANN-done-right shape
@@ -458,6 +556,14 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.toColumn(CosineSimilarity(
       ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+
+  /** Column API: the k nearest centroid ids, nearest first (constant
+    * plan size in nlist).
+    */
+  def nearestCells(vec: Column, centroids: Seq[(Int, Array[Double])],
+      k: Int): Column =
+    ColumnShim.toColumn(NearestCells(ColumnShim.toExpression(vec),
+      centroids, k))
 
   /** Column API: one-pass best-cosine-neighbor against a broadcast
     * (id, label, vector) query matrix — struct<nn_id, nn_label, sim>,

@@ -169,15 +169,26 @@ object Similarity {
       least(centroidStructs(col(vecCol), centroids): _*).getField("cid"))
 
   /** The `nprobe` nearest centroid ids for a vector, nearest first —
-    * the query-side half of IVF search. Still the literal-structs
-    * formulation (O(nlist) plan size): it runs over the QUERY frame
-    * only — thousands of rows, not the corpus — so the per-plan cost
-    * is planning-time-bounded and the corpus-sized rule (NearestCentroid
-    * carrying the matrix as instance data) doesn't apply. Revisit if a
-    * production nlist (10⁴) ever makes the probe plan itself heavy.
+    * the query-side half of IVF search. NearestCells native since
+    * round 14: the literal-structs formulation was fine while probes
+    * ran only over a small query frame, but corpus-wide self-kNN
+    * (selfKnnLabelAgreementByCell — every row probes) put an O(nlist)
+    * interpreted struct sort on the corpus path and an O(nlist) plan
+    * on every consumer, the exact promotion trigger its old scaladoc
+    * named. Identical semantics (SimilaritySpec pins parity against
+    * the declarative twin below across k): (dist, cid)-ascending
+    * selection, nearest first.
     */
   def ivfProbeCells(vec: Column, centroids: Seq[(Int, Array[Double])],
       nprobe: Int): Column =
+    graft.functions.VectorFunctions.nearestCells(vec, centroids, nprobe)
+
+  /** Executable spec of ivfProbeCells as the slice-of-sorted-structs
+    * formulation — the SQL-oracle-shaped twin the native is
+    * parity-pinned against.
+    */
+  private[graft] def ivfProbeCellsDeclarative(vec: Column,
+      centroids: Seq[(Int, Array[Double])], nprobe: Int): Column =
     transform(
       slice(array_sort(array(centroidStructs(vec, centroids): _*)),
         1, nprobe),

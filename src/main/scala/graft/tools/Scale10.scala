@@ -228,8 +228,14 @@ object Scale10 {
       }),
       "knn_label_agree" -> (() => {
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
-        val cents = e.filter(pmod(col("vec_id"), lit(97)) === 0)
-          .orderBy("vec_id").limit(32).collect()
+        // nlist grows with the corpus (cells stay ~512 vectors), seeds
+        // are a hash-ordered sample — the first cut here stride-sampled
+        // limit(32) and silently got 21 cells at sf0.1, the exact
+        // seed-pool-exhaustion artifact the ivfrecall review caught
+        val nlist = math.max(32L, e.count() / 512L).toInt
+        val cents = e
+          .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+          .limit(nlist).collect()
           .zipWithIndex.map { case (r, i) =>
             (i, r.getSeq[Float](r.fieldIndex("embedding"))
               .map(_.toDouble).toArray)
@@ -485,7 +491,8 @@ object Scale10 {
         println(s"""{"generated":"$dir100/embeddings.parquet"}""")
       }
       val names = flowNames(
-        Set("embed_neardups_auto", "semantic_dedup"), "emb100")
+        Set("embed_neardups_auto", "semantic_dedup",
+          "knn_label_exact", "knn_label_agree"), "emb100")
       time(SRC, names)
       time(dir100, names)
     } else if (only("dupskew")) {

@@ -408,6 +408,38 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("nearest_cells native replays the slice-of-sorted-structs spec " +
+    "for every probe width on the graded slice") {
+    // first-16-rows centroid set (the stride-sampled pool is only ~6
+    // deep at sf0.001 — the seed-pool-exhaustion lesson)
+    val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+    val e = emb.select(col("vec_id"), col("embedding"))
+    for (k <- Seq(1, 2, 5, 16)) {
+      val diff = e.select(col("vec_id"),
+        Similarity.ivfProbeCells(col("embedding"), cents, k).as("native"),
+        Similarity.ivfProbeCellsDeclarative(
+          col("embedding"), cents, k).as("spec"))
+        .filter(col("native") =!= col("spec"))
+      assert(diff.count() == 0,
+        s"k=$k: ${diff.collect().take(3).mkString(", ")}")
+    }
+  }
+
+  test("nearest_cells breaks exact-tie distances toward the smaller " +
+    "cid, like the struct sort") {
+    // two identical centroids -> identical distances; cid must decide
+    val cents = Seq((7, Array(1.0, 0.0)), (3, Array(1.0, 0.0)),
+      (5, Array(0.0, 1.0)))
+    val out = Seq((1L, Seq(0.9f, 0.1f))).toDF("id", "vec")
+      .select(Similarity.ivfProbeCells(col("vec"), cents, 3).as("cells"))
+      .collect().head.getSeq[Int](0)
+    assert(out == Seq(3, 7, 5), out.toString)
+  }
+
   test("knnLabelAgreement finds each vector's true neighbor and scores " +
     "the label match") {
     // 1-2 mutually nearest (same label), 3 nearest to 1 (other label)
