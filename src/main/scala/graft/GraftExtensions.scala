@@ -123,6 +123,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.NearestCentroidDist(args(0),
         litDoubleMatrix(args(1), "nearest_centroid_dist centroids")
           .zipWithIndex.map { case (v, i) => (i, v) })))
+    e.injectFunction((FunctionIdentifier("nearest_cells"),
+      info("nearest_cells",
+        "nearest_cells(vec, centroids, k) - the k nearest cell indices, " +
+          "nearest first; centroids as in nearest_centroid, k a literal int"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 && args(2).foldable,
+          "nearest_cells(vec, centroids, k) needs a literal k")
+        graft.functions.NearestCells(args(0),
+          litDoubleMatrix(args(1), "nearest_cells centroids")
+            .zipWithIndex.map { case (v, i) => (i, v) },
+          args(2).eval().asInstanceOf[Int])
+      }))
     e.injectFunction((FunctionIdentifier("batch_merge_pairs"),
       info("batch_merge_pairs",
         "batch_merge_pairs(syms, pairs) - apply non-conflicting BPE merge " +

@@ -121,6 +121,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got.map(_.getInt(1)).toSet == Set(0, 1))
   }
 
+  test("nearest_cells resolves in SQL with a literal centroid family " +
+    "and literal k, agreeing with the Column API") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nearest_cells"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq(Array(0.3f, -1.2f, 0.8f), Array(-0.5f, 0.1f, 0.0f))
+      .toDF("vec").createOrReplaceTempView("ext_cells_t")
+    val got = spark.sql(
+      """SELECT nearest_cells(vec,
+        |         array(array(0.0D, -1.0D, 1.0D), array(1.0D, 1.0D, -1.0D),
+        |               array(0.0D, 0.0D, 0.0D)), 2) AS cells
+        |FROM ext_cells_t""".stripMargin).collect()
+    val cents = Seq(0 -> Array(0.0, -1.0, 1.0), 1 -> Array(1.0, 1.0, -1.0),
+      2 -> Array(0.0, 0.0, 0.0))
+    val viaCol = spark.table("ext_cells_t").select(
+      functions.VectorFunctions.nearestCells($"vec", cents, 2).as("cells"))
+      .collect()
+    got.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getSeq[Int](0) == b.getSeq[Int](0))
+      assert(a.getSeq[Int](0).size == 2)
+    }
+  }
+
   test("batch_merge_pairs resolves in SQL with a literal pair batch, " +
     "agrees with the Column API, and rejects a conflicting batch") {
     import spark.implicits._
