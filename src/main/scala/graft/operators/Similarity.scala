@@ -297,12 +297,14 @@ object Similarity {
     * label — the standard embedded-eval-set probe for label noise /
     * cluster purity (a leave-one-out 1-NN classifier, scored per row so
     * the caller aggregates accuracy by label, source, or anything
-    * else). EXACT, broadcast-eval-set form: every partition scores the
-    * whole set against its slice (eval sets are small by construction —
-    * 100k vectors × 64 floats is ~25 MB broadcast), reusing
-    * bruteForceTopK's crossJoin + scoredTopK tail so rounding and
-    * tie-break match the SQL oracle verbatim. For corpus-scale
-    * self-kNN use selfKnnLabelAgreementByCell below.
+    * else). EXACT, instance-data form: the whole (id, label, vector)
+    * set rides in NearestNeighborCosine and every row scans it in one
+    * fused pass — zero joins, zero shuffles beyond a parallelizing
+    * round-robin. The bound is the n² ARITHMETIC, not memory: measured
+    * 1.7s at 2k, 5.5s at 20k, 450s at 200k vectors (SCALE.md
+    * round-14) — so this form is for eval sets (≲10⁴·5 vectors);
+    * corpus-scale self-kNN is selfKnnLabelAgreementByCell below,
+    * measured ~linear at fixed cell size.
     */
   def knnLabelAgreement(corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String): DataFrame = {
