@@ -342,8 +342,13 @@ case class NearestCells(child: Expression,
     centroids: Seq[(Int, Array[Double])], k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(centroids.nonEmpty, "centroid set must be non-empty")
-  require(k >= 1 && k <= centroids.size,
-    s"k must be in [1, ${centroids.size}], got $k")
+  require(k >= 1, s"k must be >= 1, got $k")
+  // k past nlist CLAMPS, like the declarative slice: nprobe = all
+  // cells degenerates to brute force (ivfTopK's documented contract),
+  // and nlist can legitimately come out smaller than a configured
+  // nprobe (the seed-pool lesson) — that must widen the probe, not
+  // throw at plan time
+  @transient private lazy val kk: Int = math.min(k, centroids.size)
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -367,8 +372,8 @@ case class NearestCells(child: Expression,
     }
     // k-slot insertion sort by (dist, cid) ascending — Double.compare
     // ordering so NaN sorts last, like the declarative struct sort
-    val bd = new Array[Double](k)
-    val bc = new Array[Int](k)
+    val bd = new Array[Double](kk)
+    val bc = new Array[Int](kk)
     var n = 0
     var c = 0
     while (c < cvecs.length) {
@@ -387,8 +392,8 @@ case class NearestCells(child: Expression,
         val cmp = java.lang.Double.compare(d, bd(p - 1))
         cmp < 0 || (cmp == 0 && cd < bc(p - 1))
       }) p -= 1
-      if (p < k) {
-        val last = math.min(n, k - 1)
+      if (p < kk) {
+        val last = math.min(n, kk - 1)
         var m = last
         while (m > p) {
           bd(m) = bd(m - 1)
@@ -397,7 +402,7 @@ case class NearestCells(child: Expression,
         }
         bd(p) = d
         bc(p) = cd
-        if (n < k) n += 1
+        if (n < kk) n += 1
       }
       c += 1
     }
@@ -451,6 +456,10 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
       "on a singleton)")
   require(queries.forall(_._3.length == queries.head._3.length),
     "query vectors must share one dimension")
+  require(queries.map(_._1).distinct.size == queries.size,
+    "query ids must be distinct: self-exclusion removes EVERY entry " +
+      "sharing the row's id, so a duplicated id could leave a row with " +
+      "no candidate (an upstream data defect — surface it here)")
   override def dataType: DataType = StructType(Seq(
     StructField("nn_id", LongType, nullable = false),
     StructField("nn_label", IntegerType, nullable = false),
@@ -491,12 +500,18 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
     require(v.numElements() == dim,
       s"nearest_neighbor_cosine: vector of ${v.numElements()} dims " +
         s"against a $dim-dim query set")
+    // copy the row vector to a primitive array during the norm pass:
+    // the dot loop below reads it m times, and per-element ArrayData
+    // accessor calls (bounds + null checks) in the n·m hot loop is the
+    // quadratic path's dominant constant
+    val vv = new Array[Double](dim)
     var nv = 0.0
     var j = 0
     while (j < dim) {
       require(!v.isNullAt(j),
         s"nearest_neighbor_cosine: null element at index $j")
       val x = if (vecFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      vv(j) = x
       nv += x * x
       j += 1
     }
@@ -511,8 +526,7 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
         var dot = 0.0
         var i = 0
         while (i < dim) {
-          val x = if (vecFloat) v.getFloat(i).toDouble else v.getDouble(i)
-          dot += x * qv(i)
+          dot += vv(i) * qv(i)
           i += 1
         }
         // dot / vnorm / qnorm — division order matches cosineOrNull and
@@ -528,7 +542,11 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
       }
       q += 1
     }
-    // queries.size >= 2 guarantees a candidate for any id
+    // constructor-checked distinct ids + size >= 2 guarantee a
+    // candidate for any id; fail loudly if that invariant ever breaks
+    if (bestQ < 0) throw new IllegalStateException(
+      s"nearest_neighbor_cosine: no candidate for id $id — every query " +
+        "entry carries this id (duplicate-id eval set?)")
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](qids(bestQ), qlabels(bestQ), bestSim))
   }

@@ -45,6 +45,9 @@ object FilterRules {
   def apply(
       docs: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String], b: Bounds = defaults): DataFrame = {
+    Seq("n_tokens", "r_len", "r_wordlen", "r_ttr", "r_stop", "keep")
+      .foreach(c => require(idCol != c,
+        s"FilterRules reserves output column name '$c'; rename the input"))
     val text = col(textCol)
     val n = TextAnalysis.tokenCount(text)
     val rLen = n >= b.minTokens && n <= b.maxTokens

@@ -349,6 +349,14 @@ object Similarity {
     * like IVF search (a true nearest neighbor in an unprobed cell is
     * missed — the same recall/cost dial as ivfTopK, measured against
     * the exact form in the scale flows).
+    *
+    * Output contract difference from the exact form: a vector whose
+    * probed cells contain NO other vector (alone in its cell, other
+    * probes empty) emits no row — the exact form always emits one
+    * verdict per vector. Rate computations must therefore use this
+    * frame's own row count as the denominator, or compare agree
+    * COUNTS (what SCALE.md's fidelity numbers do), never divide by
+    * the corpus size.
     */
   def selfKnnLabelAgreementByCell(corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String,

@@ -37,6 +37,9 @@ object TfIdf {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    Seq("term", "tf", "df", "n_docs", "score", "rn").foreach(c =>
+      require(idCol != c,
+        s"TfIdf.topTerms reserves output column name '$c'; rename the input"))
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))

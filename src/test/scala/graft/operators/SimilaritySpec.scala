@@ -429,6 +429,25 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("nearest_cells clamps k past nlist — nprobe over the cell count " +
+    "widens to all cells instead of throwing at plan time") {
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+    val out = Seq((1L, Seq(0.9f, 0.1f))).toDF("id", "vec")
+      .select(Similarity.ivfProbeCells(col("vec"), cents, 10).as("cells"))
+      .collect().head.getSeq[Int](0)
+    assert(out == Seq(0, 1), out.toString)
+  }
+
+  test("knnLabelAgreement rejects duplicate eval-set ids loudly " +
+    "(self-exclusion would strand the duplicated row)") {
+    val dup = Seq((5L, Seq(1.0f, 0.0f), 1), (5L, Seq(0.0f, 1.0f), 2),
+      (6L, Seq(0.5f, 0.5f), 1)).toDF("id", "vec", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnLabelAgreement(dup, "id", "vec", "lab").collect()
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+  }
+
   test("nearest_cells breaks exact-tie distances toward the smaller " +
     "cid, like the struct sort") {
     // two identical centroids -> identical distances; cid must decide
@@ -497,7 +516,10 @@ class SimilaritySpec extends SparkTestBase {
       .knnLabelAgreement(corpus, "vec_id", "embedding", "label")
     val blocked = Similarity.selfKnnLabelAgreementByCell(
       corpus, "vec_id", "embedding", "label", cents, nprobe = 2)
-    // every query must still emit a verdict (its own cell is probed)
+    // on this corpus no probed neighborhood is empty, so every query
+    // emits a verdict; a vector ALONE in all its probed cells would
+    // legitimately emit none (the documented contract difference from
+    // the exact form)
     assert(blocked.count() == n.toLong)
     assert(math.abs(rate(blocked) - rate(exact)) <= 0.1,
       s"agreement drifted: exact ${rate(exact)} vs blocked ${rate(blocked)}")
