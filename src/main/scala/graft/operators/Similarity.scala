@@ -301,8 +301,8 @@ object Similarity {
     * set rides in NearestNeighborCosine and every row scans it in one
     * fused pass — zero joins, zero shuffles beyond a parallelizing
     * round-robin. The bound is the n² ARITHMETIC, not memory: measured
-    * 1.7s at 2k, 5.5s at 20k, 450s at 200k vectors (SCALE.md
-    * round-14) — so this form is for eval sets (≲10⁴·5 vectors);
+    * 0.95s at 2k and 250s at 200k vectors (SCALE.md round-14) — so
+    * this form is for eval sets (≲10⁴·5 vectors);
     * corpus-scale self-kNN is selfKnnLabelAgreementByCell below,
     * measured ~linear at fixed cell size.
     */

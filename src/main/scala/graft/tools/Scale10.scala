@@ -1320,7 +1320,8 @@ object Scale10 {
         "simhash_md5_neardups", "vocab_encode", "repetition_signals",
         "bpe_pairs", "decontaminate", "dedup_clusters",
         "corpus_pipeline", "bigram_lm", "dup_ngram_frac",
-        "quality_select"), "docs100")
+        "quality_select", "tfidf_terms", "hash_split",
+        "filter_rules"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
