@@ -34,6 +34,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stateless pipeline operators run unchanged on a stream: hash " +
+    "split and the rule gate match their batch outputs row-for-row") {
+    // Split.assign and FilterRules are pure per-row projections, so the
+    // SAME operator code applies to a readStream frame — the property
+    // that lets a pipeline run its assignment/gating logic in both its
+    // bulk and incremental ingestion paths without a second
+    // implementation
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-docs").toString
+    val batchDocs = graft.Tables.load(spark, sfDir, "documents")
+    batchDocs.write.mode("overwrite").parquet(docsDir)
+    val streamDocs = spark.readStream
+      .schema(batchDocs.schema).parquet(docsDir)
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val gotSplit = StreamOps.runToMemory(spark,
+      graft.operators.Split.assign(
+        streamDocs.select("doc_id"), "doc_id", splits), "split_stream")
+    val wantSplit = graft.operators.Split.assign(
+      batchDocs.select("doc_id"), "doc_id", splits)
+    assert(gotSplit.count() == batchDocs.count())
+    assert(gotSplit.exceptAll(wantSplit).isEmpty &&
+      wantSplit.exceptAll(gotSplit).isEmpty)
+    val stop = graft.operators.TextAnalysis.langMarkers("en")
+    val gotGate = StreamOps.runToMemory(spark,
+      graft.operators.FilterRules(
+        streamDocs, "doc_id", "text", stop), "gate_stream")
+    val wantGate = graft.operators.FilterRules(
+      batchDocs, "doc_id", "text", stop)
+    assert(gotGate.exceptAll(wantGate).isEmpty &&
+      wantGate.exceptAll(gotGate).isEmpty)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val got = StreamOps.runToMemory(spark,
       StreamOps.slidingRate(streamEvents), "sliding", "complete")
