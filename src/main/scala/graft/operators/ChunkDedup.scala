@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sub-document boilerplate removal — the CCNet/RefinedWeb "line-level
+  * dedup" step: a span repeated verbatim across many *different*
+  * documents (headers, footers, navigation chrome, license blurbs) is
+  * boilerplate and is cut from every document that contains it, while
+  * each document's unique prose survives in original order. Unlike
+  * whole-document dedup (Dedup.exact / minhashNearDups, which pick one
+  * survivor per duplicate group) this REWRITES documents, and unlike
+  * x47's cross-doc dup *fraction* it produces the cleaned text, not a
+  * score.
+  *
+  * The corpus here has no newlines, so the sub-document unit is a fixed
+  * window of k consecutive whitespace tokens ("chunk"); on real data
+  * the same operator runs with lines or paragraphs as the unit — only
+  * the `chunks` splitter changes.
+  *
+  * Scale shape (three exchanges, all key-partitioned, no windows over
+  * the corpus):
+  *  1. explode docs into (doc, chunk_idx, chunk) and hash-aggregate
+  *     COUNT(DISTINCT doc) per 16-byte chunk digest — Spark plans the
+  *     single-distinct aggregate as two partial+final hash aggregates
+  *     keyed by (digest, doc) then (digest); the shuffle carries the
+  *     digest, never the chunk text.
+  *  2. filter to digests seen in >= maxDocs distinct docs — the
+  *     boilerplate list, proportional to the amount of *shared* text,
+  *     not corpus size. The join back to occurrences is equi on the
+  *     digest; AQE picks broadcast when the list is small (the common
+  *     case — pinned in PlanSpec at the graded SF) and falls back to a
+  *     shuffle join when a pathological corpus makes it big.
+  *  3. reassemble per doc: collect the kept (idx, chunk) structs, sort
+  *     by the in-doc index, join with spaces — the x25 order-stable
+  *     assembly trick (collect_list order after a shuffle is
+  *     nondeterministic; the ridden-along index restores it). This
+  *     shuffle carries each doc's kept text once — the inherent cost of
+  *     rewriting documents.
+  *
+  * Digest join key: md5 truncated to its full 16 bytes (the repo's
+  * exact-dedup convention, Dedup.exact) — 2^-64-scale collision odds at
+  * 10^9+ distinct chunks, and 16 fixed bytes through both shuffles
+  * instead of variable-length text.
+  */
+object ChunkDedup {
+
+  /** Consecutive k-word windows of `text`; the last window keeps
+    * whatever remains (1..k words). Codegen'd HOFs only — stays inside
+    * whole-stage codegen.
+    */
+  def chunks(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    // Column `/` is double division; floor+cast restores the integral
+    // chunk count (size >= 1 always — split of "" is [""]).
+    val lastIdx = floor((size(toks) - lit(1)) / lit(k)).cast("long")
+    transform(
+      sequence(lit(0L), lastIdx),
+      i => array_join(slice(toks, (i * k + lit(1)).cast("int"), lit(k)), " "))
+  }
+
+  /** Rewrite each document with its shared chunks removed.
+    *
+    * Output: (idCol, n_chunks, n_dropped, text_clean) — one row per
+    * input document, `text_clean` the space-joined surviving chunks in
+    * original order ("" when everything was boilerplate).
+    *
+    * A chunk is dropped iff its exact text occurs in >= maxDocs
+    * DISTINCT documents; repetition inside one document alone never
+    * triggers (that is x40's repetition signal, a different pathology).
+    */
+  def dropSharedChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocs: Int): DataFrame = {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    require(maxDocs >= 2,
+      s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
+    Seq("chunk_idx", "chunk", "__d", "__boiler",
+        "n_chunks", "n_dropped", "text_clean").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"dropSharedChunks reserves column name '$n'; rename the input column"))
+    val flat = docs.select(col(idCol),
+        posexplode(chunks(col(textCol), k)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("__d", unhex(md5(col("chunk"))))
+    val boiler = flat
+      .groupBy("__d").agg(countDistinct(col(idCol)).as("__dw"))
+      .filter(col("__dw") >= maxDocs)
+      .select(col("__d"), lit(true).as("__boiler"))
+    flat.join(boiler, Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(col("__boiler")).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s("chunk")),
+          " ").as("text_clean"))
+  }
+}

@@ -125,4 +125,37 @@ object Components {
     minLabel(nodes, pairs)
       .groupBy("cluster")
       .agg(count(lit(1)).as("cluster_size"))
+
+  /** Quality-aware survivor selection: instead of "keep the min id"
+    * (dedupClusters), keep each cluster's BEST document by a quality
+    * score — the survivorship policy real pipelines want (dropping a
+    * clean original in favor of a mangled near-copy with a smaller id
+    * loses data quality for free).
+    *
+    * `labels`: (idCol, cluster) from minLabel; `scores`: (idCol,
+    * scoreCol). Precondition (same style as minLabel's): one scores row
+    * per id — a multi-row scores frame would duplicate documents in the
+    * output; derive scores with one aggregate/projection per doc as x57
+    * does. Returns (idCol, cluster, scoreCol, keep) with exactly one
+    * keep=true per cluster, chosen by (score desc, id asc) — the id
+    * tiebreak makes the cut deterministic in any engine.
+    *
+    * Scale shape: one equi-join on the id, then a window partitioned by
+    * cluster — near-dup clusters are small (bounded by the near-dup
+    * radius), so the per-partition sort is trivial and the only real
+    * cost is the cluster-keyed exchange.
+    */
+  def canonicalByScore(labels: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    Seq("cluster", "__rn").foreach(n =>
+      require(!scores.columns.contains(n),
+        s"canonicalByScore reserves column name '$n' in scores; rename it"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labels.join(scores, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("keep", col("__rn") === 1)
+      .drop("__rn")
+  }
 }

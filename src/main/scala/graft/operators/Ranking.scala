@@ -73,4 +73,52 @@ object Ranking {
       .withColumn(outCol, col("__off") + col("__lrank") - 1)
       .drop("__pid", "__lrank", "__off")
   }
+
+  /** Distributed EXCLUSIVE prefix sum of `value` by a total `order` —
+    * globalOrdinal's three-pass shape generalized from counting rows to
+    * summing a value. The motivating use is corpus layout: each
+    * document's starting token/byte offset in the packed corpus formed
+    * by concatenating documents in `order` (x58) — at 100 TB that is a
+    * prefix sum over 10^9+ rows, which the naive
+    * `sum().over(Window.orderBy(...))` would funnel through ONE task.
+    *
+    * Same machinery and same contracts as globalOrdinal: range-shard,
+    * local window inside each shard (partitioned — parallel), shard
+    * totals offset by a triangular join of the S-row size frame,
+    * broadcast back. Requires exchange reuse ON (the three branches
+    * must see one set of sampled range boundaries) and a TOTAL order
+    * (with ties, the rows frame makes tied rows' offsets depend on
+    * their nondeterministic relative order). `value`'s type is
+    * preserved by sum's usual widening; callers here use Long counts,
+    * which stay Long.
+    */
+  def globalPrefixSum(
+      df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+      .toBoolean,
+      "globalPrefixSum requires spark.sql.exchange.reuse=true: its three " +
+        "branches must share one range exchange (sampled boundaries are " +
+        "only consistent across branches when the exchange is reused)")
+    Seq("__pid", "__v", "__lsum", "__off", outCol).foreach(n =>
+      require(!df.columns.contains(n),
+        s"globalPrefixSum reserves column name '$n'; rename the input column"))
+    val parted = df.repartitionByRange(shards, order: _*)
+      .withColumn("__v", value)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lsum",
+      coalesce(
+        sum(col("__v")).over(Window.partitionBy("__pid").orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val sizes = parted.groupBy("__pid").agg(sum(col("__v")).as("__n"))
+    val offs = sizes.as("a")
+      .join(sizes.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(outCol, col("__off") + col("__lsum"))
+      .drop("__pid", "__v", "__lsum", "__off")
+  }
 }

@@ -1922,9 +1922,125 @@ object PipelineOps {
                    ORDER BY score DESC, doc_id) <= 15 AS keep
           FROM sc ORDER BY doc_id"""))
 
+  /** Sub-document boilerplate removal (operators.ChunkDedup): cut every
+    * 4-word chunk that appears verbatim in >= 3 distinct documents and
+    * rebuild each document's text in original order — the line-level
+    * dedup step (CCNet/RefinedWeb) on a corpus whose sub-document unit
+    * is a word window. Distinct from x01 (whole-doc survivor pick) and
+    * x47 (dup fraction score): this one REWRITES the text. The oracle
+    * replays chunking, the distinct-doc threshold, and the ordered
+    * string reassembly.
+    */
+  private val x56 = Q(
+    "x56_chunk_dedup",
+    (s, d) => ChunkDedup.dropSharedChunks(
+        t(s, d, "documents"), "doc_id", "text", 4, 3)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 ch AS (SELECT doc_id,
+                          unnest(list_transform(
+                            range(0, CAST(ceil(len(l) / 4.0) AS BIGINT)),
+                            i -> struct_pack(ci := i,
+                              ck := array_to_string(l[i*4+1:i*4+4], ' '))))
+                            AS c
+                        FROM toks),
+                 flat AS (SELECT doc_id, c.ci AS chunk_idx, c.ck AS chunk
+                          FROM ch),
+                 bo AS (SELECT chunk
+                        FROM (SELECT chunk, count(DISTINCT doc_id) AS dw
+                              FROM flat GROUP BY 1)
+                        WHERE dw >= 3)
+            SELECT f.doc_id,
+                   count(*) AS n_chunks,
+                   count(b.chunk) AS n_dropped,
+                   coalesce(string_agg(
+                       CASE WHEN b.chunk IS NULL THEN f.chunk END,
+                       ' ' ORDER BY f.chunk_idx), '') AS text_clean
+            FROM flat f LEFT JOIN bo b ON f.chunk = b.chunk
+            GROUP BY 1 ORDER BY doc_id"""))
+
+  /** Quality-aware dedup survivorship (Components.canonicalByScore):
+    * x32's near-dup clusters re-decided by QUALITY — keep each
+    * cluster's best document by the x04 quality score (id as tiebreak)
+    * instead of blindly keeping the smallest id. Oracle: the x32
+    * recursive-CTE closure joined to the x49 score replay, survivor
+    * picked by the same (score desc, id asc) window.
+    */
+  private val x57 = Q(
+    "x57_cluster_canonical",
+    (s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 150)
+      val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val labels = Components
+        .minLabel(docs.select(col("doc_id").as("id")), pairs)
+        .withColumnRenamed("id", "doc_id")
+      val scored = docs.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text"), stop), 4).as("score"))
+      Components.canonicalByScore(labels, scored, "doc_id", "score")
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE
+              n AS (SELECT doc_id AS id, lang,
+                           list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents WHERE doc_id < 150),
+              p AS (SELECT a.id AS id_a, b.id AS id_b
+                    FROM n a JOIN n b ON a.lang = b.lang AND a.id < b.id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.toks, b.toks)))
+                          >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION SELECT id_b, id_a FROM p),
+              reach(id, x) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN e ON r.x = e.a
+              ),
+              cl AS (SELECT id, min(x) AS cluster FROM reach GROUP BY id),
+              f AS (SELECT doc_id,
+                      CAST(len(string_split(text,' ')) AS DOUBLE) AS nw,
+                      CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                      CAST(len(list_filter(string_split(text,' '),
+                           w -> w IN ('the','a','of','and','to'))) AS DOUBLE) AS ns
+                    FROM documents WHERE doc_id < 150),
+              sc AS (SELECT doc_id,
+                       round((least(nw/50.0, 1.0) + nd/nw
+                              + least(ns/nw*10.0, 1.0)) / 3.0, 4) AS score
+                     FROM f)
+            SELECT cl.id AS doc_id, cl.cluster, sc.score,
+                   row_number() OVER (PARTITION BY cl.cluster
+                     ORDER BY sc.score DESC, cl.id) = 1 AS keep
+            FROM cl JOIN sc ON sc.doc_id = cl.id
+            ORDER BY doc_id"""))
+
+  /** Packed-corpus token offsets (Ranking.globalPrefixSum): each
+    * document's starting token offset when the corpus is concatenated
+    * in doc_id order — the index a packed training shard needs. The
+    * Spark side is the sharded prefix sum (NO corpus-wide window task);
+    * the oracle is the single-task window the sharded form must equal
+    * byte-for-byte.
+    */
+  private val x58 = Q(
+    "x58_corpus_offsets",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      Ranking.globalPrefixSum(docs, Seq(col("doc_id").asc),
+          col("n_tokens"), "tok_offset", 8)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(len(string_split(text, ' '))) OVER
+                       (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS tok_offset
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58)
 }

@@ -42,4 +42,33 @@ class ComponentsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
   }
+
+  test("canonicalByScore keeps the best-score doc per cluster, NOT the " +
+    "min id; ties break to the smaller id; singletons keep themselves") {
+    val labels = Components.minLabel(
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"))
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster 1: 2 and 3 tie above 1
+      (4L, 0.1), // singleton
+      (5L, 0.5), (6L, 0.8)) // cluster 5: 6 wins despite larger id
+      .toDF("id", "score")
+    val out = Components.canonicalByScore(labels, scores, "id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true)),
+      5L -> ((5L, false)), 6L -> ((5L, true))))
+  }
+
+  test("canonicalByScore refuses a scores frame whose columns collide " +
+    "with its working names") {
+    val labels = Seq((1L, 1L)).toDF("id", "cluster")
+    intercept[IllegalArgumentException] {
+      Components.canonicalByScore(
+        labels, Seq((1L, 0.5, 9L)).toDF("id", "score", "cluster"),
+        "id", "score")
+    }
+  }
 }

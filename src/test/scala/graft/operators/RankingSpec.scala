@@ -66,4 +66,55 @@ class RankingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("sharded exclusive prefix sum equals the single-window form for " +
+    "awkward shard counts, including first-row zero") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+    val expected = docs.select(col("doc_id"),
+      coalesce(sum(col("n_tokens")).over(Window.orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("tok_offset"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.values.min == 0L)
+    for (shards <- Seq(1, 3, 7, 32)) {
+      val got = Ranking.globalPrefixSum(docs, Seq(col("doc_id").asc),
+        col("n_tokens"), "tok_offset", shards)
+        .select("doc_id", "tok_offset")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at shards=$shards")
+    }
+  }
+
+  test("prefix sum of ones is the ordinal (the two forms agree on " +
+    "their shared special case)") {
+    import spark.implicits._
+    val tiny = Seq(("b", 5L), ("a", 5L), ("c", 9L)).toDF("tok", "cnt")
+    val ord = Ranking.globalOrdinal(tiny,
+      Seq(col("cnt").desc, col("tok").asc), "r", 4)
+      .select("tok", "r").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ps = Ranking.globalPrefixSum(tiny,
+      Seq(col("cnt").desc, col("tok").asc), lit(1L), "r", 4)
+      .select("tok", "r").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ps == ord)
+  }
+
+  test("globalPrefixSum shares globalOrdinal's guards: reserved names " +
+    "and exchange-reuse") {
+    import spark.implicits._
+    val clash = Seq(("a", 1L, 0)).toDF("tok", "cnt", "__v")
+    intercept[IllegalArgumentException] {
+      Ranking.globalPrefixSum(clash, Seq(col("cnt").desc), col("cnt"),
+        "o", 2)
+    }
+    withSQLConf("spark.sql.exchange.reuse" -> "false") {
+      intercept[IllegalArgumentException] {
+        Ranking.globalPrefixSum(Seq(("a", 1L)).toDF("tok", "cnt"),
+          Seq(col("cnt").desc), col("cnt"), "o", 2)
+      }
+    }
+  }
 }
