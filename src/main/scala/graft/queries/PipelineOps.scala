@@ -2038,9 +2038,85 @@ object PipelineOps {
                      0) AS BIGINT) AS tok_offset
             FROM documents ORDER BY doc_id"""))
 
+  /** Corpus novelty curve (operators.Novelty): per document, the
+    * fraction of its distinct word 4-grams first seen HERE when the
+    * corpus is read in doc_id order — the diminishing-returns signal
+    * curation uses to retire a mined-out source. Every distinct gram is
+    * novel exactly once corpus-wide (attributed to its min-id doc), a
+    * budget NoveltySpec pins and the oracle's min-per-gram replays.
+    */
+  private val x59 = Q(
+    "x59_novelty",
+    (s, d) => Novelty.firstSeenFraction(
+        t(s, d, "documents"), "doc_id", "text", 4)
+      .orderBy("doc_id"),
+    Some("""WITH g AS (SELECT doc_id, string_split(text, ' ') AS arr
+                       FROM documents),
+                 fl AS (SELECT DISTINCT doc_id, gram FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, len(arr) - 2),
+                              i -> array_to_string(arr[i:i+3], ' '))) AS gram
+                     FROM g WHERE len(arr) >= 4)),
+                 fs AS (SELECT gram, min(doc_id) AS first_id
+                        FROM fl GROUP BY 1),
+                 per AS (SELECT fl.doc_id, count(*) AS n_grams,
+                           CAST(sum(CASE WHEN fs.first_id = fl.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                         FROM fl JOIN fs USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_novel, 0) AS n_novel,
+                   coalesce(CAST(n_novel AS DOUBLE) / n_grams, 0.0)
+                     AS novelty_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Split-leakage audit: x50's deterministic hash split composed with
+    * x37's n-gram overlap — per TRAIN document, how many of its
+    * distinct 4-grams also occur in the TEST split (the held-out-
+    * leakage check run before any split is trusted). Pure composition
+    * of two shipped operators; the oracle replays the integer md5
+    * cutoffs and the gram exchange end to end.
+    */
+  private val x60 = Q(
+    "x60_split_leakage",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val assigned = Split.assign(docs, "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      Decontaminate.overlapStats(
+          assigned.filter(col("split") === "train"),
+          assigned.filter(col("split") === "test"),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                   CASE WHEN ${duckHashBucket("doc_id")} < ${pmCutoff(800)}
+                          THEN 'train'
+                        WHEN ${duckHashBucket("doc_id")} < ${pmCutoff(900)}
+                          THEN 'val'
+                        ELSE 'test' END AS split
+                 FROM documents),
+              ev AS (SELECT DISTINCT md5(gram) AS h FROM (
+                  SELECT unnest(list_transform(range(1, len(arr) - 2),
+                    i -> array_to_string(arr[i:i+3], ' '))) AS gram
+                  FROM a WHERE split = 'test' AND len(arr) >= 4)),
+              tr AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(range(1, len(arr) - 2),
+                           i -> array_to_string(arr[i:i+3], ' '))) AS gram
+                  FROM a WHERE split = 'train' AND len(arr) >= 4))
+            SELECT tr.doc_id, count(*) AS n_grams,
+                   CAST(coalesce(sum(CASE WHEN ev.h IS NOT NULL THEN 1 END),
+                     0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(sum(CASE WHEN ev.h IS NOT NULL THEN 1 END),
+                     0) AS DOUBLE) / count(*) AS hit_frac
+            FROM tr LEFT JOIN ev USING (h)
+            GROUP BY 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55, x56, x57, x58)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup,
+import graft.operators.{AsOfJoin, ChunkDedup, Components, Decontaminate, Dedup,
   FilterRules, IntervalJoin, LmQuality, QualitySelect, Ranking,
   SemanticDedup, Sessionize, Similarity, Split, TextAnalysis, TfIdf}
 
@@ -314,7 +314,50 @@ object Scale10 {
       // documented scale path, MinHash-LSH (one (band,bhash) shuffle),
       // with every other stage identical. This is the composition a
       // 100 TB corpus clean actually runs.
-      "corpus_pipeline" -> (() => corpusCleanCensus(docs).count()))
+      "corpus_pipeline" -> (() => corpusCleanCensus(docs).count()),
+      // x56 across the decade — the replica slices are the ADVERSARIAL
+      // maximum for this operator: every replica crosses the >= 3
+      // distinct-doc threshold, so the boilerplate list is the entire
+      // distinct chunk set and the rewrite drops everything. The
+      // length() predicate forces the reassembly aggregate (a bare
+      // count would let the optimizer prune the collect_list).
+      "chunk_dedup" -> (() =>
+        ChunkDedup.dropSharedChunks(docs, "doc_id", "text", 4, 3)
+          .filter(length(col("text_clean")) >= 0).count()),
+      // x57's scale form: pairs from MinHash-LSH (the scale path, as in
+      // dedup_clusters) instead of the graded slice's exact blocked
+      // Jaccard; survivor pick is the same per-cluster window.
+      "canonical_survivors" -> (() => {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.6)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val labels = Components
+          .minLabel(docs.select(col("doc_id").as("id")), pairs)
+          .withColumnRenamed("id", "doc_id")
+        val scored = docs.select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.langMarkers("en")), 4).as("score"))
+        Components.canonicalByScore(labels, scored, "doc_id", "score")
+          .filter(col("keep")).count()
+      }),
+      // x59: first-seen attribution — the gram-digest exchange carries
+      // the raw (id, digest) mass once (the Decontaminate one-exchange
+      // shape); the replica slices are again adversarial (every gram
+      // repeats across replicas, so the firsts table is 1/nReps of the
+      // pair mass and almost nothing is novel).
+      "novelty" -> (() =>
+        graft.operators.Novelty
+          .firstSeenFraction(docs, "doc_id", "text", 4)
+          .filter(col("novelty_frac") >= 0.0).count()),
+      // x58: the sharded prefix sum's decade — three cheap passes over
+      // one range exchange; the predicate forces the offset arithmetic.
+      "corpus_offsets" -> (() => {
+        val dd = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Ranking.globalPrefixSum(dd, Seq(col("doc_id").asc),
+          col("n_tokens"), "tok_offset",
+          shards = spark.sparkContext.defaultParallelism)
+          .filter(col("tok_offset") >= 0).count()
+      }))
   }
 
   /** x35's end-to-end corpus clean on the scale path, returning the
@@ -1321,7 +1364,8 @@ object Scale10 {
         "bpe_pairs", "decontaminate", "dedup_clusters",
         "corpus_pipeline", "bigram_lm", "dup_ngram_frac",
         "quality_select", "tfidf_terms", "hash_split",
-        "filter_rules"), "docs100")
+        "filter_rules", "chunk_dedup", "canonical_survivors",
+        "corpus_offsets", "novelty"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

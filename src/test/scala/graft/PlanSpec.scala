@@ -621,6 +621,71 @@ class PlanSpec extends SparkTestBase {
       "an unpartitioned window would sort the whole corpus in one task")
   }
 
+  test("x56: chunk dedup is windows-free; the boilerplate join is equi " +
+    "on the digest, never a nested loop") {
+    val df = q("x56_chunk_dedup")
+    // reassembly is collect_list + array_sort inside a hash aggregate,
+    // NOT a per-doc rank window; nothing here may sort globally
+    assert(windowsOf(df).isEmpty, "chunk dedup must not plan a window")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate join degenerated:\n$plan")
+    // the single-distinct count plans as two aggregate pairs keyed
+    // (digest, doc) then (digest): token repeats collapse map-side
+    // before either shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("x57: survivor selection ranks within clusters — never an " +
+    "unpartitioned window") {
+    val ws = windowsOf(q("x57_cluster_canonical"))
+    assert(ws.nonEmpty, "expected the per-cluster rank window")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned window would sort the whole corpus in one task")
+  }
+
+  test("x58: corpus offsets shard the prefix sum — every window is " +
+    "partitioned, and AQE reuses the one range exchange across the " +
+    "local-sum/shard-size branches") {
+    val df = q("x58_corpus_offsets")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the local cumulative sum must be per-shard, never corpus-global")
+    df.collect()
+    val reused = deepNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused.nonEmpty,
+      s"no ReusedExchange in the final adaptive plan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("x59: novelty is windows-free and AQE reuses the one digest " +
+    "exchange across the min-per-gram aggregate and its join probe") {
+    val df = q("x59_novelty")
+    assert(windowsOf(df).isEmpty, "novelty must not plan a window")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    df.collect()
+    val reused = deepNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+    assert(reused.nonEmpty,
+      s"no ReusedExchange in the final adaptive plan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("x60: split leakage keeps x50's map-only assignment and x37's " +
+    "equi-join gram exchange — no cartesian, no window") {
+    val df = q("x60_split_leakage")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
