@@ -98,4 +98,51 @@ object ChunkDedup {
             s => s("chunk")),
           " ").as("text_clean"))
   }
+
+  /** The shippable boilerplate list itself: every k-word chunk occurring
+    * in >= maxDocs distinct documents, as chunk TEXT (the artifact an
+    * ingest job loads; dropSharedChunks keeps its internal digest form).
+    */
+  def boilerplateChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocs: Int): DataFrame = {
+    require(k >= 1 && maxDocs >= 2, s"bad (k=$k, maxDocs=$maxDocs)")
+    docs.select(col(idCol),
+        explode(chunks(col(textCol), k)).as("chunk"))
+      .groupBy("chunk").agg(countDistinct(col(idCol)).as("__dw"))
+      .filter(col("__dw") >= maxDocs)
+      .select("chunk")
+  }
+
+  /** Ingest-time application of an ALREADY-COMPUTED boilerplate list —
+    * the incremental half of the operator at production cadence:
+    * dropSharedChunks (or boilerplateChunks) runs corpus-wide on
+    * yesterday's data, the thresholded list ships with the ingest job,
+    * and today's documents are cleaned per-row with IDENTICAL code on
+    * a batch or readStream frame (no explode, no join, no shuffle, no
+    * state — StreamingSpec pins row-for-row batch parity).
+    *
+    * The list rides the plan as one array literal; membership is
+    * O(|list|) per chunk, the right trade for the thresholded lists
+    * this produces (10^3-10^5 chunks — boilerplate is ∝ shared text,
+    * not corpus size). A list too large for that is no longer "apply a
+    * list": run the corpus-wide digest join (dropSharedChunks) instead.
+    * Output schema matches dropSharedChunks exactly, so the downstream
+    * contract is one schema for both cadences.
+    */
+  def applyBoilerplate(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, boilerplate: Seq[String]): DataFrame = {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    Seq("n_chunks", "n_dropped", "text_clean").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"applyBoilerplate reserves column name '$n'; rename the input column"))
+    val ch = chunks(col(textCol), k)
+    val boil = typedlit(boilerplate)
+    val kept = filter(ch, c => !array_contains(boil, c))
+    docs.select(col(idCol),
+      size(ch).cast("long").as("n_chunks"),
+      (size(ch) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, " ").as("text_clean"))
+  }
 }

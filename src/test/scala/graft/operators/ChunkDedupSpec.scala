@@ -76,6 +76,28 @@ class ChunkDedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("reserves"))
   }
 
+  test("two-phase law: applyBoilerplate(corpus's own list) equals " +
+    "dropSharedChunks on that corpus, row for row") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val list = ChunkDedup
+      .boilerplateChunks(docs, "doc_id", "text", 4, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(list.nonEmpty, "no boilerplate at sf0.001 — law test is vacuous")
+    val applied = ChunkDedup.applyBoilerplate(docs, "doc_id", "text", 4, list)
+    val joint = ChunkDedup.dropSharedChunks(docs, "doc_id", "text", 4, 3)
+    assert(applied.exceptAll(joint).isEmpty &&
+      joint.exceptAll(applied).isEmpty)
+  }
+
+  test("applyBoilerplate is a pure per-row projection: no exchange, " +
+    "no join, no window in its plan") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val plan = ChunkDedup
+      .applyBoilerplate(docs, "doc_id", "text", 4, Seq("nav bar"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("graded slice sanity: some boilerplate exists at sf0.001 and " +
     "token mass is conserved (kept + dropped = original)") {
     val docs = graft.Tables.load(spark, sfDir, "documents")

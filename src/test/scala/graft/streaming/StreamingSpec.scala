@@ -64,6 +64,20 @@ class StreamingSpec extends SparkTestBase {
       batchDocs, "doc_id", "text", stop)
     assert(gotGate.exceptAll(wantGate).isEmpty &&
       wantGate.exceptAll(gotGate).isEmpty)
+    // applyBoilerplate: yesterday's corpus-wide list applied to
+    // today's (streamed) ingest — per-row, stateless, same operator
+    // code both cadences
+    val list = graft.operators.ChunkDedup
+      .boilerplateChunks(batchDocs, "doc_id", "text", 4, 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(list.nonEmpty)
+    val gotClean = StreamOps.runToMemory(spark,
+      graft.operators.ChunkDedup.applyBoilerplate(
+        streamDocs, "doc_id", "text", 4, list), "chunk_stream")
+    val wantClean = graft.operators.ChunkDedup.applyBoilerplate(
+      batchDocs, "doc_id", "text", 4, list)
+    assert(gotClean.exceptAll(wantClean).isEmpty &&
+      wantClean.exceptAll(gotClean).isEmpty)
   }
 
   test("sliding windows produce overlapping coverage") {
