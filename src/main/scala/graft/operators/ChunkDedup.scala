@@ -63,7 +63,12 @@ object ChunkDedup {
     *
     * Output: (idCol, n_chunks, n_dropped, text_clean) — one row per
     * input document, `text_clean` the space-joined surviving chunks in
-    * original order ("" when everything was boilerplate).
+    * original order ("" when everything was boilerplate). A NULL text
+    * has no chunks: it comes back as (0, 0, "") — restored by the
+    * final left join, NOT silently dropped (posexplode of a null array
+    * emits no rows, so without the restore a null-text doc would
+    * vanish from the output; note the asymmetry with "" — an empty
+    * STRING is one empty chunk, n_chunks = 1).
     *
     * A chunk is dropped iff its exact text occurs in >= maxDocs
     * DISTINCT documents; repetition inside one document alone never
@@ -86,7 +91,7 @@ object ChunkDedup {
       .groupBy("__d").agg(countDistinct(col(idCol)).as("__dw"))
       .filter(col("__dw") >= maxDocs)
       .select(col("__d"), lit(true).as("__boiler"))
-    flat.join(boiler, Seq("__d"), "left")
+    val per = flat.join(boiler, Seq("__d"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -97,6 +102,11 @@ object ChunkDedup {
               struct(col("chunk_idx"), col("chunk"))))),
             s => s("chunk")),
           " ").as("text_clean"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** The shippable boilerplate list itself: every k-word chunk occurring
@@ -107,6 +117,9 @@ object ChunkDedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocs: Int): DataFrame = {
     require(k >= 1 && maxDocs >= 2, s"bad (k=$k, maxDocs=$maxDocs)")
+    Seq("chunk", "__dw").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"boilerplateChunks reserves column name '$n'; rename the input column"))
     docs.select(col(idCol),
         explode(chunks(col(textCol), k)).as("chunk"))
       .groupBy("chunk").agg(countDistinct(col(idCol)).as("__dw"))
@@ -140,9 +153,16 @@ object ChunkDedup {
     val ch = chunks(col(textCol), k)
     val boil = typedlit(boilerplate)
     val kept = filter(ch, c => !array_contains(boil, c))
+    // NULL text: (0, 0, "") — the same row dropSharedChunks restores
+    // via its left join, so the two-phase law holds on nullable
+    // corpora too (size/filter of a null array would otherwise
+    // propagate nulls here while the corpus-wide form emits zeros)
     docs.select(col(idCol),
-      size(ch).cast("long").as("n_chunks"),
-      (size(ch) - size(kept)).cast("long").as("n_dropped"),
-      array_join(kept, " ").as("text_clean"))
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(ch).cast("long")).as("n_chunks"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise((size(ch) - size(kept)).cast("long")).as("n_dropped"),
+      when(col(textCol).isNull, lit(""))
+        .otherwise(array_join(kept, " ")).as("text_clean"))
   }
 }

@@ -147,9 +147,15 @@ object Components {
     */
   def canonicalByScore(labels: DataFrame, scores: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
-    Seq("cluster", "__rn").foreach(n =>
+    Seq("cluster", "__rn", "keep").foreach(n =>
       require(!scores.columns.contains(n),
         s"canonicalByScore reserves column name '$n' in scores; rename it"))
+    // labels must carry `cluster` (it IS the input), but the working
+    // and output names would be silently REPLACED by withColumn if the
+    // caller's labels frame already had them
+    Seq("__rn", "keep").foreach(n =>
+      require(!labels.columns.contains(n),
+        s"canonicalByScore reserves column name '$n' in labels; rename it"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster")
       .orderBy(col(scoreCol).desc, col(idCol).asc)

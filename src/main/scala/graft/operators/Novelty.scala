@@ -59,7 +59,7 @@ object Novelty {
       .select(col(idCol), explode(grams).as("__gram"))
       .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
       .repartition(col("__g"))
-    val dflat = flat.select(col(idCol), col("__g")).distinct()
+    val dflat = flat.distinct()
     val firsts = dflat.groupBy("__g").agg(min(col(idCol)).as("__first"))
     val per = dflat.join(firsts, "__g")
       .groupBy(col(idCol))

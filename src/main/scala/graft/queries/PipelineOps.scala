@@ -1950,15 +1950,21 @@ object PipelineOps {
                  bo AS (SELECT chunk
                         FROM (SELECT chunk, count(DISTINCT doc_id) AS dw
                               FROM flat GROUP BY 1)
-                        WHERE dw >= 3)
-            SELECT f.doc_id,
-                   count(*) AS n_chunks,
-                   count(b.chunk) AS n_dropped,
-                   coalesce(string_agg(
-                       CASE WHEN b.chunk IS NULL THEN f.chunk END,
-                       ' ' ORDER BY f.chunk_idx), '') AS text_clean
-            FROM flat f LEFT JOIN bo b ON f.chunk = b.chunk
-            GROUP BY 1 ORDER BY doc_id"""))
+                        WHERE dw >= 3),
+                 per AS (SELECT f.doc_id,
+                           count(*) AS n_chunks,
+                           count(b.chunk) AS n_dropped,
+                           coalesce(string_agg(
+                               CASE WHEN b.chunk IS NULL THEN f.chunk END,
+                               ' ' ORDER BY f.chunk_idx), '') AS text_clean
+                         FROM flat f LEFT JOIN bo b ON f.chunk = b.chunk
+                         GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   coalesce(n_dropped, 0) AS n_dropped,
+                   coalesce(text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id"""))
 
   /** Quality-aware dedup survivorship (Components.canonicalByScore):
     * x32's near-dup clusters re-decided by QUALITY — keep each

@@ -76,6 +76,23 @@ class ChunkDedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("reserves"))
   }
 
+  test("NULL text yields (0, 0, \"\") from BOTH forms — restored, not " +
+    "dropped, and the two cadences agree") {
+    val docs = Seq((1L, Some("nav bar x")), (2L, Some("nav bar y")),
+      (3L, None: Option[String])).toDF("id", "text")
+    val joint = ChunkDedup.dropSharedChunks(docs, "id", "text", 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(joint(3L) == ((0L, 0L, "")))
+    assert(joint(1L) == ((2L, 1L, "x")))
+    val applied = ChunkDedup.applyBoilerplate(docs, "id", "text", 2,
+        Seq("nav bar"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(applied(3L) == ((0L, 0L, "")))
+    assert(applied(1L) == ((2L, 1L, "x")))
+  }
+
   test("two-phase law: applyBoilerplate(corpus's own list) equals " +
     "dropSharedChunks on that corpus, row for row") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
