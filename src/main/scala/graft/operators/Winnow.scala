@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+  * k-gram, slide a window of w consecutive hashes, keep each window's
+  * minimum (rightmost on ties), dedupe. The guarantee that makes this
+  * better than "sample every Nth hash": any shared substring of at
+  * least w+k-1 tokens between two documents yields at least one SHARED
+  * fingerprint, while the fingerprint count per doc stays ~2/(w+1) of
+  * the gram count — bounded, position-robust partial-overlap detection,
+  * the piece whole-document schemes (minhash: set resemblance; simhash:
+  * global distance; x17's rolling fingerprint: one hash per doc) don't
+  * give.
+  *
+  * Cross-engine determinism: gram hashes ride the md5-prefix grid
+  * (Split.hashBucket's construction — first 8 md5 hex chars as a long
+  * in [0, 2^32)), so DuckDB replays the exact selection; ties (equal
+  * hash in one window = equal gram text, md5 collisions aside) resolve
+  * by the standard rightmost-min rule, identically in both engines.
+  *
+  * Scale shape: fingerprint extraction is one per-row pass (HOF
+  * lambdas over the token array — no explode of raw grams, no shuffle
+  * of gram text; the md5-in-lambda runs interpreted, the known HOF
+  * trade documented at Decontaminate). Matching is the LSH-bucket
+  * pattern (minhashCandidates): ONE shuffle of (fp, id) into buckets,
+  * pairs streamed per bucket via explodeMemberPairs, with a
+  * doc-frequency cap on fingerprints — a fingerprint in > maxDf docs
+  * is boilerplate (x56's phenomenon seen through this lens) and would
+  * otherwise pair quadratically; excluding over-shared fingerprints is
+  * the standard winnowing-index practice and bounds bucket fan-out.
+  */
+object Winnow {
+
+  /** Per-position k-gram hashes of `text` on the [0, 2^32) md5-prefix
+    * grid, as one array per row (null-safe: no grams -> empty handled
+    * by callers' size filter).
+    */
+  private[operators] def gramHashes(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(0), size(toks) - lit(k)),
+      i => conv(substring(md5(
+          array_join(slice(toks, (i + lit(1)).cast("int"), lit(k)), " ")
+            .cast(StringType)), 1, 8), 16, 10).cast("long"))
+  }
+
+  /** Distinct winnowing fingerprints per document: (idCol, fp). Every
+    * window of `w` consecutive gram hashes contributes its minimum
+    * (rightmost on ties); documents with fewer than w hashes but at
+    * least one gram contribute the minimum of what they have (the
+    * standard short-document clamp, so no gram-bearing doc is
+    * fingerprint-less); documents shorter than k tokens produce no
+    * rows.
+    */
+  def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    require(w >= 1, s"window width must be >= 1, got $w")
+    Seq("fp", "__hs").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"fingerprints reserves column name '$n'; rename the input column"))
+    val toks = split(col(textCol), " ")
+    val sel = {
+      val hs = col("__hs")
+      val nwin = greatest(size(hs) - lit(w - 1), lit(1))
+      transform(sequence(lit(0), nwin - lit(1)), j => {
+        val win = slice(hs, (j + lit(1)).cast("int"), lit(w))
+        val minv = array_min(win)
+        // rightmost occurrence of the min inside the window (1-based)
+        val ridx = size(win) -
+          array_position(reverse(win), minv).cast("int") + lit(1)
+        element_at(hs, (j + ridx).cast("int"))
+      })
+    }
+    docs
+      .filter(size(toks) >= k && col(idCol).isNotNull)
+      .select(col(idCol), gramHashes(col(textCol), k).as("__hs"))
+      .select(col(idCol), explode(array_distinct(sel)).as("fp"))
+  }
+
+  /** Partial-overlap candidate pairs: (id_a, id_b, n_shared) for every
+    * document pair sharing at least `minShared` fingerprints, ignoring
+    * fingerprints present in more than `maxDf` distinct documents
+    * (boilerplate — they would pair everything with everything).
+    * id_a < id_b; deterministic.
+    */
+  def overlapPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"bad (minShared=$minShared, maxDf=$maxDf)")
+    val fps = fingerprints(docs, idCol, textCol, k, w)
+    val buckets = fps
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    Dedup.explodeMemberPairs(buckets, "ids")
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -2120,9 +2120,48 @@ object PipelineOps {
             FROM tr LEFT JOIN ev USING (h)
             GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Winnowing fingerprint overlap (operators.Winnow — Schleimer et
+    * al. 2003, the MOSS scheme): per-window rightmost-min selection
+    * over md5-grid 3-gram hashes (w=4), then candidate partial-overlap
+    * pairs sharing >= 2 fingerprints with a doc-frequency cap of 10
+    * (over-shared fingerprints are boilerplate and would pair
+    * quadratically). The oracle replays hashing, the rightmost-min
+    * window selection, the cap, and the pair counts verbatim.
+    */
+  private val x61 = Q(
+    "x61_winnow_pairs",
+    (s, d) => Winnow.overlapPairs(t(s, d, "documents"),
+        "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 10)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS arr
+                       FROM documents),
+            h AS (SELECT doc_id,
+                    list_transform(range(1, len(arr) - 1),
+                      i -> CAST(('0x'||substr(md5(
+                             array_to_string(arr[i:i+2], ' ')),1,8))::UBIGINT
+                           AS BIGINT)) AS hs
+                  FROM t WHERE len(arr) >= 3),
+            f AS (SELECT DISTINCT doc_id, fp FROM (
+                    SELECT doc_id,
+                      unnest(list_transform(
+                        range(1, greatest(len(hs) - 3, 1) + 1),
+                        j -> hs[j + len(hs[j:j+3])
+                                - list_indexof(list_reverse(hs[j:j+3]),
+                                               list_min(hs[j:j+3]))])) AS fp
+                    FROM h)),
+            d AS (SELECT fp, count(*) AS dfc FROM f GROUP BY 1),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*) AS n_shared
+                  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  JOIN d ON d.fp = a.fp
+                  WHERE d.dfc BETWEEN 2 AND 10
+                  GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61)
 }

@@ -351,6 +351,12 @@ object Scale10 {
         graft.operators.Novelty
           .firstSeenFraction(docs, "doc_id", "text", 4)
           .filter(col("novelty_frac") >= 0.0).count()),
+      // x61: winnowing fingerprints + bucketed pair generation; the
+      // suffixed replicas keep fingerprints disjoint per shard, so the
+      // bucket mass and pair mass both scale with the shard count.
+      "winnow_pairs" -> (() =>
+        graft.operators.Winnow.overlapPairs(docs, "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 10).count()),
       // x58: the sharded prefix sum's decade — three cheap passes over
       // one range exchange; the predicate forces the offset arithmetic.
       "corpus_offsets" -> (() => {
@@ -1368,7 +1374,7 @@ object Scale10 {
         "corpus_pipeline", "bigram_lm", "dup_ngram_frac",
         "quality_select", "tfidf_terms", "hash_split",
         "filter_rules", "chunk_dedup", "canonical_survivors",
-        "corpus_offsets", "novelty"), "docs100")
+        "corpus_offsets", "novelty", "winnow_pairs"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

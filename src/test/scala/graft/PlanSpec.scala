@@ -686,6 +686,23 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("x61: winnow pairs use the bucket pattern — one fingerprint " +
+    "shuffle, streamed in-bucket pairs, no self-join of the corpus, " +
+    "no window") {
+    val df = q("x61_winnow_pairs")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the pair source is the bucketed collect_list explode, not a join
+    // of two full fingerprint streams (which would recompute the
+    // per-doc winnowing pass for both sides)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, s"winnow matching must be join-free: $joins")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

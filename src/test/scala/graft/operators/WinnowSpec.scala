@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class WinnowSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fps(k: Int, w: Int, rows: (Long, String)*): Map[Long, Set[Long]] =
+    Winnow.fingerprints(rows.toDF("id", "text"), "id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a " +
+    "shared fingerprint, wherever it sits in each doc") {
+    // k=3, w=4 -> any common substring of >= 6 tokens must match.
+    val common = "the quick brown fox jumps high"
+    val out = fps(3, 4,
+      (1L, s"alpha beta gamma $common delta epsilon"),
+      (2L, s"$common zeta eta theta iota kappa lambda"),
+      (3L, "totally different words having nothing in common here"))
+    assert((out(1L) & out(2L)).nonEmpty,
+      s"no shared fingerprint: ${out(1L)} vs ${out(2L)}")
+    assert((out(1L) & out(3L)).isEmpty)
+  }
+
+  test("fingerprint density: ~2/(w+1) of gram count, never zero for a " +
+    "gram-bearing doc, and exactly one for a single-gram doc") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val out = Winnow.fingerprints(docs, "doc_id", "text", 3, 8)
+      .groupBy("doc_id").count()
+    assert(out.filter(col("count") === 0).count() == 0)
+    val grams = docs.select(size(split(col("text"), " ")).as("n"))
+      .agg(sum(col("n") - lit(2))).head().getLong(0)
+    val nFps = Winnow.fingerprints(docs, "doc_id", "text", 3, 8).count()
+    // expected density 2/(w+1) = 2/9 of (possibly duplicated) gram
+    // positions; distinct-per-doc dedup pulls it below, window clamps
+    // push tiny docs up — accept a broad band around it
+    assert(nFps > grams / 12 && nFps < grams / 2, s"$nFps of $grams grams")
+    val single = fps(3, 4, (1L, "just three tokens"))
+    assert(single(1L).size == 1)
+  }
+
+  test("docs shorter than k produce no fingerprints; ties collapse " +
+    "(an all-identical-gram doc has exactly one fingerprint)") {
+    val out = fps(3, 4, (1L, "too short"), (2L, "a a a a a a a a a a"))
+    assert(!out.contains(1L))
+    assert(out(2L).size == 1)
+  }
+
+  test("overlapPairs finds the planted overlap and the doc-frequency " +
+    "cap silences boilerplate fingerprints") {
+    val boiler = "copyright two thousand twenty six all rights reserved"
+    val shared = "unique shared passage about spark physical planning"
+    val docs = Seq(
+      (1L, s"$boiler one text $shared extra words here"),
+      (2L, s"$boiler other document $shared trailing tokens now"),
+      (3L, s"$boiler third unrelated thing entirely different content"),
+      (4L, s"$boiler fourth also unrelated completely other subject"),
+      (5L, s"$boiler fifth again unrelated some more words")).toDF("id", "text")
+    // maxDf=2: the boilerplate run (in all 5 docs) is capped out, the
+    // shared passage (2 docs) survives -> exactly the (1,2) pair
+    val pairs = Winnow.overlapPairs(docs, "id", "text", 3, 4,
+        minShared = 1, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("reserved working names fail loudly instead of colliding") {
+    val e = intercept[IllegalArgumentException] {
+      Winnow.fingerprints(Seq((1L, "a", 2L)).toDF("id", "text", "fp"),
+        "id", "text", 3, 4)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+}
