@@ -102,6 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_split",
         "char_split(text) - one string per code point, one pass"),
       (args: Seq[Expression]) => graft.functions.CharSplit(args.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - sorted distinct winnowing " +
+          "fingerprints over md5-grid k-gram hashes, window w"),
+      (args: Seq[Expression]) => graft.functions.WinnowFingerprints(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
     // ---- instance-data natives: literal family folded at injection ----
     e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket",

@@ -161,6 +161,72 @@ object Sketches {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w + 1))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): sorted distinct
+    * rightmost-min-per-window selections over md5-grid k-gram hashes —
+    * the one-pass compiled twin of graft.operators.Winnow's HOF
+    * formulation (equivalence fuzz-pinned in WinnowSpec). The gram
+    * hash is the first 4 md5 bytes as an unsigned 32-bit value,
+    * identical to conv(substr(md5(gram),1,8),16,10) and therefore
+    * DuckDB-replayable; the gram's bytes are the raw byte range
+    * between separator positions (equal to the space-joined token
+    * slice because the separator is the single space byte — the
+    * wordShingles argument). Empty array below k tokens; fewer than w
+    * hashes -> the min of what exists (the short-document clamp).
+    * Window scan is O(m·w); w is small by construction (the scheme's
+    * density target is 2/(w+1)) — a monotonic deque would make it
+    * O(m) if a large-w variant ever appears.
+    */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numBytes()
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
+    bounds += -1
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) == ' '.toByte) bounds += i
+      i += 1
+    }
+    bounds += n
+    val nTokens = bounds.length - 1
+    if (nTokens < k) return new GenericArrayData(Array.empty[Long])
+    val bytes = text.getBytes
+    val m = nTokens - k + 1
+    val hs = new Array[Long](m)
+    val md = md5Local.get()
+    var t = 0
+    while (t < m) {
+      val lo = bounds(t) + 1
+      val hi = bounds(t + k)
+      md.reset()
+      md.update(bytes, lo, hi - lo)
+      val d = md.digest()
+      hs(t) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      t += 1
+    }
+    val nwin = math.max(m - w + 1, 1)
+    val sel = new Array[Long](nwin)
+    var j = 0
+    while (j < nwin) {
+      val end = math.min(j + w, m)
+      var best = j
+      var p = j + 1
+      // <= keeps the RIGHTMOST minimum — the standard winnowing
+      // tie-break, and the one the SQL twin's reversed list_indexof
+      // replays
+      while (p < end) { if (hs(p) <= hs(best)) best = p; p += 1 }
+      sel(j) = hs(best)
+      j += 1
+    }
+    java.util.Arrays.sort(sel)
+    var o = 0
+    var r = 1
+    while (r < sel.length) {
+      if (sel(r) != sel(o)) { o += 1; sel(o) = sel(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, o + 1))
+  }
+
   /** Word k-shingle strings in one pass (see WordShingles below for the
     * why). Byte-offset slicing is safe here for non-ASCII too: the
     * slice bounds are separator byte positions, so every slice is a
@@ -432,6 +498,22 @@ case class ShingleHashSet(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
+/** winnow_fingerprints(text, k, w): sorted distinct winnowing
+  * fingerprint hashes (see Sketches.winnowFingerprints).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
@@ -451,6 +533,11 @@ object SketchFunctions {
   /** Column API: one-pass native distinct-shingle-hash set. */
   def shingleHashSet(c: Column, shingleK: Int): Column =
     ColumnShim.toColumn(ShingleHashSet(ColumnShim.toExpression(c), shingleK))
+
+  /** Column API: one-pass native winnowing fingerprints. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    ColumnShim.toColumn(
+      WinnowFingerprints(ColumnShim.toExpression(c), k, w))
 
   /** Column API: one-pass native word-shingle strings. */
   def wordShingles(c: Column, shingleK: Int): Column =

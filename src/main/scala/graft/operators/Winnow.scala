@@ -22,10 +22,10 @@ import org.apache.spark.sql.types.StringType
   * hash in one window = equal gram text, md5 collisions aside) resolve
   * by the standard rightmost-min rule, identically in both engines.
   *
-  * Scale shape: fingerprint extraction is one per-row pass (HOF
-  * lambdas over the token array — no explode of raw grams, no shuffle
-  * of gram text; the md5-in-lambda runs interpreted, the known HOF
-  * trade documented at Decontaminate). Matching is the LSH-bucket
+  * Scale shape: fingerprint extraction is ONE compiled pass per row
+  * (Sketches.winnowFingerprints — tokenize, hash, window-select,
+  * dedupe in a tight loop; no explode of raw grams, no shuffle of
+  * gram text, no interpreted HOF lambdas). Matching is the LSH-bucket
   * pattern (minhashCandidates): ONE shuffle of (fp, id) into buckets,
   * pairs streamed per bucket via explodeMemberPairs, with a
   * doc-frequency cap on fingerprints — a fingerprint in > maxDf docs
@@ -54,7 +54,9 @@ object Winnow {
     * least one gram contribute the minimum of what they have (the
     * standard short-document clamp, so no gram-bearing doc is
     * fingerprint-less); documents shorter than k tokens produce no
-    * rows.
+    * rows. Runs the compiled one-pass native
+    * (Sketches.winnowFingerprints) — the HOF twin below exists as the
+    * independently-derived spec the native is fuzz-checked against.
     */
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String,
@@ -64,6 +66,20 @@ object Winnow {
     Seq("fp", "__hs").foreach(n =>
       require(!docs.columns.contains(n),
         s"fingerprints reserves column name '$n'; rename the input column"))
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.SketchFunctions.winnowFingerprints(
+          col(textCol), k, w)).as("fp"))
+  }
+
+  /** The interpreted HOF formulation of `fingerprints` — kept as the
+    * independently-derived twin the native is checked against
+    * (WinnowSpec equivalence + fuzz); not the production path.
+    */
+  private[operators] def fingerprintsHof(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val sel = {
       val hs = col("__hs")

@@ -61,6 +61,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq("the quick", "quick brown", "brown fox"))
   }
 
+  test("winnow_fingerprints resolves in SQL and agrees with the " +
+    "Column API") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "winnow_fingerprints"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq("the quick brown fox jumps over the lazy dog", "a b", "")
+      .toDF("text").createOrReplaceTempView("ext_winnow_t")
+    val got = spark.sql(
+      "SELECT winnow_fingerprints(text, 3, 4) AS fp FROM ext_winnow_t")
+      .collect().map(_.getSeq[Long](0))
+    val viaCol = spark.table("ext_winnow_t").select(
+      functions.SketchFunctions.winnowFingerprints($"text", 3, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(viaCol).foreach { case (a, b) => assert(a == b) }
+    assert(got(0).nonEmpty && got(2).isEmpty)
+  }
+
   test("char_split resolves in SQL and matches the per-index substr " +
     "formula it replaced (code points, not bytes)") {
     import spark.implicits._

@@ -270,7 +270,8 @@ class SketchExpressionsSpec extends SparkTestBase {
     val strExprs = Seq(
       SimHash64(text), SimHashMd5_60(text), WordShingles(text, 3),
       RollingHash31(text), CharNgrams(text, 3), ShingleHashSet(text, 3),
-      MinHashSignature(text, 3, 16), CharSplit(text))
+      MinHashSignature(text, 3, 16), CharSplit(text),
+      WinnowFingerprints(text, 3, 4), WinnowFingerprints(text, 1, 1))
     // this line IS the compile assertion: no interpreted fallback here
     val proj = GenerateUnsafeProjection.generate(strExprs)
     def norm(v: Any, dt: DataType): Any = (v, dt) match {

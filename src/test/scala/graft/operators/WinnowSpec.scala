@@ -66,6 +66,28 @@ class WinnowSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("the native equals the independently-derived HOF twin on the " +
+    "graded corpus and on seeded random fuzz (incl. double spaces, " +
+    "non-ASCII, repeats)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    for ((k, w) <- Seq((3, 4), (2, 8), (1, 1))) {
+      val nat = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      val hof = Winnow.fingerprintsHof(docs, "doc_id", "text", k, w)
+      assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty,
+        s"corpus mismatch at (k=$k, w=$w)")
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet = Vector("a", "bb", "字", "ω1", "", "x y")
+    val fuzz = (1L to 200L).map { id =>
+      val words = Seq.fill(rnd.nextInt(12))(
+        alphabet(rnd.nextInt(alphabet.size)))
+      (id, words.mkString(" "))
+    }.toDF("id", "text")
+    val nat = Winnow.fingerprints(fuzz, "id", "text", 2, 3)
+    val hof = Winnow.fingerprintsHof(fuzz, "id", "text", 2, 3)
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+  }
+
   test("reserved working names fail loudly instead of colliding") {
     val e = intercept[IllegalArgumentException] {
       Winnow.fingerprints(Seq((1L, "a", 2L)).toDF("id", "text", "fp"),
