@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   *     not corpus size. The join back to occurrences is equi on the
   *     digest; AQE picks broadcast when the list is small (the common
   *     case — pinned in PlanSpec at the graded SF) and falls back to a
-  *     shuffle join when a pathological corpus makes it big.
+  *     shuffle join when a pathological corpus makes it big. The probe
+  *     side deliberately RE-RUNS the scan+explode rather than sharing
+  *     one digest exchange with the count branch: sharing would force
+  *     the exchange to carry the chunk TEXT the reassembly needs, so
+  *     text would cross the wire twice (digest exchange + reassembly);
+  *     re-exploding is pure map-side CPU — recompute-over-reshuffle,
+  *     the opposite call from Novelty, where nothing heavier than the
+  *     16-byte digest rides the shared exchange.
   *  3. reassemble per doc: collect the kept (idx, chunk) structs, sort
   *     by the in-doc index, join with spaces — the x25 order-stable
   *     assembly trick (collect_list order after a shuffle is

@@ -78,6 +78,16 @@ class StreamingSpec extends SparkTestBase {
       batchDocs, "doc_id", "text", 4, list)
     assert(gotClean.exceptAll(wantClean).isEmpty &&
       wantClean.exceptAll(gotClean).isEmpty)
+    // winnowing fingerprint extraction is one stateless compiled pass
+    // per row — the ingest side of x61 runs on a stream unchanged
+    // (matching/bucketing stays a batch job over the accumulated index)
+    val gotFp = StreamOps.runToMemory(spark,
+      graft.operators.Winnow.fingerprints(
+        streamDocs, "doc_id", "text", 3, 4), "winnow_stream")
+    val wantFp = graft.operators.Winnow.fingerprints(
+      batchDocs, "doc_id", "text", 3, 4)
+    assert(gotFp.exceptAll(wantFp).isEmpty &&
+      wantFp.exceptAll(gotFp).isEmpty)
   }
 
   test("sliding windows produce overlapping coverage") {
