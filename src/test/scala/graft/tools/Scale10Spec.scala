@@ -114,6 +114,75 @@ class Scale10Spec extends SparkTestBase {
     }
   }
 
+  test("round-15 doc pipelines are shard-exact on replicas: chunk " +
+    "dedup counts shift with ids, novelty replays per shard, winnow " +
+    "pairs never cross, offsets are block-shifted by the shard total") {
+    import graft.operators.{ChunkDedup, Novelty, Ranking, Winnow}
+    val rep = Replicas.documents(docs, R)
+    val S = Replicas.docIdStride
+
+    // chunk dedup: the token rename preserves chunk-equality structure
+    // inside a replica and forbids it across, so (n_chunks, n_dropped)
+    // for id+r*S equal the base doc's numbers in EVERY replica (the
+    // rewritten text itself is the suffixed variant, so only counts
+    // compare); replica 0's full rows equal the base rows verbatim
+    val base56 = ChunkDedup.dropSharedChunks(docs, "doc_id", "text", 4, 3)
+    val rep56 = ChunkDedup.dropSharedChunks(rep, "doc_id", "text", 4, 3)
+    val baseCounts = base56.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val repCounts = rep56.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(repCounts.size == R * baseCounts.size)
+    for ((id, c) <- repCounts)
+      assert(c == baseCounts(id % S), s"doc $id: $c vs ${baseCounts(id % S)}")
+    assert(rep56.filter(docRep(col("doc_id")) === 0)
+      .exceptAll(base56).isEmpty, "replica 0 rewrite diverged from base")
+
+    // novelty: disjoint per-shard vocabularies -> every replica replays
+    // the base first-seen structure exactly, ids shifted
+    val base59 = Novelty.firstSeenFraction(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val rep59 = Novelty.firstSeenFraction(rep, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rep59.size == R * base59.size)
+    for ((id, v) <- rep59)
+      assert(v == base59(id % S), s"novelty $id: $v vs ${base59(id % S)}")
+
+    // winnow: the rename changes gram hashes, so replica r's pair SET
+    // may legitimately differ from base near thresholds — the shard
+    // invariants are: no pair crosses replicas, and replica 0 (raw
+    // text) equals the base pair set exactly
+    val basePairs = Winnow.overlapPairs(docs, "doc_id", "text", 3, 4, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repPairs = Winnow.overlapPairs(rep, "doc_id", "text", 3, 4, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repPairs.forall { case (a, b) => a / S == b / S },
+      "winnow pair crossed replicas")
+    assert(repPairs.filter { case (a, _) => a / S == 0L } == basePairs,
+      "replica 0 winnow pairs diverged from base")
+
+    // offsets: token counts survive the rename and ids are
+    // replica-blocked, so offset(id + r*S) = offset(id) + r*T with T
+    // the base corpus's total token count — exact, every row
+    def offs(df: org.apache.spark.sql.DataFrame) = Ranking
+      .globalPrefixSum(
+        df.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq(col("doc_id").asc), col("n_tokens"), "tok_offset", 5)
+      .select("doc_id", "tok_offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseOff = offs(docs)
+    val totalToks = docs.agg(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    val repOff = offs(rep)
+    assert(repOff.size == R * baseOff.size)
+    for ((id, o) <- repOff)
+      assert(o == baseOff(id % S) + (id / S) * totalToks,
+        s"offset $id: $o vs ${baseOff(id % S)} + ${id / S} * $totalToks")
+  }
+
   // ----------------------------------------------------------- embeddings
 
   test("embedding replicas: within-replica sign-band pairs (ids AND " +
