@@ -21,13 +21,21 @@ import org.apache.spark.sql.functions._
   * (id, gram-digest) stream is hash-partitioned ONCE on the digest;
   * that single clustering serves the per-(id, digest) distinct (a
   * partitioning on a subset of the grouping keys co-locates every
-  * group), the min-id-per-digest aggregate, AND the join of the two —
-  * Catalyst inserts no further exchange until the final per-doc
-  * aggregate on the id. The first-occurrence branch reads the digest
-  * exchange twice (aggregate + join probe); exchange reuse computes it
-  * once (pinned in PlanSpec, the globalOrdinal/x25 contract). No raw
-  * gram string is ever shuffled — 16-byte md5 digests only (the
-  * Dedup.exact rule).
+  * group) AND the first-occurrence attribution, which is a
+  * digest-partitioned window (min(id) over partitionBy(digest)) rather
+  * than an aggregate + self-join: the window reads the exchange ONCE,
+  * so there is no second consumer whose plan must stay canonically
+  * equal for exchange reuse (the first cut used aggregate+join and an
+  * inferred IsNotNull silently doubled the corpus explode — see
+  * SCALE.md round 15; this formulation removes that failure class
+  * instead of guarding it), and at real scale it does one sort of the
+  * digest mass where the join form degrades to hash-agg PLUS
+  * sort-merge-join once the firsts table outgrows a broadcast.
+  * Measured: ~equal at sf0.1, 1.6x faster at the x10 slice, ~10%
+  * slower at x100-local where the firsts table still fits a hash
+  * join. Catalyst inserts no further exchange until the final per-doc
+  * aggregate on the id. No raw gram string is ever shuffled — 16-byte
+  * md5 digests only (the Dedup.exact rule).
   */
 object Novelty {
 
@@ -45,23 +53,21 @@ object Novelty {
     val grams = transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => array_join(slice(toks, (i + lit(1)).cast("int"), lit(n)), " "))
-    // The explicit isNotNull mirrors the constraint the final left
-    // join INFERS onto the aggregate branch (IsNotNull on its join
-    // key): without it the two readers of this exchange differ by that
-    // one inferred filter, canonical equality fails, and the corpus
-    // explode+shuffle silently runs twice (observed in the sf0.001
-    // plan before this line existed — two REPARTITION_BY_COL
-    // exchanges, two Generates). With it, both branches are
-    // byte-identical and exchange reuse computes the gram mass once
-    // (pinned in PlanSpec).
+    // Null ids can never be attributed a first occurrence; dropping
+    // them here keeps them out of the gram mass (the final left join
+    // restores every doc row regardless). Historical note: when this
+    // operator used aggregate+join for first-seen, this explicit
+    // filter was also load-bearing for exchange reuse (see scaladoc);
+    // the window formulation no longer depends on that.
     val flat = docs
       .filter(size(toks) >= n && col(idCol).isNotNull)
       .select(col(idCol), explode(grams).as("__gram"))
       .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
       .repartition(col("__g"))
     val dflat = flat.distinct()
-    val firsts = dflat.groupBy("__g").agg(min(col(idCol)).as("__first"))
-    val per = dflat.join(firsts, "__g")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val per = dflat
+      .withColumn("__first", min(col(idCol)).over(w))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),

@@ -661,20 +661,26 @@ class PlanSpec extends SparkTestBase {
         df.queryExecution.executedPlan.toString)
   }
 
-  test("x59: novelty is windows-free and AQE reuses the one digest " +
-    "exchange across the min-per-gram aggregate and its join probe") {
+  test("x59: novelty's first-seen attribution is a digest-partitioned " +
+    "window over ONE exchange — no self-join of the gram mass, no " +
+    "unpartitioned window") {
     val df = q("x59_novelty")
-    assert(windowsOf(df).isEmpty, "novelty must not plan a window")
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "first-seen must be per-digest, never a corpus-global window")
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    df.collect()
-    val reused = deepNodes(df.queryExecution.executedPlan).filter(
-      _.isInstanceOf[
-        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
-    assert(reused.nonEmpty,
-      s"no ReusedExchange in the final adaptive plan:\n" +
-        df.queryExecution.executedPlan.toString)
+    // exactly one REPARTITION of the gram digests: the window and the
+    // distinct share it; a second one would mean the single-reader
+    // formulation regressed to the double-explode the first cut had
+    assert("REPARTITION_BY_COL".r.findAllIn(plan).size == 1, plan)
+    // the only join left is the cheap final doc-restore, not a join of
+    // two gram-mass streams
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected only the doc-restore join: $joins")
   }
 
   test("x60: split leakage keeps x50's map-only assignment and x37's " +
