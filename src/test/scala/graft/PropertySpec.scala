@@ -312,4 +312,82 @@ class PropertySpec extends SparkTestBase {
         s"chain diverged: syms=$syms pair=$pair got=$gotChain want=$refChain")
     }
   }
+
+  // ---- round-15 operators: scala-reference fuzz laws ----
+
+  private val oddTextGen: Gen[String] =
+    Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "bb", "ccc", "字", "", "xy")))
+      .map(_.mkString(" ")) // "" tokens produce double/leading spaces
+
+  test("chunk dedup identity law: with the threshold above the corpus " +
+    "size nothing drops and reassembly reproduces the original text " +
+    "byte-for-byte, whatever the whitespace shape") {
+    forAll(Gen.listOfN(6, oddTextGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = operators.ChunkDedup
+        .dropSharedChunks(docs, "id", "text", 3, texts.size + 1)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (nc, nd, clean) = out(i.toLong)
+        // -1 keeps trailing empty tokens, matching Spark's split
+        val toks = t.split(" ", -1)
+        assert(nd == 0L, s"dropped below threshold: ${t}")
+        assert(nc == (toks.length + 2) / 3, s"chunk count on '$t'")
+        assert(clean == t, s"reconstruction broke on '$t' -> '$clean'")
+      }
+    }
+  }
+
+  test("novelty equals a scala reference on random corpora (per-doc " +
+    "distinct grams, min-id attribution, corpus budget)") {
+    forAll(Gen.listOfN(8, oddTextGen)) { texts =>
+      val n = 2
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = operators.Novelty.firstSeenFraction(docs, "id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val gramsOf: String => Set[String] = t => {
+        val toks = t.split(" ", -1)
+        if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val perDoc = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> gramsOf(t) }.toMap
+      val firstOf = perDoc.toSeq
+        .flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      for ((id, gs) <- perDoc) {
+        val novel = gs.count(g => firstOf(g) == id)
+        assert(got(id) == ((gs.size.toLong, novel.toLong)),
+          s"doc $id: got ${got(id)} want (${gs.size}, $novel)")
+      }
+      assert(got.values.map(_._2).sum == firstOf.size,
+        "corpus novelty budget broke")
+    }
+  }
+
+  test("prefix-sum offsets: zero at the head and each row's offset is " +
+    "the previous offset plus the previous value, for ragged shard " +
+    "counts") {
+    val valsGen = Gen.listOfN(30, Gen.chooseNum(0L, 9L))
+    forAll(valsGen, Gen.oneOf(1, 3, 7)) { (vs, shards) =>
+      val d = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = operators.Ranking
+        .globalPrefixSum(d, Seq(col("id").asc), col("v"), "off", shards)
+        .select("id", "v", "off").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      got.headOption.foreach { case (_, _, off0) => assert(off0 == 0L) }
+      got.sliding(2).foreach {
+        case Array((_, pv, po), (_, _, co)) =>
+          assert(co == po + pv, s"adjacency broke: $po + $pv != $co")
+        case _ =>
+      }
+    }
+  }
 }
