@@ -106,8 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow_fingerprints",
         "winnow_fingerprints(text, k, w) - sorted distinct winnowing " +
           "fingerprints over md5-grid k-gram hashes, window w"),
-      (args: Seq[Expression]) => graft.functions.WinnowFingerprints(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        require(args.length == 3 && args(1).foldable && args(2).foldable,
+          "winnow_fingerprints(text, k, w) needs literal int k and w")
+        graft.functions.WinnowFingerprints(args(0),
+          args(1).eval().asInstanceOf[Int],
+          args(2).eval().asInstanceOf[Int])
+      }))
     // ---- instance-data natives: literal family folded at injection ----
     e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket",

@@ -38,6 +38,29 @@ object Sketches {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       text.getBaseObject, text.getBaseOffset + lo, hi - lo, SEED)
 
+  /** Separator byte positions of the space-only tokenizer, framed by a
+    * leading -1 and a trailing numBytes sentinel: token t spans bytes
+    * (bounds(t), bounds(t+1)) exclusive/exclusive, and tokenCount =
+    * bounds.length - 1. The ONE definition of tokenization every
+    * native shares — the split contract (single space byte 0x20, tabs/
+    * newlines are token content, adjacent separators yield empty
+    * tokens) is a cross-engine agreement with the HOF/SQL twins, so a
+    * change here must never be applied to one native and not another.
+    */
+  private def tokenBounds(
+      text: UTF8String): scala.collection.mutable.ArrayBuffer[Int] = {
+    val n = text.numBytes()
+    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
+    bounds += -1
+    var i = 0
+    while (i < n) {
+      if (text.getByte(i) == ' '.toByte) bounds += i
+      i += 1
+    }
+    bounds += n
+    bounds
+  }
+
   /** One-pass 64-bit simhash over space-separated tokens (the tokenizer
     * splits ONLY on the single space byte 0x20 — tabs/newlines stay token
     * content — matching the HOF twin's split(text, " "); any cross-engine
@@ -133,15 +156,7 @@ object Sketches {
     * matching Dedup.shingles.
     */
   def shingleHashSet(text: UTF8String, shingleK: Int): ArrayData = {
-    val n = text.numBytes()
-    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
-    bounds += -1
-    var i = 0
-    while (i < n) {
-      if (text.getByte(i) == ' '.toByte) bounds += i
-      i += 1
-    }
-    bounds += n
+    val bounds = tokenBounds(text)
     val nTokens = bounds.length - 1
     if (nTokens < shingleK) return new GenericArrayData(Array.empty[Long])
     val hs = new Array[Long](nTokens - shingleK + 1)
@@ -177,15 +192,7 @@ object Sketches {
     * O(m) if a large-w variant ever appears.
     */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val n = text.numBytes()
-    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
-    bounds += -1
-    var i = 0
-    while (i < n) {
-      if (text.getByte(i) == ' '.toByte) bounds += i
-      i += 1
-    }
-    bounds += n
+    val bounds = tokenBounds(text)
     val nTokens = bounds.length - 1
     if (nTokens < k) return new GenericArrayData(Array.empty[Long])
     val bytes = text.getBytes
@@ -233,15 +240,7 @@ object Sketches {
     * whole number of code points; fromBytes wraps without copying.
     */
   def wordShingles(text: UTF8String, k: Int): ArrayData = {
-    val n = text.numBytes()
-    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
-    bounds += -1
-    var i = 0
-    while (i < n) {
-      if (text.getByte(i) == ' '.toByte) bounds += i
-      i += 1
-    }
-    bounds += n
+    val bounds = tokenBounds(text)
     val nTokens = bounds.length - 1
     if (nTokens < k) return new GenericArrayData(Array.empty[AnyRef])
     val bytes = text.getBytes
@@ -315,15 +314,7 @@ object Sketches {
   def minhashSig(text: UTF8String, shingleK: Int, as: Array[Long],
       bs: Array[Long]): ArrayData = {
     // token boundaries
-    val n = text.numBytes()
-    val bounds = new scala.collection.mutable.ArrayBuffer[Int](64)
-    bounds += -1
-    var i = 0
-    while (i < n) {
-      if (text.getByte(i) == ' '.toByte) bounds += i
-      i += 1
-    }
-    bounds += n
+    val bounds = tokenBounds(text)
     val nTokens = bounds.length - 1
     if (nTokens < shingleK) return null
     val numHashes = as.length
@@ -503,6 +494,12 @@ case class ShingleHashSet(child: Expression, shingleK: Int)
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
+  // enforced at construction (= plan time), not per row: the SQL
+  // surface reaches this constructor directly, bypassing the operator
+  // wrapper's requires — without this, w = 0 indexes past the hash
+  // array in every task and k = 0 hands md5 a negative length
+  require(k >= 1, s"winnow_fingerprints: gram width must be >= 1, got $k")
+  require(w >= 1, s"winnow_fingerprints: window must be >= 1, got $w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Sketches.winnowFingerprints(input.asInstanceOf[UTF8String], k, w)

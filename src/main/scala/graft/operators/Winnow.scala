@@ -63,9 +63,8 @@ object Winnow {
       k: Int, w: Int): DataFrame = {
     require(k >= 1, s"gram width must be >= 1, got $k")
     require(w >= 1, s"window width must be >= 1, got $w")
-    Seq("fp", "__hs").foreach(n =>
-      require(!docs.columns.contains(n),
-        s"fingerprints reserves column name '$n'; rename the input column"))
+    require(!docs.columns.contains("fp"),
+      "fingerprints reserves column name 'fp'; rename the input column")
     docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol),
@@ -80,6 +79,11 @@ object Winnow {
   private[operators] def fingerprintsHof(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
+    // this path (unlike the native one) materializes a __hs column, so
+    // the guard lives HERE, next to the withColumn that would clobber
+    Seq("fp", "__hs").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"fingerprintsHof reserves column name '$n'; rename the input column"))
     val toks = split(col(textCol), " ")
     val sel = {
       val hs = col("__hs")
@@ -111,10 +115,27 @@ object Winnow {
     require(minShared >= 1 && maxDf >= 2,
       s"bad (minShared=$minShared, maxDf=$maxDf)")
     val fps = fingerprints(docs, idCol, textCol, k, w)
-    val buckets = fps
+    // The df cap runs BEFORE the bucket shuffle: the count aggregate
+    // combines map-side (a viral boilerplate fingerprint reaches its
+    // reducer as one row per map task, not one per document), and the
+    // join back drops capped fingerprints before any id list exists —
+    // the first cut filtered AFTER collect_list, which shuffled a
+    // whole site-wide-boilerplate bucket to one reducer just to
+    // discard it. countDistinct (not a row count) keeps the cap exact
+    // under duplicate id rows, and collect_set (not collect_list)
+    // makes the bucket itself dup-safe — matching the oracle's
+    // DISTINCT (doc_id, fp) — so a duplicated document can never
+    // produce an (a, a) self-pair or inflate n_shared. The probe side
+    // re-runs the fingerprint pass rather than sharing an exchange
+    // with the count branch (recompute-over-reshuffle, the ChunkDedup
+    // call: the pass is cheap compiled map work).
+    val good = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__dfc"))
+      .filter(col("__dfc").between(2, maxDf))
+      .select("fp")
+    val buckets = fps.join(good, "fp")
       .groupBy("fp")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
     Dedup.explodeMemberPairs(buckets, "ids")
       .groupBy(col("a").as("id_a"), col("b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -692,21 +692,23 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("x61: winnow pairs use the bucket pattern — one fingerprint " +
-    "shuffle, streamed in-bucket pairs, no self-join of the corpus, " +
-    "no window") {
+  test("x61: winnow pairs use the bucket pattern — pre-capped " +
+    "fingerprint buckets, streamed in-bucket pairs, no pair-stream " +
+    "join, no window") {
     val df = q("x61_winnow_pairs")
     assert(windowsOf(df).isEmpty)
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the pair source is the bucketed collect_list explode, not a join
-    // of two full fingerprint streams (which would recompute the
-    // per-doc winnowing pass for both sides)
+    // exactly ONE join: the df-cap semi-shape (fps x surviving-fp
+    // list) that drops viral fingerprints BEFORE any id list
+    // materializes. Pair generation itself must stay the bucketed
+    // collect_set explode — a second join would mean pairs come from
+    // joining two full fingerprint streams
     val joins = df.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(joins.isEmpty, s"winnow matching must be join-free: $joins")
+    assert(joins.size == 1, s"expected only the df-cap join: $joins")
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {

@@ -31,7 +31,7 @@ class WinnowSpec extends SparkTestBase {
       .groupBy("doc_id").count()
     assert(out.filter(col("count") === 0).count() == 0)
     val grams = docs.select(size(split(col("text"), " ")).as("n"))
-      .agg(sum(col("n") - lit(2))).head().getLong(0)
+      .agg(sum(greatest(col("n") - lit(2), lit(0)))).head().getLong(0)
     val nFps = Winnow.fingerprints(docs, "doc_id", "text", 3, 8).count()
     // expected density 2/(w+1) = 2/9 of (possibly duplicated) gram
     // positions; distinct-per-doc dedup pulls it below, window clamps
@@ -94,5 +94,41 @@ class WinnowSpec extends SparkTestBase {
         "id", "text", 3, 4)
     }
     assert(e.getMessage.contains("reserves"))
+    val e2 = intercept[IllegalArgumentException] {
+      Winnow.fingerprintsHof(Seq((1L, "a", 2L)).toDF("id", "text", "__hs"),
+        "id", "text", 3, 4)
+    }
+    assert(e2.getMessage.contains("reserves"))
+  }
+
+  test("duplicate id rows never produce self-pairs or inflate " +
+    "n_shared, and the df cap counts DOCUMENTS, not rows") {
+    val shared = "unique shared passage about spark physical planning"
+    val rows = Seq(
+      (1L, s"one text $shared extra words here"),
+      (1L, s"one text $shared extra words here"), // doc 1 delivered twice
+      (2L, s"other document $shared trailing tokens now"))
+    val dup = rows.toDF("id", "text")
+    val pairs = Winnow.overlapPairs(dup, "id", "text", 3, 4,
+        minShared = 1, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.forall { case ((a, b), _) => a < b }, pairs.toSeq)
+    // n_shared must equal the single-delivery corpus's, not 2x it
+    val clean = Winnow.overlapPairs(rows.distinct.toDF("id", "text"),
+        "id", "text", 3, 4, minShared = 1, maxDf = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(pairs.sortBy(_._1) sameElements clean.sortBy(_._1),
+      s"dup=${pairs.toSeq} clean=${clean.toSeq}")
+  }
+
+  test("non-positive k or w fail at construction, through every " +
+    "surface (operator, Column API, SQL)") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Winnow.fingerprints(docs, "id", "text", 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.SketchFunctions.winnowFingerprints(col("text"), 3, 0)
+    }
   }
 }
