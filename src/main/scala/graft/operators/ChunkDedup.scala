@@ -52,12 +52,17 @@ import org.apache.spark.sql.functions._
   */
 object ChunkDedup {
 
-  /** Consecutive k-word windows of `text`; the last window keeps
-    * whatever remains (1..k words). Codegen'd HOFs only — stays inside
-    * whole-stage codegen.
+  /** Consecutive k-word windows of a PRE-SPLIT token array; the last
+    * window keeps whatever remains (1..k words). Takes the array, NOT
+    * the text: a lambda body re-evaluates every outer expression it
+    * references per element, so `slice(split(text), ...)` inside
+    * transform re-tokenizes the whole document for every chunk —
+    * O(len²) per doc, the exact quadratic class the round-10 longdocs
+    * flow exists to catch (and did catch here, as a 2k-token hang).
+    * Callers materialize `split(text, " ")` as a column once per row
+    * and pass the reference; the lambda's slice is then O(k).
     */
-  def chunks(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
+  def chunks(toks: Column, k: Int): Column = {
     // Column `/` is double division; floor+cast restores the integral
     // chunk count (size >= 1 always — split of "" is [""]).
     val lastIdx = floor((size(toks) - lit(1)) / lit(k)).cast("long")
@@ -87,12 +92,17 @@ object ChunkDedup {
     require(k >= 1, s"chunk width must be >= 1, got $k")
     require(maxDocs >= 2,
       s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
-    Seq("chunk_idx", "chunk", "__d", "__boiler",
+    Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
         "n_chunks", "n_dropped", "text_clean").foreach(n =>
       require(!docs.columns.contains(n),
         s"dropSharedChunks reserves column name '$n'; rename the input column"))
-    val flat = docs.select(col(idCol),
-        posexplode(chunks(col(textCol), k)).as(Seq("chunk_idx", "chunk")))
+    // split ONCE into a column; the Generate's lambda then slices the
+    // materialized array (see chunks' scaladoc for the quadratic this
+    // two-step shape avoids)
+    val flat = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        posexplode(chunks(col("__toks"), k)).as(Seq("chunk_idx", "chunk")))
       .withColumn("__d", unhex(md5(col("chunk"))))
     val boiler = flat
       .groupBy("__d").agg(countDistinct(col(idCol)).as("__dw"))
@@ -124,11 +134,12 @@ object ChunkDedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocs: Int): DataFrame = {
     require(k >= 1 && maxDocs >= 2, s"bad (k=$k, maxDocs=$maxDocs)")
-    Seq("chunk", "__dw").foreach(n =>
+    Seq("chunk", "__dw", "__toks").foreach(n =>
       require(!docs.columns.contains(n),
         s"boilerplateChunks reserves column name '$n'; rename the input column"))
-    docs.select(col(idCol),
-        explode(chunks(col(textCol), k)).as("chunk"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), explode(chunks(col("__toks"), k)).as("chunk"))
       .groupBy("chunk").agg(countDistinct(col(idCol)).as("__dw"))
       .filter(col("__dw") >= maxDocs)
       .select("chunk")
@@ -154,22 +165,34 @@ object ChunkDedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, boilerplate: Seq[String]): DataFrame = {
     require(k >= 1, s"chunk width must be >= 1, got $k")
-    Seq("n_chunks", "n_dropped", "text_clean").foreach(n =>
-      require(!docs.columns.contains(n),
+    Seq("n_chunks", "n_dropped", "text_clean", "__toks", "__ch", "__kept")
+      .foreach(n => require(!docs.columns.contains(n),
         s"applyBoilerplate reserves column name '$n'; rename the input column"))
-    val ch = chunks(col(textCol), k)
     val boil = typedlit(boilerplate)
-    val kept = filter(ch, c => !array_contains(boil, c))
-    // NULL text: (0, 0, "") — the same row dropSharedChunks restores
-    // via its left join, so the two-phase law holds on nullable
-    // corpora too (size/filter of a null array would otherwise
-    // propagate nulls here while the corpus-wide form emits zeros)
-    docs.select(col(idCol),
-      when(col(textCol).isNull, lit(0L))
-        .otherwise(size(ch).cast("long")).as("n_chunks"),
-      when(col(textCol).isNull, lit(0L))
-        .otherwise((size(ch) - size(kept)).cast("long")).as("n_dropped"),
-      when(col(textCol).isNull, lit(""))
-        .otherwise(array_join(kept, " ")).as("text_clean"))
+    // Each stage materializes an alias the next stage references more
+    // than once — CollapseProject declines to inline expensive
+    // multi-use aliases, so tokens/chunks/kept are each computed
+    // exactly once per row (inlining `chunks` three times into the
+    // final projection would re-chunk the doc per output column, and a
+    // lambda over split(text) would re-tokenize per chunk)
+    docs
+      .select(col(idCol), col(textCol),
+        split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col(textCol),
+        chunks(col("__toks"), k).as("__ch"))
+      .select(col(idCol), col(textCol), col("__ch"),
+        filter(col("__ch"), c => !array_contains(boil, c)).as("__kept"))
+      // NULL text: (0, 0, "") — the same row dropSharedChunks restores
+      // via its left join, so the two-phase law holds on nullable
+      // corpora too (size/filter of a null array would otherwise
+      // propagate nulls here while the corpus-wide form emits zeros)
+      .select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(col("__ch")).cast("long")).as("n_chunks"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise((size(col("__ch")) - size(col("__kept"))).cast("long"))
+          .as("n_dropped"),
+        when(col(textCol).isNull, lit(""))
+          .otherwise(array_join(col("__kept"), " ")).as("text_clean"))
   }
 }

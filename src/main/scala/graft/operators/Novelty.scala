@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus novelty in presentation order: for each document, how much of
@@ -46,11 +46,16 @@ object Novelty {
   def firstSeenFraction(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"gram width must be >= 1, got $n")
-    Seq("__g", "__first", "n_grams", "n_novel", "novelty_frac").foreach(c =>
+    Seq("__g", "__gram", "__toks", "__first",
+        "n_grams", "n_novel", "novelty_frac").foreach(c =>
       require(!docs.columns.contains(c),
         s"firstSeenFraction reserves column name '$c'; rename the input column"))
-    val toks = split(col(textCol), " ")
-    val grams = transform(
+    // gram construction over a PRE-SPLIT token column: a lambda body
+    // re-evaluates outer expressions per element, so slicing
+    // split(text) inside the transform would re-tokenize the document
+    // once per gram — O(len²), the longdocs quadratic class (see
+    // ChunkDedup.chunks)
+    def grams(toks: Column) = transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => array_join(slice(toks, (i + lit(1)).cast("int"), lit(n)), " "))
     // Null ids can never be attributed a first occurrence; dropping
@@ -60,8 +65,9 @@ object Novelty {
     // filter was also load-bearing for exchange reuse (see scaladoc);
     // the window formulation no longer depends on that.
     val flat = docs
-      .filter(size(toks) >= n && col(idCol).isNotNull)
-      .select(col(idCol), explode(grams).as("__gram"))
+      .filter(size(split(col(textCol), " ")) >= n && col(idCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), explode(grams(col("__toks"))).as("__gram"))
       .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
       .repartition(col("__g"))
     val dflat = flat.distinct()

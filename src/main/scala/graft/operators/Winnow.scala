@@ -35,18 +35,17 @@ import org.apache.spark.sql.types.StringType
   */
 object Winnow {
 
-  /** Per-position k-gram hashes of `text` on the [0, 2^32) md5-prefix
-    * grid, as one array per row (null-safe: no grams -> empty handled
-    * by callers' size filter).
+  /** Per-position k-gram hashes of a PRE-SPLIT token array on the
+    * [0, 2^32) md5-prefix grid (takes the array, not the text — a
+    * lambda re-evaluates outer expressions per element, so split-in-
+    * lambda would be O(len²); see ChunkDedup.chunks).
     */
-  private[operators] def gramHashes(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
+  private[operators] def gramHashes(toks: Column, k: Int): Column =
     transform(
       sequence(lit(0), size(toks) - lit(k)),
       i => conv(substring(md5(
           array_join(slice(toks, (i + lit(1)).cast("int"), lit(k)), " ")
             .cast(StringType)), 1, 8), 16, 10).cast("long"))
-  }
 
   /** Distinct winnowing fingerprints per document: (idCol, fp). Every
     * window of `w` consecutive gram hashes contributes its minimum
@@ -79,12 +78,11 @@ object Winnow {
   private[operators] def fingerprintsHof(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
-    // this path (unlike the native one) materializes a __hs column, so
-    // the guard lives HERE, next to the withColumn that would clobber
-    Seq("fp", "__hs").foreach(n =>
+    // this path (unlike the native one) materializes working columns,
+    // so the guard lives HERE, next to the selects that would clobber
+    Seq("fp", "__hs", "__toks").foreach(n =>
       require(!docs.columns.contains(n),
         s"fingerprintsHof reserves column name '$n'; rename the input column"))
-    val toks = split(col(textCol), " ")
     val sel = {
       val hs = col("__hs")
       val nwin = greatest(size(hs) - lit(w - 1), lit(1))
@@ -98,8 +96,9 @@ object Winnow {
       })
     }
     docs
-      .filter(size(toks) >= k && col(idCol).isNotNull)
-      .select(col(idCol), gramHashes(col(textCol), k).as("__hs"))
+      .filter(size(split(col(textCol), " ")) >= k && col(idCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), gramHashes(col("__toks"), k).as("__hs"))
       .select(col(idCol), explode(array_distinct(sel)).as("fp"))
   }
 

@@ -1256,6 +1256,21 @@ object Scale10 {
             boiler.filter(col("doc_id") % 97 =!= 0),
             boiler.filter(col("doc_id") % 97 === 0),
             "doc_id", "text", 4).count())
+        // round-15 text ops: the winnow native is O(tokens*w) per doc,
+        // chunk dedup's per-length cost is the reassembly sort
+        // (O(g log g) structs), novelty's is the gram explode — all
+        // must step ~5x for the 5x length, never >>5x
+        timeIt("winnow_fingerprints", () => boiler.select(
+          size(graft.functions.SketchFunctions
+            .winnowFingerprints(col("text"), 3, 4)).as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0))
+        timeIt("chunk_dedup", () =>
+          ChunkDedup.dropSharedChunks(boiler, "doc_id", "text", 4, 3)
+            .filter(length(col("text_clean")) >= 0).count())
+        timeIt("novelty", () =>
+          graft.operators.Novelty
+            .firstSeenFraction(boiler, "doc_id", "text", 4)
+            .filter(col("novelty_frac") >= 0.0).count())
       }
     } else if (only("botgap")) {
       // Sparse-bot corner of sessionsChunked (VERDICT r9 task 3): the

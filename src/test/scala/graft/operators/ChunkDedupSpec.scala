@@ -12,9 +12,10 @@ class ChunkDedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
 
-  test("chunks splits into k-word windows, last window partial") {
+  test("chunks splits a token array into k-word windows, last window " +
+    "partial") {
     val out = spark.range(1)
-      .select(ChunkDedup.chunks(lit("a b c d e f g"), 3).as("c"))
+      .select(ChunkDedup.chunks(split(lit("a b c d e f g"), " "), 3).as("c"))
       .head().getSeq[String](0)
     assert(out == Seq("a b c", "d e f", "g"))
   }
