@@ -2159,9 +2159,34 @@ object PipelineOps {
             SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
             FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b"""))
 
+  /** The shippable boilerplate list itself (ChunkDedup
+    * .boilerplateChunks): the thresholded chunk artifact x56 computes
+    * implicitly and the ingest-time applyBoilerplate loads — graded on
+    * its own so BOTH halves of the two-phase operator have an oracle
+    * (the equivalence of applying this list to the same corpus is
+    * pinned in ChunkDedupSpec's two-phase law).
+    */
+  private val x62 = Q(
+    "x62_boiler_list",
+    (s, d) => ChunkDedup.boilerplateChunks(
+        t(s, d, "documents"), "doc_id", "text", 4, 3)
+      .orderBy("chunk"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 ch AS (SELECT doc_id,
+                          unnest(list_transform(
+                            range(0, CAST(ceil(len(l) / 4.0) AS BIGINT)),
+                            i -> array_to_string(l[i*4+1:i*4+4], ' ')))
+                            AS chunk
+                        FROM toks)
+            SELECT chunk
+            FROM (SELECT chunk, count(DISTINCT doc_id) AS dw
+                  FROM ch GROUP BY 1)
+            WHERE dw >= 3 ORDER BY chunk"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62)
 }
