@@ -126,6 +126,56 @@ object ChunkDedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Domain-scoped boilerplate removal: like dropSharedChunks, but a
+    * chunk is boilerplate only within its own `scopeCol` group (a
+    * chunk must appear in >= maxDocs distinct documents OF THE SAME
+    * SOURCE to be cut from that source's documents) — the form
+    * production pipelines actually run: site chrome repeats per
+    * domain, and a phrase that is boilerplate on one site can be
+    * content on another. Identical output schema and identical scale
+    * shape to the global form, with every digest key widened to
+    * (scope, digest): the count aggregate, the boilerplate list, and
+    * the join all carry the scope, so one domain's chrome never
+    * bleeds into another's rewrite.
+    */
+  def dropSharedChunksWithin(
+      docs: DataFrame, idCol: String, scopeCol: String, textCol: String,
+      k: Int, maxDocs: Int): DataFrame = {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    require(maxDocs >= 2,
+      s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
+    Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
+        "n_chunks", "n_dropped", "text_clean").foreach(n =>
+      require(!docs.columns.contains(n),
+        s"dropSharedChunksWithin reserves column name '$n'; rename the input column"))
+    val flat = docs
+      .select(col(idCol), col(scopeCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col(scopeCol),
+        posexplode(chunks(col("__toks"), k)).as(Seq("chunk_idx", "chunk")))
+      .withColumn("__d", unhex(md5(col("chunk"))))
+    val boiler = flat
+      .groupBy(col(scopeCol), col("__d"))
+      .agg(countDistinct(col(idCol)).as("__dw"))
+      .filter(col("__dw") >= maxDocs)
+      .select(col(scopeCol), col("__d"), lit(true).as("__boiler"))
+    val per = flat.join(boiler, Seq(scopeCol, "__d"), "left")
+      .groupBy(col(idCol), col(scopeCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(col("__boiler")).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__boiler").isNull,
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s("chunk")),
+          " ").as("text_clean"))
+    docs.select(col(idCol), col(scopeCol)).join(per, Seq(idCol, scopeCol), "left")
+      .select(col(idCol), col(scopeCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** The shippable boilerplate list itself: every k-word chunk occurring
     * in >= maxDocs distinct documents, as chunk TEXT (the artifact an
     * ingest job loads; dropSharedChunks keeps its internal digest form).

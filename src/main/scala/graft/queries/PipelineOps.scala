@@ -2184,9 +2184,55 @@ object PipelineOps {
                   FROM ch GROUP BY 1)
             WHERE dw >= 3 ORDER BY chunk"""))
 
+  /** Domain-scoped boilerplate removal (ChunkDedup
+    * .dropSharedChunksWithin): a chunk is cut only where it is
+    * boilerplate WITHIN ITS OWN SOURCE — the per-domain form
+    * production pipelines run (site chrome repeats per domain; one
+    * site's chrome can be another's content). Same rewrite contract
+    * as x56 with every key widened to (source, chunk).
+    */
+  private val x63 = Q(
+    "x63_chunk_dedup_scoped",
+    (s, d) => ChunkDedup.dropSharedChunksWithin(
+        t(s, d, "documents"), "doc_id", "source", "text", 4, 3)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l
+                          FROM documents),
+                 ch AS (SELECT doc_id, source,
+                          unnest(list_transform(
+                            range(0, CAST(ceil(len(l) / 4.0) AS BIGINT)),
+                            i -> struct_pack(ci := i,
+                              ck := array_to_string(l[i*4+1:i*4+4], ' '))))
+                            AS c
+                        FROM toks),
+                 flat AS (SELECT doc_id, source, c.ci AS chunk_idx,
+                                 c.ck AS chunk
+                          FROM ch),
+                 bo AS (SELECT source, chunk
+                        FROM (SELECT source, chunk,
+                                     count(DISTINCT doc_id) AS dw
+                              FROM flat GROUP BY 1, 2)
+                        WHERE dw >= 3),
+                 per AS (SELECT f.doc_id, f.source,
+                           count(*) AS n_chunks,
+                           count(b.chunk) AS n_dropped,
+                           coalesce(string_agg(
+                               CASE WHEN b.chunk IS NULL THEN f.chunk END,
+                               ' ' ORDER BY f.chunk_idx), '') AS text_clean
+                         FROM flat f LEFT JOIN bo b
+                           ON f.source = b.source AND f.chunk = b.chunk
+                         GROUP BY 1, 2)
+            SELECT d.doc_id, d.source,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   coalesce(n_dropped, 0) AS n_dropped,
+                   coalesce(text_clean, '') AS text_clean
+            FROM documents d
+            LEFT JOIN per ON per.doc_id = d.doc_id AND per.source = d.source
+            ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
 }

@@ -637,6 +637,16 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("x63: scoped chunk dedup keeps x56's shape with the widened " +
+    "(source, digest) key — windows-free, no nested loop") {
+    val df = q("x63_chunk_dedup_scoped")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("x57: survivor selection ranks within clusters — never an " +
     "unpartitioned window") {
     val ws = windowsOf(q("x57_cluster_canonical"))

@@ -68,6 +68,41 @@ class ChunkDedupSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 1L, "other stuff")))
   }
 
+  test("scoped dedup: a chunk boilerplate in one source is untouched " +
+    "content in another; the global form would cut both") {
+    val docs = Seq(
+      (1L, "siteA", "nav bar alpha beta"),
+      (2L, "siteA", "nav bar gamma delta"),
+      (3L, "siteB", "nav bar epsilon zeta"),
+      (4L, "siteB", "eta theta iota kappa")).toDF("id", "src", "text")
+    val scoped = ChunkDedup
+      .dropSharedChunksWithin(docs, "id", "src", "text", 2, 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // "nav bar" hits 2 docs inside siteA (cut there) but only 1 inside
+    // siteB (kept there)
+    assert(scoped(1L) == ((2L, 1L, "alpha beta")))
+    assert(scoped(2L) == ((2L, 1L, "gamma delta")))
+    assert(scoped(3L) == ((2L, 0L, "nav bar epsilon zeta")))
+    assert(scoped(4L) == ((2L, 0L, "eta theta iota kappa")))
+    // the global form at the same threshold cuts siteB's copy too
+    val global = ChunkDedup.dropSharedChunks(docs, "id", "text", 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(global(3L) == "epsilon zeta")
+  }
+
+  test("scoped dedup within a single scope equals the global form on " +
+    "that scope (degenerate-scope law)") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .withColumn("one", lit("all"))
+    val scoped = ChunkDedup
+      .dropSharedChunksWithin(docs, "doc_id", "one", "text", 4, 3)
+      .drop("one")
+    val global = ChunkDedup.dropSharedChunks(docs, "doc_id", "text", 4, 3)
+    assert(scoped.exceptAll(global).isEmpty &&
+      global.exceptAll(scoped).isEmpty)
+  }
+
   test("reserved working names fail loudly instead of colliding") {
     val e = intercept[IllegalArgumentException] {
       ChunkDedup.dropSharedChunks(
