@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * x47's cross-doc dup *fraction* it produces the cleaned text, not a
   * score.
   *
-  * The corpus here has no newlines, so the sub-document unit is a fixed
-  * window of k consecutive whitespace tokens ("chunk"); on real data
-  * the same operator runs with lines or paragraphs as the unit — only
-  * the `chunks` splitter changes.
+  * The corpus here has no newlines, so the graded sub-document unit is
+  * a fixed window of k consecutive whitespace tokens ("chunk"); on real
+  * data the same operator runs with lines (or paragraphs) as the unit —
+  * only the splitter changes, which is now literal: every form takes a
+  * `ChunkUnit` (`WordWindows(k)` / `Lines`), and ChunkDedupSpec pins
+  * the line-unit behavior incl. the two-phase law on a newline fixture.
   *
   * Scale shape (three exchanges, all key-partitioned, no windows over
   * the corpus):
@@ -66,9 +68,56 @@ object ChunkDedup {
     // Column `/` is double division; floor+cast restores the integral
     // chunk count (size >= 1 always — split of "" is [""]).
     val lastIdx = floor((size(toks) - lit(1)) / lit(k)).cast("long")
-    transform(
+    val windows = transform(
       sequence(lit(0L), lastIdx),
       i => array_join(slice(toks, (i * k + lit(1)).cast("int"), lit(k)), " "))
+    // The null contract (null array in -> null array out, so posexplode
+    // emits no rows) must not hinge on session config: with
+    // spark.sql.ansi.enabled=false, size(null) is the LEGACY -1, making
+    // lastIdx negative and sequence(0, lastIdx) a DESCENDING two-element
+    // array — phantom chunk rows for every null-text doc. The explicit
+    // guard makes the contract hold under both ANSI modes; CaseWhen
+    // branches evaluate lazily, so non-null rows never pay it twice.
+    when(toks.isNull, lit(null).cast("array<string>")).otherwise(windows)
+  }
+
+  /** How a document decomposes into sub-document units and how the
+    * surviving units reassemble — the "only the splitter changes" claim
+    * of the scaladoc above, made concrete. Two stages by contract:
+    * `prep` is materialized as its OWN column before `chunksOf`'s
+    * lambda (if any) runs, so a transform body only ever slices a bound
+    * attribute, never re-evaluates a split per element (the O(len²)
+    * class `chunks`' scaladoc documents).
+    */
+  sealed trait ChunkUnit {
+    /** Stage-1 per-row projection (e.g. the token split), computed once. */
+    def prep(text: Column): Column
+    /** Prepared column -> array<string> of unit strings (null -> null). */
+    def chunksOf(prepped: Column): Column
+    /** Separator restoring the original layout when survivors rejoin. */
+    def sep: String
+  }
+
+  /** Fixed windows of k whitespace tokens — the unit for corpora
+    * without newlines (the graded testdata).
+    */
+  final case class WordWindows(k: Int) extends ChunkUnit {
+    require(k >= 1, s"chunk width must be >= 1, got $k")
+    def prep(text: Column): Column = split(text, " ")
+    def chunksOf(prepped: Column): Column = chunks(prepped, k)
+    def sep: String = " "
+  }
+
+  /** Newline units — the form real web corpora run (CCNet/RefinedWeb
+    * line-level dedup: site chrome repeats as whole lines). Each line
+    * is one chunk; empty lines are chunks too (an empty line repeated
+    * across >= maxDocs docs is boilerplate like any other — blank-line
+    * chrome), and a null document still maps to null (no rows).
+    */
+  case object Lines extends ChunkUnit {
+    def prep(text: Column): Column = split(text, "\n")
+    def chunksOf(prepped: Column): Column = prepped
+    def sep: String = "\n"
   }
 
   /** Rewrite each document with its shared chunks removed.
@@ -88,8 +137,16 @@ object ChunkDedup {
     */
   def dropSharedChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDocs: Int): DataFrame = {
-    require(k >= 1, s"chunk width must be >= 1, got $k")
+      k: Int, maxDocs: Int): DataFrame =
+    dropSharedChunksBy(docs, idCol, textCol, WordWindows(k), maxDocs)
+
+  /** Unit-generic form of dropSharedChunks — same contract, any
+    * ChunkUnit (Lines for real newline corpora; WordWindows(k) is what
+    * the k-based wrapper passes).
+    */
+  def dropSharedChunksBy(
+      docs: DataFrame, idCol: String, textCol: String,
+      unit: ChunkUnit, maxDocs: Int): DataFrame = {
     require(maxDocs >= 2,
       s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
     Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
@@ -100,9 +157,10 @@ object ChunkDedup {
     // materialized array (see chunks' scaladoc for the quadratic this
     // two-step shape avoids)
     val flat = docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), unit.prep(col(textCol)).as("__toks"))
       .select(col(idCol),
-        posexplode(chunks(col("__toks"), k)).as(Seq("chunk_idx", "chunk")))
+        posexplode(unit.chunksOf(col("__toks")))
+          .as(Seq("chunk_idx", "chunk")))
       .withColumn("__d", unhex(md5(col("chunk"))))
     val boiler = flat
       .groupBy("__d").agg(countDistinct(col(idCol)).as("__dw"))
@@ -118,7 +176,7 @@ object ChunkDedup {
             array_sort(collect_list(when(col("__boiler").isNull,
               struct(col("chunk_idx"), col("chunk"))))),
             s => s("chunk")),
-          " ").as("text_clean"))
+          unit.sep).as("text_clean"))
     docs.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -140,8 +198,14 @@ object ChunkDedup {
     */
   def dropSharedChunksWithin(
       docs: DataFrame, idCol: String, scopeCol: String, textCol: String,
-      k: Int, maxDocs: Int): DataFrame = {
-    require(k >= 1, s"chunk width must be >= 1, got $k")
+      k: Int, maxDocs: Int): DataFrame =
+    dropSharedChunksWithinBy(docs, idCol, scopeCol, textCol,
+      WordWindows(k), maxDocs)
+
+  /** Unit-generic form of dropSharedChunksWithin. */
+  def dropSharedChunksWithinBy(
+      docs: DataFrame, idCol: String, scopeCol: String, textCol: String,
+      unit: ChunkUnit, maxDocs: Int): DataFrame = {
     require(maxDocs >= 2,
       s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
     Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
@@ -149,9 +213,11 @@ object ChunkDedup {
       require(!docs.columns.contains(n),
         s"dropSharedChunksWithin reserves column name '$n'; rename the input column"))
     val flat = docs
-      .select(col(idCol), col(scopeCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), col(scopeCol),
-        posexplode(chunks(col("__toks"), k)).as(Seq("chunk_idx", "chunk")))
+        unit.prep(col(textCol)).as("__toks"))
+      .select(col(idCol), col(scopeCol),
+        posexplode(unit.chunksOf(col("__toks")))
+          .as(Seq("chunk_idx", "chunk")))
       .withColumn("__d", unhex(md5(col("chunk"))))
     val boiler = flat
       .groupBy(col(scopeCol), col("__d"))
@@ -168,7 +234,7 @@ object ChunkDedup {
             array_sort(collect_list(when(col("__boiler").isNull,
               struct(col("chunk_idx"), col("chunk"))))),
             s => s("chunk")),
-          " ").as("text_clean"))
+          unit.sep).as("text_clean"))
     docs.select(col(idCol), col(scopeCol)).join(per, Seq(idCol, scopeCol), "left")
       .select(col(idCol), col(scopeCol),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -182,14 +248,20 @@ object ChunkDedup {
     */
   def boilerplateChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDocs: Int): DataFrame = {
-    require(k >= 1 && maxDocs >= 2, s"bad (k=$k, maxDocs=$maxDocs)")
+      k: Int, maxDocs: Int): DataFrame =
+    boilerplateChunksBy(docs, idCol, textCol, WordWindows(k), maxDocs)
+
+  /** Unit-generic form of boilerplateChunks. */
+  def boilerplateChunksBy(
+      docs: DataFrame, idCol: String, textCol: String,
+      unit: ChunkUnit, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 2, s"maxDocs must be >= 2, got $maxDocs")
     Seq("chunk", "__dw", "__toks").foreach(n =>
       require(!docs.columns.contains(n),
         s"boilerplateChunks reserves column name '$n'; rename the input column"))
     docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), explode(chunks(col("__toks"), k)).as("chunk"))
+      .select(col(idCol), unit.prep(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(unit.chunksOf(col("__toks"))).as("chunk"))
       .groupBy("chunk").agg(countDistinct(col(idCol)).as("__dw"))
       .filter(col("__dw") >= maxDocs)
       .select("chunk")
@@ -213,8 +285,13 @@ object ChunkDedup {
     */
   def applyBoilerplate(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, boilerplate: Seq[String]): DataFrame = {
-    require(k >= 1, s"chunk width must be >= 1, got $k")
+      k: Int, boilerplate: Seq[String]): DataFrame =
+    applyBoilerplateBy(docs, idCol, textCol, WordWindows(k), boilerplate)
+
+  /** Unit-generic form of applyBoilerplate. */
+  def applyBoilerplateBy(
+      docs: DataFrame, idCol: String, textCol: String,
+      unit: ChunkUnit, boilerplate: Seq[String]): DataFrame = {
     Seq("n_chunks", "n_dropped", "text_clean", "__toks", "__ch", "__kept")
       .foreach(n => require(!docs.columns.contains(n),
         s"applyBoilerplate reserves column name '$n'; rename the input column"))
@@ -227,9 +304,9 @@ object ChunkDedup {
     // lambda over split(text) would re-tokenize per chunk)
     docs
       .select(col(idCol), col(textCol),
-        split(col(textCol), " ").as("__toks"))
+        unit.prep(col(textCol)).as("__toks"))
       .select(col(idCol), col(textCol),
-        chunks(col("__toks"), k).as("__ch"))
+        unit.chunksOf(col("__toks")).as("__ch"))
       .select(col(idCol), col(textCol), col("__ch"),
         filter(col("__ch"), c => !array_contains(boil, c)).as("__kept"))
       // NULL text: (0, 0, "") — the same row dropSharedChunks restores
@@ -243,6 +320,6 @@ object ChunkDedup {
           .otherwise((size(col("__ch")) - size(col("__kept"))).cast("long"))
           .as("n_dropped"),
         when(col(textCol).isNull, lit(""))
-          .otherwise(array_join(col("__kept"), " ")).as("text_clean"))
+          .otherwise(array_join(col("__kept"), unit.sep)).as("text_clean"))
   }
 }

@@ -151,6 +151,99 @@ class ChunkDedupSpec extends SparkTestBase {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("chunks' null contract holds with ANSI off (legacy size(null) " +
+    "= -1 must not fabricate phantom chunks)") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val docs = Seq((1L, Some("nav bar x")), (2L, Some("nav bar y")),
+        (3L, None: Option[String])).toDF("id", "text")
+      // direct probe: a null token array must chunk to null, not to a
+      // descending-sequence artifact
+      val probe = docs.filter(col("id") === 3L)
+        .select(ChunkDedup.chunks(split(col("text"), " "), 2).as("c"))
+        .head()
+      assert(probe.isNullAt(0))
+      // end to end: the null doc is restored as (0, 0, ""), same as ANSI
+      val joint = ChunkDedup.dropSharedChunks(docs, "id", "text", 2, 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(joint(3L) == ((0L, 0L, "")))
+      assert(joint(1L) == ((2L, 1L, "x")))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("line unit: a line shared by >= maxDocs docs is cut; unique " +
+    "lines survive in order, reassembled with newlines") {
+    val docs = Seq(
+      (1L, "COOKIE NOTICE\nalpha prose\nbeta prose"),
+      (2L, "COOKIE NOTICE\ngamma prose"),
+      (3L, "COOKIE NOTICE\ndelta prose"),
+      (4L, "unique only\nnothing shared")).toDF("id", "text")
+    val out = ChunkDedup
+      .dropSharedChunksBy(docs, "id", "text", ChunkDedup.Lines, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha prose\nbeta prose")))
+    assert(out(2L) == ((2L, 1L, "gamma prose")))
+    assert(out(3L) == ((2L, 1L, "delta prose")))
+    assert(out(4L) == ((2L, 0L, "unique only\nnothing shared")))
+  }
+
+  test("line unit: empty lines are chunks — shared blank-line chrome " +
+    "is cut like any other line; a null doc is (0, 0, \"\")") {
+    val docs = Seq(
+      (1L, Some("a\n\nb")), (2L, Some("c\n\nd")), (3L, Some("e\n\nf")),
+      (4L, None: Option[String])).toDF("id", "text")
+    val out = ChunkDedup
+      .dropSharedChunksBy(docs, "id", "text", ChunkDedup.Lines, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the empty middle line appears in 3 distinct docs -> boilerplate
+    assert(out(1L) == ((3L, 1L, "a\nb")))
+    assert(out(2L) == ((3L, 1L, "c\nd")))
+    assert(out(3L) == ((3L, 1L, "e\nf")))
+    assert(out(4L) == ((0L, 0L, "")))
+  }
+
+  test("line unit two-phase law: applyBoilerplateBy(list) equals " +
+    "dropSharedChunksBy on the same newline fixture, row for row") {
+    val docs = Seq(
+      (1L, Some("NAV\nalpha\nFOOTER")),
+      (2L, Some("NAV\nbeta\nFOOTER")),
+      (3L, Some("NAV\ngamma")),
+      (4L, Some("plain\ntext")),
+      (5L, None: Option[String])).toDF("id", "text")
+    val list = ChunkDedup
+      .boilerplateChunksBy(docs, "id", "text", ChunkDedup.Lines, 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(list.toSet == Set("NAV", "FOOTER"))
+    val applied = ChunkDedup
+      .applyBoilerplateBy(docs, "id", "text", ChunkDedup.Lines, list)
+    val joint = ChunkDedup
+      .dropSharedChunksBy(docs, "id", "text", ChunkDedup.Lines, 2)
+    assert(applied.exceptAll(joint).isEmpty &&
+      joint.exceptAll(applied).isEmpty)
+    val m = applied.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) == ((3L, 2L, "alpha")))
+    assert(m(5L) == ((0L, 0L, "")))
+  }
+
+  test("line-unit scoped form: chrome is cut only within its own " +
+    "source") {
+    val docs = Seq(
+      (1L, "siteA", "NAV\nalpha"),
+      (2L, "siteA", "NAV\nbeta"),
+      (3L, "siteB", "NAV\ngamma"),
+      (4L, "siteB", "delta\nepsilon")).toDF("id", "src", "text")
+    val out = ChunkDedup.dropSharedChunksWithinBy(
+        docs, "id", "src", "text", ChunkDedup.Lines, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) == "alpha" && out(2L) == "beta")
+    assert(out(3L) == "NAV\ngamma") // only 1 doc in siteB has NAV
+  }
+
   test("graded slice sanity: some boilerplate exists at sf0.001 and " +
     "token mass is conserved (kept + dropped = original)") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
