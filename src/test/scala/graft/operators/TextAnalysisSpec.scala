@@ -80,6 +80,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(1).getString(1) == "see <URL> and <URL> ok")
   }
 
+  test("sentimentScore is signed, bounded, and zero on no-signal text") {
+    val pos = Seq("fast", "big")
+    val neg = Seq("slow", "small")
+    val df = Seq(
+      ("up", "fast fast big join"),
+      ("down", "slow small slow merge"),
+      ("flat", "fast slow join merge"),
+      ("none", "join merge scan sort")).toDF("k", "text")
+    val r = df.select(col("k"),
+        TextAnalysis.sentimentScore(col("text"), pos, neg).as("s"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("up") == 0.75 && r("down") == -0.75)
+    assert(r("flat") == 0.0 && r("none") == 0.0)
+    assert(r.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("features frame has one row per doc and no nulls") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
     val f = TextAnalysis.features(docs, TextAnalysis.langMarkers("en"))
