@@ -234,6 +234,66 @@ object Sketches {
     new GenericArrayData(java.util.Arrays.copyOf(sel, o + 1))
   }
 
+  /** Position-carrying winnowing selections: the same hash + window
+    * scan as winnowFingerprints, but each selection keeps its 1-BASED
+    * gram index — the half of Schleimer et al. §4 that makes a MOSS
+    * report actionable (which SPANS overlap, not just how many
+    * fingerprints). Output: array<struct<fp,pos>> sorted by pos,
+    * distinct by construction (consecutive windows re-selecting the
+    * same gram dedupe on the position — a position determines its fp,
+    * so (fp, pos) pairs are exactly the distinct selected positions,
+    * matching the SQL twin's DISTINCT). The token span covered by a
+    * row is [pos, pos+k-1], which is what Winnow.coveragePairs
+    * explodes. winnowFingerprints stays the cheaper form for callers
+    * that only bucket (x61): its output is ~2/(w+1) of gram count with
+    * no struct overhead.
+    */
+  def winnowFingerprintPositions(text: UTF8String, k: Int,
+      w: Int): ArrayData = {
+    val bounds = tokenBounds(text)
+    val nTokens = bounds.length - 1
+    if (nTokens < k) return new GenericArrayData(Array.empty[AnyRef])
+    val bytes = text.getBytes
+    val m = nTokens - k + 1
+    val hs = new Array[Long](m)
+    val md = md5Local.get()
+    var t = 0
+    while (t < m) {
+      val lo = bounds(t) + 1
+      val hi = bounds(t + k)
+      md.reset()
+      md.update(bytes, lo, hi - lo)
+      val d = md.digest()
+      hs(t) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      t += 1
+    }
+    val nwin = math.max(m - w + 1, 1)
+    val picked = new Array[Boolean](m)
+    var nPicked = 0
+    var j = 0
+    while (j < nwin) {
+      val end = math.min(j + w, m)
+      var best = j
+      var p = j + 1
+      while (p < end) { if (hs(p) <= hs(best)) best = p; p += 1 }
+      if (!picked(best)) { picked(best) = true; nPicked += 1 }
+      j += 1
+    }
+    val out = new Array[AnyRef](nPicked)
+    var o = 0
+    var i = 0
+    while (i < m) {
+      if (picked(i)) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](hs(i), i + 1))
+        o += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Word k-shingle strings in one pass (see WordShingles below for the
     * why). Byte-offset slicing is safe here for non-ASCII too: the
     * slice bounds are separator byte positions, so every slice is a
@@ -511,6 +571,31 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** winnow_fingerprint_positions(text, k, w): position-carrying winnow
+  * selections as array<struct<fp,pos>> (see
+  * Sketches.winnowFingerprintPositions).
+  */
+case class WinnowFingerprintPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1,
+    s"winnow_fingerprint_positions: gram width must be >= 1, got $k")
+  require(w >= 1,
+    s"winnow_fingerprint_positions: window must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Sketches.winnowFingerprintPositions(input.asInstanceOf[UTF8String], k, w)
+  override def prettyName: String = "winnow_fingerprint_positions"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.winnowFingerprintPositions($c, $k, $w)")
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprintPositions =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
@@ -535,6 +620,11 @@ object SketchFunctions {
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     ColumnShim.toColumn(
       WinnowFingerprints(ColumnShim.toExpression(c), k, w))
+
+  /** Column API: one-pass native position-carrying winnow selections. */
+  def winnowFingerprintPositions(c: Column, k: Int, w: Int): Column =
+    ColumnShim.toColumn(
+      WinnowFingerprintPositions(ColumnShim.toExpression(c), k, w))
 
   /** Column API: one-pass native word-shingle strings. */
   def wordShingles(c: Column, shingleK: Int): Column =

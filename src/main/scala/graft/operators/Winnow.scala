@@ -102,6 +102,99 @@ object Winnow {
       .select(col(idCol), explode(array_distinct(sel)).as("fp"))
   }
 
+  /** Position-carrying winnowing fingerprints: (idCol, fp, pos), pos
+    * the 1-based gram index of the selected window minimum (the token
+    * span covered is [pos, pos+k-1]). Distinct (fp, pos) pairs per
+    * document — a fingerprint occurring at several positions keeps them
+    * all, which is what span coverage needs; `fingerprints` stays the
+    * cheaper surface for callers that only bucket.
+    */
+  def fingerprintPositions(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram width must be >= 1, got $k")
+    require(w >= 1, s"window width must be >= 1, got $w")
+    Seq("fp", "pos").foreach(n => require(!docs.columns.contains(n),
+      s"fingerprintPositions reserves column name '$n'; rename the input column"))
+    docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.SketchFunctions.winnowFingerprintPositions(
+          col(textCol), k, w)).as("__s"))
+      .select(col(idCol), col("__s.fp").as("fp"), col("__s.pos").as("pos"))
+  }
+
+  /** Matched-coverage pairs — the MOSS-report half of the scheme
+    * (Schleimer et al. §4): for every overlapPairs pair, what FRACTION
+    * of each document's tokens is covered by the spans of the shared
+    * fingerprints. Output: (id_a, id_b, n_shared, cov_a, cov_b) with
+    * cov = |union of [pos, pos+k-1] spans over shared fingerprints| /
+    * doc token count, rounded to 4 decimals. n_shared, the df cap, and
+    * the pair set match overlapPairs exactly (same distinct-(id, fp)
+    * pairing, same pre-shuffle cap).
+    *
+    * Scale shape: the pair stream is the same capped bucket explode as
+    * overlapPairs (the df cap still runs BEFORE the bucket shuffle);
+    * coverage then joins the qualifying (a, b, fp) rows back to the
+    * position table on the (id, fp) key — equi-joins on bounded
+    * streams (pairs are minShared-filtered first, so the span explode
+    * only runs for reported pairs) — and the span union is computed
+    * exactly by exploding each span's k token indices and counting
+    * distinct per pair side: k is small (3-8 grams), so the exploded
+    * mass is k × matched positions, bounded by k × fingerprint density
+    * (~2/(w+1)) × doc length, only for qualifying pairs. An
+    * interval-merge window per pair would save that constant k but add
+    * a per-pair sort; the explode stays inside codegen.
+    */
+  def coveragePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"bad (minShared=$minShared, maxDf=$maxDf)")
+    val fpos = fingerprintPositions(docs, idCol, textCol, k, w)
+    val fps = fpos.select(col(idCol), col("fp")).distinct()
+    val good = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__dfc"))
+      .filter(col("__dfc").between(2, maxDf))
+      .select("fp")
+    // bucket expansion keeping the fp: (a, b, fp) one row per shared
+    // surviving fingerprint — same shape as Dedup.explodeMemberPairs
+    // but the bucket key rides along for the coverage join back
+    val buckets = fps.join(good, "fp")
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    val pf = buckets
+      .select(col("fp"), col("ids"), posexplode(col("ids")).as(Seq("__i", "a")))
+      .select(col("fp"), col("a"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids"))))
+          .as("b"))
+    val qualified = pf.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val pfq = pf.join(qualified.select("a", "b"), Seq("a", "b"))
+    // per-side covered-token counts: join matched (a, b, fp) rows to
+    // that side's positions, explode each span's k indices, count
+    // distinct — the exact union of overlapping spans
+    def covered(side: String): DataFrame =
+      pfq.join(fpos.toDF("__pid", "__pfp", "__pos"),
+          col(side) === col("__pid") && col("fp") === col("__pfp"))
+        .select(col("a"), col("b"),
+          explode(sequence(col("__pos"), col("__pos") + lit(k - 1)))
+            .as("__tok"))
+        .groupBy("a", "b")
+        .agg(countDistinct(col("__tok")).as(s"__cov_$side"))
+    val lens = docs.select(col(idCol),
+      size(split(col(textCol), " ")).as("__n"))
+    qualified
+      .join(covered("a"), Seq("a", "b"))
+      .join(covered("b"), Seq("a", "b"))
+      .join(lens.toDF("a", "__na"), "a")
+      .join(lens.toDF("b", "__nb"), "b")
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("n_shared"),
+        round(col("__cov_a").cast("double") / col("__na"), 4).as("cov_a"),
+        round(col("__cov_b").cast("double") / col("__nb"), 4).as("cov_b"))
+  }
+
   /** Partial-overlap candidate pairs: (id_a, id_b, n_shared) for every
     * document pair sharing at least `minShared` fingerprints, ignoring
     * fingerprints present in more than `maxDf` distinct documents

@@ -2230,6 +2230,70 @@ object PipelineOps {
             LEFT JOIN per ON per.doc_id = d.doc_id AND per.source = d.source
             ORDER BY d.doc_id"""))
 
+  /** Winnowing matched-coverage pairs (Winnow.coveragePairs — the
+    * MOSS-report half of Schleimer et al. 2003 §4): x61's pair set,
+    * each pair annotated with the fraction of each document's tokens
+    * covered by the shared fingerprints' spans. The oracle replays the
+    * position-carrying selection (the same rightmost-min arithmetic as
+    * x61's, kept as the struct (fp, pos) instead of the bare hash),
+    * the df cap, the pair counts, and the exact span-union coverage.
+    */
+  private val x64 = Q(
+    "x64_winnow_coverage",
+    (s, d) => Winnow.coveragePairs(t(s, d, "documents"),
+        "doc_id", "text", k = 3, w = 4, minShared = 2, maxDf = 10)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS arr
+                       FROM documents),
+            h AS (SELECT doc_id,
+                    list_transform(range(1, len(arr) - 1),
+                      i -> CAST(('0x'||substr(md5(
+                             array_to_string(arr[i:i+2], ' ')),1,8))::UBIGINT
+                           AS BIGINT)) AS hs
+                  FROM t WHERE len(arr) >= 3),
+            f AS (SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos FROM (
+                    SELECT doc_id,
+                      unnest(list_transform(
+                        range(1, greatest(len(hs) - 3, 1) + 1),
+                        j -> struct_pack(
+                          fp := hs[j + len(hs[j:j+3])
+                                   - list_indexof(list_reverse(hs[j:j+3]),
+                                                  list_min(hs[j:j+3]))],
+                          pos := j + len(hs[j:j+3])
+                                   - list_indexof(list_reverse(hs[j:j+3]),
+                                                  list_min(hs[j:j+3]))))) AS u
+                    FROM h)),
+            ff AS (SELECT DISTINCT doc_id, fp FROM f),
+            d AS (SELECT fp, count(*) AS dfc FROM ff GROUP BY 1),
+            pf AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+                   FROM ff a JOIN ff b
+                     ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   JOIN d ON d.fp = a.fp
+                   WHERE d.dfc BETWEEN 2 AND 10),
+            q AS (SELECT id_a, id_b, count(*) AS n_shared
+                  FROM pf GROUP BY 1, 2 HAVING count(*) >= 2),
+            ca AS (SELECT id_a, id_b, count(DISTINCT tok) AS cov FROM (
+                     SELECT p.id_a, p.id_b,
+                            unnest(range(f.pos, f.pos + 3)) AS tok
+                     FROM pf p JOIN q USING (id_a, id_b)
+                     JOIN f ON f.doc_id = p.id_a AND f.fp = p.fp)
+                   GROUP BY 1, 2),
+            cb AS (SELECT id_a, id_b, count(DISTINCT tok) AS cov FROM (
+                     SELECT p.id_a, p.id_b,
+                            unnest(range(f.pos, f.pos + 3)) AS tok
+                     FROM pf p JOIN q USING (id_a, id_b)
+                     JOIN f ON f.doc_id = p.id_b AND f.fp = p.fp)
+                   GROUP BY 1, 2),
+            l AS (SELECT doc_id, len(string_split(text,' ')) AS n
+                  FROM documents)
+            SELECT q.id_a, q.id_b, CAST(q.n_shared AS BIGINT) AS n_shared,
+                   round(CAST(ca.cov AS DOUBLE) / la.n, 4) AS cov_a,
+                   round(CAST(cb.cov AS DOUBLE) / lb.n, 4) AS cov_b
+            FROM q JOIN ca USING (id_a, id_b) JOIN cb USING (id_a, id_b)
+            JOIN l la ON la.doc_id = q.id_a
+            JOIN l lb ON lb.doc_id = q.id_b
+            ORDER BY id_a, id_b"""))
+
   /** Lexicon sentiment (TextAnalysis.sentimentScore): signed
     * positive-minus-negative marker ratio per document, with a
     * thresholded verdict — the last SURVEY §7.4 noun that had no named
@@ -2273,5 +2337,5 @@ object PipelineOps {
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x65)
+    x64, x65)
 }

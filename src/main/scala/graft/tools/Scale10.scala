@@ -357,6 +357,15 @@ object Scale10 {
       "winnow_pairs" -> (() =>
         graft.operators.Winnow.overlapPairs(docs, "doc_id", "text",
           k = 3, w = 4, minShared = 2, maxDf = 10).count()),
+      // x64: the coverage form pays overlapPairs' capped bucket shape
+      // PLUS the position joins and span explodes — but only for
+      // qualifying pairs, so its decade should track winnow_pairs'
+      // with a constant factor, not a new growth class. The filter
+      // forces the coverage arithmetic to compute.
+      "winnow_coverage" -> (() =>
+        graft.operators.Winnow.coveragePairs(docs, "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxDf = 10)
+          .filter(col("cov_a") >= 0.0).count()),
       // x58: the sharded prefix sum's decade — three cheap passes over
       // one range exchange; the predicate forces the offset arithmetic.
       "corpus_offsets" -> (() => {
@@ -1389,7 +1398,8 @@ object Scale10 {
         "corpus_pipeline", "bigram_lm", "dup_ngram_frac",
         "quality_select", "tfidf_terms", "hash_split",
         "filter_rules", "chunk_dedup", "canonical_survivors",
-        "corpus_offsets", "novelty", "winnow_pairs"), "docs100")
+        "corpus_offsets", "novelty", "winnow_pairs",
+        "winnow_coverage"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

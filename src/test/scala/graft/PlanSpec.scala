@@ -721,6 +721,35 @@ class PlanSpec extends SparkTestBase {
     assert(joins.size == 1, s"expected only the df-cap join: $joins")
   }
 
+  test("x64: coverage pairs keep x61's pre-capped bucket shape — no " +
+    "cartesian, no window, and every join equi-keyed on (id, fp) " +
+    "streams bounded by the capped pair set") {
+    val df = q("x64_winnow_coverage")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // pair generation must still come from the bucketed collect_set
+    // explode (x61's shape), never from self-joining two full
+    // fingerprint streams: every join in the plan is either the df-cap
+    // semi-shape, the minShared qualification, a coverage
+    // position-lookup, or a doc-length attach — all equi-joins over
+    // streams already bounded by the cap. 13 logical joins because
+    // DataFrame reuse RE-EXPANDS the pf/qualified subtrees per
+    // reference (the df-cap join appears once per copy); physically
+    // AQE reuses the identical exchanges (6 ReusedExchange observed)
+    // and the re-run fingerprint scans are the documented
+    // recompute-over-reshuffle trade. The count is pinned so a
+    // refactor that sneaks in a pair-stream self-join trips here,
+    // like x61's single-join pin.
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 13, s"expected the 13 bounded equi-joins, got " +
+      s"${joins.size}: ${joins.map(_.joinType)}")
+    assert(joins.forall(_.condition.isDefined), "non-equi join appeared")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -121,6 +121,67 @@ class WinnowSpec extends SparkTestBase {
       s"dup=${pairs.toSeq} clean=${clean.toSeq}")
   }
 
+  test("fingerprintPositions is consistent with fingerprints (same fp " +
+    "set per doc) and positions point at the selected grams") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(200)
+    val byFp = Winnow.fingerprints(docs, "doc_id", "text", 3, 4)
+    val byPos = Winnow.fingerprintPositions(docs, "doc_id", "text", 3, 4)
+      .select(col("doc_id"), col("fp")).distinct()
+    assert(byFp.exceptAll(byPos).isEmpty && byPos.exceptAll(byFp).isEmpty)
+    // positions are 1-based gram indices: hash of the gram AT pos
+    // equals fp for every row (recompute via the SQL-grid formula)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val check = Winnow.fingerprintPositions(docs, "doc_id", "text", 3, 4)
+      .join(toks, "doc_id")
+      .select(col("fp"),
+        conv(substring(md5(array_join(
+          slice(col("ts"), col("pos"), lit(3)), " ")), 1, 8), 16, 10)
+          .cast("long").as("refp"))
+    assert(check.filter(col("fp") =!= col("refp")).count() == 0)
+  }
+
+  test("coveragePairs: a planted shared passage yields the right span " +
+    "coverage on both sides, and the pair set matches overlapPairs") {
+    val shared = "unique shared passage about spark physical planning " +
+      "and adaptive execution strategies" // 12 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"$shared eta theta iota kappa lambda mu nu xi"),
+      (3L, "totally different words having nothing in common here"))
+      .toDF("id", "text")
+    val cov = Winnow.coveragePairs(docs, "id", "text", 3, 4,
+      minShared = 1, maxDf = 10)
+    val rows = cov.collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    val r = rows.head
+    val (covA, covB) = (r.getDouble(3), r.getDouble(4))
+    // the shared 12-token run is ~2/3 of each 18/20-token doc; shared
+    // fingerprints cover a sub-span of it, never more than the run plus
+    // k-1 boundary tokens, never less than one k-gram
+    assert(covA > 0.1 && covA <= (12.0 + 2) / 18, s"cov_a $covA")
+    assert(covB > 0.1 && covB <= (12.0 + 2) / 20, s"cov_b $covB")
+    // pair universe identical to overlapPairs at the same parameters
+    val op = Winnow.overlapPairs(docs, "id", "text", 3, 4, 1, 10)
+      .select("id_a", "id_b", "n_shared")
+    assert(cov.select("id_a", "id_b", "n_shared").exceptAll(op).isEmpty &&
+      op.exceptAll(cov.select("id_a", "id_b", "n_shared")).isEmpty)
+  }
+
+  test("coveragePairs coverage is exact on a hand-computed fixture") {
+    // k=1, w=1: every token is its own fingerprint at its own position
+    // -> coverage = |shared distinct tokens' positions| / n_tokens,
+    // i.e. fraction of token occurrences whose token the other doc has
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f g h")).toDF("id", "text")
+    val r = Winnow.coveragePairs(docs, "id", "text", 1, 1,
+      minShared = 1, maxDf = 10).head()
+    assert(r.getLong(2) == 2)           // shared fps: c, d
+    assert(r.getDouble(3) == 0.5)       // 2 of 4 tokens covered in doc 1
+    assert(r.getDouble(4) == 0.3333)    // round(2/6, 4) in doc 2
+  }
+
   test("non-positive k or w fail at construction, through every " +
     "surface (operator, Column API, SQL)") {
     val docs = Seq((1L, "a b c")).toDF("id", "text")
