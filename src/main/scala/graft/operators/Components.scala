@@ -44,8 +44,20 @@ object Components {
     * by construction. Throws if maxIter rounds pass without convergence
     * rather than returning a partially-propagated labelling.
     */
+  /** `jumpsPerRound`: how many pointer jumps to chain after each
+    * propagation before the round materializes (default 1, the
+    * classic). Each extra jump squares the chain-shortening per
+    * MATERIALIZED round (labels advance 2^(jumps) hops of the
+    * representative chain), trading one more self-join inside the same
+    * action for fewer checkpoint+action rounds — the amortization dial
+    * for the fixed per-round driver cost that dominates x45/x57/x32 at
+    * small SF (the round-15 `minlabel` flow measures both settings at
+    * sf0.1 and the ×100 slice).
+    */
   def minLabel(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, jumpsPerRound: Int = 1): DataFrame = {
+    require(jumpsPerRound >= 1,
+      s"jumpsPerRound must be >= 1, got $jumpsPerRound")
     // symmetric adjacency: propagate across the edge in both directions
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -73,15 +85,22 @@ object Components {
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
       // pointer jump: my representative's representative is at least as
-      // small as mine (labels only ever decrease), so chase one hop
-      val reps = propagated
-        .select(col("id").as("rid"), col("cluster").as("rcluster"))
-      val jumped = propagated
-        .join(reps, propagated("cluster") === reps("rid"), "left")
-        .select(propagated("id"),
-          least(propagated("cluster"),
-            coalesce(col("rcluster"), propagated("cluster"))).as("cluster"),
-          propagated("old"))
+      // small as mine (labels only ever decrease), so chase one hop —
+      // or several (jumpsPerRound), each a lazy self-join inside the
+      // same action, before the round pays its checkpoint
+      var jumped = propagated
+      var jmp = 0
+      while (jmp < jumpsPerRound) {
+        val reps = jumped
+          .select(col("id").as("rid"), col("cluster").as("rcluster"))
+        jumped = jumped
+          .join(reps, jumped("cluster") === reps("rid"), "left")
+          .select(jumped("id"),
+            least(jumped("cluster"),
+              coalesce(col("rcluster"), jumped("cluster"))).as("cluster"),
+            jumped("old"))
+        jmp += 1
+      }
       // Convergence detection rides ON the checkpoint materialization:
       // the round-start label is already in hand (the propagate join read
       // it), so an observe() metric folded into the one action this round

@@ -194,6 +194,23 @@ object Similarity {
         1, nprobe),
       s => s.getField("cid"))
 
+  /** The nprobe that keeps blocked-kNN fidelity roughly CONSTANT as
+    * the corpus grows: nprobe = max(base, ceil(c·ln nlist)). Rationale
+    * (SCALE.md round-14/-15): with nlist scaling as n/512, a FIXED
+    * nprobe probes a shrinking fraction of cells, and blocked 1-NN
+    * agreement decayed 88% → 57% of exact over the 20k → 200k decade
+    * at nprobe=4; the round-15 sweep measured agreement at nprobe ∈
+    * {4..16} on both corpora and this ln rule is the fit that holds
+    * ≥90% of exact at both sizes while keeping per-query candidate
+    * mass at ~512·c·ln(nlist) — logarithmic, not linear, growth in
+    * scan work per vector. SimilaritySpec pins the ≥90% floor.
+    */
+  def nprobeForNlist(nlist: Int, base: Int = 4, c: Double = 2.0): Int = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    math.min(nlist,
+      math.max(base, math.ceil(c * math.log(nlist.toDouble)).toInt))
+  }
+
   /** IVF probe search: exact top-k cosine, but each query scores ONLY
     * the vectors assigned to its `nprobe` nearest cells — the standard
     * recall/cost dial of IVF ANN (nprobe = all cells degenerates to

@@ -240,8 +240,13 @@ object Scale10 {
             (i, r.getSeq[Float](r.fieldIndex("embedding"))
               .map(_.toDouble).toArray)
           }.toSeq
+        // nprobe scales with ln(nlist) (Similarity.nprobeForNlist) so
+        // fidelity stays ~constant across the decade — the round-14
+        // fixed-nprobe decay (88% -> 57% of exact) measured and fixed
+        // in the round-15 knnfidelity sweep
         Similarity.selfKnnLabelAgreementByCell(
-          e, "vec_id", "embedding", "label", cents, nprobe = 4)
+          e, "vec_id", "embedding", "label", cents,
+          nprobe = Similarity.nprobeForNlist(nlist))
           .filter(col("agree")).count()
       }),
       "vocab_encode" -> (() => {
@@ -556,6 +561,134 @@ object Scale10 {
           "knn_label_exact", "knn_label_agree"), "emb100")
       time(SRC, names)
       time(dir100, names)
+    } else if (only("skewscope")) {
+      // x63's adversarial decade: 90% of documents forced into ONE
+      // source. The scoped form's keys are all (source, digest) or
+      // (doc, source) COMPOSITES, so a hot domain must not serialize
+      // any exchange — the digest/doc component keeps every shuffle
+      // partition-parallel (the operator deliberately has no
+      // per-source window). Measured as skewed-vs-uniform wall at the
+      // same corpus size, sf0.1 and the ×100 slice; parity between the
+      // two is the pass criterion, and the row counts differ only
+      // because the hot domain's merged chunk-census crosses the
+      // boilerplate threshold for more chunks.
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      for (dir <- Seq(SRC, dir100)) {
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+        val skewed = base.withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("hotdomain"))
+            .otherwise(col("source")))
+        for ((name, d) <- Seq("uniform" -> base, "skew90" -> skewed)) {
+          def run(): Long = ChunkDedup
+            .dropSharedChunksWithin(d, "doc_id", "source", "text", 4, 3)
+            .filter(length(col("text_clean")) >= 0)
+            .agg(sum(col("n_dropped"))).head().getLong(0)
+          run() // warm
+          val t0 = System.nanoTime()
+          val dropped = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"skewscope","dir":"$dir","mix":"$name","sec":${f(sec)},"dropped":$dropped}""")
+        }
+      }
+    } else if (only("minlabel")) {
+      // x45/x57/x32 amortization probe: three of the four slowest
+      // graded queries each pay ~6 checkpointed label-propagation
+      // rounds whose per-round fixed cost dominates at small SF. This
+      // flow (a) isolates that fixed cost by timing a bare
+      // localCheckpoint round-trip of the label table, and (b) times
+      // minLabel end-to-end at jumpsPerRound = 1 vs 2 on the sf0.1
+      // corpus and the ×100 slice — the double jump halves the
+      // materialized rounds for chain-shaped components at the price
+      // of one extra lazy self-join per round.
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      for (dir <- Seq(SRC, dir100)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 0.6)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+          .localCheckpoint()
+        val nodes = docs.select(col("doc_id").as("id")).localCheckpoint()
+        val nPairs = pairs.count()
+        // fixed per-round floor: one eager localCheckpoint of the label
+        // table (what every round pays before any join runs)
+        val t0f = System.nanoTime()
+        nodes.select(col("id"), col("id").as("cluster"))
+          .localCheckpoint(true).unpersist()
+        val fixedSec = (System.nanoTime() - t0f) / 1e9
+        for (jumps <- Seq(1, 2)) {
+          def run(): Long = Components
+            .minLabel(nodes, pairs, jumpsPerRound = jumps)
+            .groupBy("cluster").count().count()
+          run() // warm
+          val t0 = System.nanoTime()
+          val nClusters = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"minlabel","dir":"$dir","pairs":$nPairs,"jumps":$jumps,"clusters":$nClusters,"sec":${f(sec)},"bare_checkpoint_sec":${f(fixedSec)}}""")
+        }
+      }
+    } else if (only("knnfidelity")) {
+      // The round-14 finding quantified: fixed nprobe=4 probes a
+      // shrinking FRACTION of cells as nlist grows with the corpus
+      // (88% of exact agreement at 20k, 57% at 200k). This sweep
+      // measures blocked agreement and wall across nprobe at both
+      // corpus sizes, including the ln-scaled rule
+      // (Similarity.nprobeForNlist), to pick the dial that recovers
+      // >= 90% of exact at 200k and show its cost curve.
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      for (dir <- Seq(outDir, dir100)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .localCheckpoint()
+        val n = e.count()
+        // exact ground truth, measured once (its cost is already
+        // characterized: quadratic, SCALE.md round-14)
+        val t0e = System.nanoTime()
+        val exact = Similarity
+          .knnLabelAgreement(e, "vec_id", "embedding", "label")
+          .filter(col("agree")).count()
+        val exactSec = (System.nanoTime() - t0e) / 1e9
+        val nlist = math.max(32L, n / 512L).toInt
+        val cents = e
+          .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+          .limit(nlist).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Float](r.fieldIndex("embedding"))
+              .map(_.toDouble).toArray)
+          }.toSeq
+        val scaled = Similarity.nprobeForNlist(nlist)
+        // Arm 2: TRAINED coarse quantizer. Hash-sampled seeds are raw
+        // corpus vectors, so at nlist=390 the probe list is polluted by
+        // extreme-value noise cosines (~0.4 for quasi-orthogonal
+        // seeds); Lloyd's iterations pull centroids onto the real
+        // cluster structure, which is what production IVF does before
+        // any nprobe tuning (train the quantizer, then dial nprobe).
+        val t0k = System.nanoTime()
+        val (trained, _) = Similarity.kmeans(
+          e.select(col("embedding")), "embedding", 64, cents, iters = 4)
+        val trainSec = (System.nanoTime() - t0k) / 1e9
+        for ((kind, cc) <- Seq("seeded" -> cents, "trained" -> trained);
+             nprobe <- (Seq(4, 8, 12, 16) :+ scaled).distinct.sorted) {
+          def run() = Similarity.selfKnnLabelAgreementByCell(
+              e, "vec_id", "embedding", "label", cc, nprobe)
+            .filter(col("agree")).count()
+          run() // warm
+          val t0 = System.nanoTime()
+          val agree = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"knnfidelity","dir":"$dir","cents":"$kind","n":$n,"nlist":$nlist,"nprobe":$nprobe,"scaled_rule":${nprobe == scaled},"agree":$agree,"agree_exact":$exact,"pct_of_exact":${f(100.0 * agree / exact)},"sec":${f(sec)},"exact_sec":${f(exactSec)},"train_sec":${f(trainSec)}}""")
+        }
+        e.unpersist()
+      }
     } else if (only("dupskew")) {
       // Duplicate-heavy skew on the dedup tier: 1,000 exact copies of
       // one sf0.1 document form a 1,001-member LSH bucket in EVERY band

@@ -647,6 +647,31 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
   }
 
+  test("x63 skew slice: with 90% of docs in one source every scoped " +
+    "exchange key stays a (source, digest/doc) composite — a hot " +
+    "domain cannot serialize a shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("source",
+        when(pmod(col("doc_id"), lit(10)) < 9, lit("hotdomain"))
+          .otherwise(col("source")))
+    val df = graft.operators.ChunkDedup
+      .dropSharedChunksWithin(docs, "doc_id", "source", "text", 4, 3)
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // no exchange may be keyed by the scope ALONE: the digest (or the
+    // doc id) must ride every source-carrying hashpartitioning, which
+    // is what keeps the skewed domain spread across partitions
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.exists(_.contains("source")), plan)
+    parts.filter(_.contains("source")).foreach(p =>
+      assert(p.contains("__d") || p.contains("doc_id"),
+        s"source-only exchange would serialize the hot domain: $p"))
+  }
+
   test("x57: survivor selection ranks within clusters — never an " +
     "unpartitioned window") {
     val ws = windowsOf(q("x57_cluster_canonical"))

@@ -524,4 +524,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(math.abs(rate(blocked) - rate(exact)) <= 0.1,
       s"agreement drifted: exact ${rate(exact)} vs blocked ${rate(blocked)}")
   }
+
+  test("the ln-scaled nprobe rule keeps blocked agreement >= 90% of " +
+    "exact (the round-14 fidelity-decay fix, floor-pinned)") {
+    val corpus = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val nlist = math.max(32L, corpus.count() / 512L).toInt
+    // hash-ordered seeds (NOT knnCentroids' stride pool, which holds
+    // only ~6 ids at this SF — the ivfrecall seed-starvation artifact)
+    val cents = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist).collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(_.toDouble).toArray)
+      }.toSeq
+    val nprobe = Similarity.nprobeForNlist(cents.size)
+    val exact = Similarity
+      .knnLabelAgreement(corpus, "vec_id", "embedding", "label")
+      .filter(col("agree")).count()
+    val blocked = Similarity.selfKnnLabelAgreementByCell(
+        corpus, "vec_id", "embedding", "label", cents, nprobe)
+      .filter(col("agree")).count()
+    assert(blocked >= math.ceil(exact * 0.9).toLong,
+      s"blocked $blocked < 90% of exact $exact at nprobe=$nprobe, " +
+        s"nlist=${cents.size}")
+  }
+
+  test("nprobeForNlist grows with ln(nlist), floors at base, clamps " +
+    "at nlist") {
+    assert(Similarity.nprobeForNlist(1) == 1)   // clamp: can't probe > nlist
+    assert(Similarity.nprobeForNlist(4) == 4)   // base floor
+    assert(Similarity.nprobeForNlist(39) == 8)  // 20k corpus: ceil(2 ln 39)
+    assert(Similarity.nprobeForNlist(390) == 12) // 200k: ceil(2 ln 390)
+    assert(Similarity.nprobeForNlist(3900) == 17)
+    intercept[IllegalArgumentException](Similarity.nprobeForNlist(0))
+  }
 }
