@@ -183,8 +183,10 @@ object Winnow {
             .as("__tok"))
         .groupBy("a", "b")
         .agg(countDistinct(col("__tok")).as(s"__cov_$side"))
+    // distinct: a document delivered twice (the overlapPairs dup-id
+    // scenario) must not duplicate output rows through the length join
     val lens = docs.select(col(idCol),
-      size(split(col(textCol), " ")).as("__n"))
+      size(split(col(textCol), " ")).as("__n")).distinct()
     qualified
       .join(covered("a"), Seq("a", "b"))
       .join(covered("b"), Seq("a", "b"))

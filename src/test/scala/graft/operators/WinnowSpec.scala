@@ -119,6 +119,15 @@ class WinnowSpec extends SparkTestBase {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
     assert(pairs.sortBy(_._1) sameElements clean.sortBy(_._1),
       s"dup=${pairs.toSeq} clean=${clean.toSeq}")
+    // coveragePairs under the same double delivery: one output row per
+    // pair (the length join must not fan out), identical coverage
+    val covDup = Winnow.coveragePairs(dup, "id", "text", 3, 4, 1, 2)
+      .collect()
+    val covClean = Winnow.coveragePairs(rows.distinct.toDF("id", "text"),
+      "id", "text", 3, 4, 1, 2).collect()
+    assert(covDup.length == covClean.length &&
+      covDup.map(_.toSeq).toSet == covClean.map(_.toSeq).toSet,
+      s"dup=${covDup.toSeq} clean=${covClean.toSeq}")
   }
 
   test("fingerprintPositions is consistent with fingerprints (same fp " +
