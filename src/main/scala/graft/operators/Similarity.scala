@@ -194,16 +194,30 @@ object Similarity {
         1, nprobe),
       s => s.getField("cid"))
 
-  /** The nprobe that keeps blocked-kNN fidelity roughly CONSTANT as
-    * the corpus grows: nprobe = max(base, ceil(c·ln nlist)). Rationale
-    * (SCALE.md round-14/-15): with nlist scaling as n/512, a FIXED
-    * nprobe probes a shrinking fraction of cells, and blocked 1-NN
-    * agreement decayed 88% → 57% of exact over the 20k → 200k decade
-    * at nprobe=4; the round-15 sweep measured agreement at nprobe ∈
-    * {4..16} on both corpora and this ln rule is the fit that holds
-    * ≥90% of exact at both sizes while keeping per-query candidate
-    * mass at ~512·c·ln(nlist) — logarithmic, not linear, growth in
-    * scan work per vector. SimilaritySpec pins the ≥90% floor.
+  /** Cost-bounded fidelity dial for blocked kNN as the corpus grows:
+    * nprobe = max(base, ceil(c·ln nlist)), clamped at nlist. With
+    * nlist scaling as n/512 a FIXED nprobe probes a shrinking fraction
+    * of cells and blocked 1-NN agreement decayed 88% → 57% of exact
+    * over the 20k → 200k decade (SCALE.md round-14); this rule grows
+    * per-query candidate mass only logarithmically (~512·c·ln nlist)
+    * and recovered 57% → 72.5% at 200k for 3.3× less wall than exact.
+    *
+    * What the rule does NOT promise — measured, not assumed (SCALE.md
+    * round-15 knnfidelity, both a raw-sample and a Lloyd-trained
+    * quantizer, nprobe ∈ {4..16}, both decades): fidelity on the
+    * replica corpus follows the probe FRACTION (≈88% at nprobe/nlist =
+    * 10%, 67–70% at 2%, 57% at 1%, both sizes, both quantizers —
+    * training moved it only +3pts), because hash-sampled cells of a
+    * quasi-orthogonal corpus pollute the probe list with extreme-value
+    * noise cosines that grow with nlist. On such structure no
+    * sub-linear nprobe reaches 90% below exact's own cost (nprobe=16 =
+    * 4% of cells already costs 156s vs exact's 368s at 200k) — the
+    * honest scale answer there is the exact instance-data form or a
+    * different blocking family, not a bigger nprobe. Corpora whose
+    * growth adds locally-clustered structure (real web/embedding
+    * drift, the IVF operating assumption, x33's ivfrecall regime) are
+    * where the ln rule holds fidelity; SimilaritySpec pins the ≥90%
+    * floor at the graded SF.
     */
   def nprobeForNlist(nlist: Int, base: Int = 4, c: Double = 2.0): Int = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
