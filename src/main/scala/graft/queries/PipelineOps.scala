@@ -2332,10 +2332,61 @@ object PipelineOps {
                         ELSE 'neutral' END AS verdict
             FROM sc ORDER BY doc_id"""))
 
+  /** Line-unit boilerplate removal (ChunkDedup.dropSharedChunksBy with
+    * ChunkDedup.Lines) — the unit real newline corpora run, graded
+    * with an oracle: the corpus has no newlines, so both engines first
+    * inject them with the SAME regex (a newline after every 4th word),
+    * then dedup whole lines at the x56 threshold. Proves "only the
+    * splitter changes" end-to-end against DuckDB, not just in the
+    * spec's fixtures.
+    */
+  private val x66 = Q(
+    "x66_chunk_dedup_lines",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "((\\S+ ){3}\\S+) ", "$1\n")
+            .as("text"))
+      ChunkDedup.dropSharedChunksBy(docs, "doc_id", "text",
+          ChunkDedup.Lines, 3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH nl AS (SELECT doc_id,
+                   regexp_replace(text, '((\S+ ){3}\S+) ',
+                     '\1' || chr(10), 'g') AS t
+                 FROM documents),
+                 toks AS (SELECT doc_id, string_split(t, chr(10)) AS l
+                          FROM nl),
+                 ch AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(l) + 1),
+                            i -> struct_pack(ci := i, ck := l[i]))) AS c
+                        FROM toks),
+                 flat AS (SELECT doc_id, c.ci AS chunk_idx, c.ck AS chunk
+                          FROM ch),
+                 bo AS (SELECT chunk
+                        FROM (SELECT chunk, count(DISTINCT doc_id) AS dw
+                              FROM flat GROUP BY 1)
+                        WHERE dw >= 3),
+                 per AS (SELECT f.doc_id,
+                           count(*) AS n_chunks,
+                           count(b.chunk) AS n_dropped,
+                           coalesce(string_agg(
+                               CASE WHEN b.chunk IS NULL THEN f.chunk END,
+                               chr(10) ORDER BY f.chunk_idx), '')
+                             AS text_clean
+                         FROM flat f LEFT JOIN bo b ON f.chunk = b.chunk
+                         GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   coalesce(n_dropped, 0) AS n_dropped,
+                   coalesce(text_clean, '') AS text_clean
+            FROM documents d LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65)
+    x64, x65, x66)
 }
