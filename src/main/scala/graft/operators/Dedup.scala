@@ -248,6 +248,62 @@ object Dedup {
         round(setJaccard(col("set_a"), col("set_b")), 4).as("jaccard"))
   }
 
+  /** Cross-corpus MinHash-LSH near-dup: every (incoming, existing) pair
+    * whose shingle-Jaccard clears `threshold` — x30's incremental exact
+    * dedup lifted to near-dups, the ingest cadence production pipelines
+    * run daily (today's crawl against the accumulated corpus). Candidate
+    * generation is the SAME banding as minhashCandidates, but as an
+    * equi-join of the two banded frames on (band, bhash) instead of
+    * in-bucket pair explosion — pairs WITHIN either side are
+    * deliberately not produced (intra-batch near-dups are
+    * minhashNearDups' job on the batch alone; corpus-internal ones were
+    * resolved when those docs were ingested). Verification joins each
+    * side's precomputed shingle-hash set through the narrow
+    * post-candidate join, exactly like minhashNearDups (see its
+    * scaladoc for why sets ride neither the band explode nor a re-
+    * shingling pair join).
+    *
+    * Scale shape: the incoming batch is orders of magnitude smaller
+    * than the corpus, so AQE broadcasts the batch's banded frame and
+    * the CORPUS side never shuffles at all in-plan. The corpus half of
+    * the work (signature + banding + shingle sets) is also ingest-
+    * INVARIANT: at production cadence it is written once as a table
+    * bucketed by (band, bhash) and the daily join runs in place —
+    * re-signing 100 TB per day is the cost this operator's split
+    * formulation exists to avoid. Dropping the flagged docs is then
+    * `incoming.join(pairs, incoming(id) === pairs("id_new"),
+    * "left_anti")` — composition, not a second operator.
+    */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    val bandedOld = bandedFrame(corpus, idCol, textCol,
+        shingleK, numHashes, bands)
+      .select(col("band"), col("bhash"), col("id").as("id_old"))
+    val bandedNew = bandedFrame(incoming, idCol, textCol,
+        shingleK, numHashes, bands)
+      .select(col("band"), col("bhash"), col("id").as("id_new"))
+    val cands = bandedNew.join(bandedOld, Seq("band", "bhash"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val setsNew = incoming.select(col(idCol).as("jid_n"),
+      graft.functions.SketchFunctions.shingleHashSet(col(textCol), shingleK)
+        .as("set_n"))
+    val setsOld = corpus.select(col(idCol).as("jid_o"),
+      graft.functions.SketchFunctions.shingleHashSet(col(textCol), shingleK)
+        .as("set_o"))
+    cands
+      .join(setsNew, col("id_new") === col("jid_n"))
+      .join(setsOld, col("id_old") === col("jid_o"))
+      // unrounded threshold, round only for display — same boundary-pair
+      // discipline as minhashNearDups
+      .filter(setJaccard(col("set_n"), col("set_o")) >= threshold)
+      .select(col("id_new"), col("id_old"),
+        round(setJaccard(col("set_n"), col("set_o")), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 votes from
     * each token's xxhash64 bit, take the sign.
     *

@@ -134,6 +134,98 @@ object QualitySelect {
         (col("cut").isNull || col(scoreCol) >= col("cut")).as("keep"))
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents,
+    * in (score desc, id asc) order, while the running token total stays
+    * within `budget` — the final gate of a curation pipeline when the
+    * training run's token count is fixed before the corpus is. A
+    * document is kept iff the cumulative token count INCLUDING it is
+    * <= budget (greedy prefix, not a knapsack: a document that
+    * overflows the remainder is skipped and nothing after it
+    * back-fills — the prefix rule is order-reproducible in SQL; a
+    * best-fit packing is not).
+    *
+    * Scale shape — the point of this operator vs the obvious
+    * formulations: the naive `sum(tokens).over(Window.orderBy(score))`
+    * funnels the corpus through ONE task, and even the sharded
+    * exclusive prefix sum (Ranking.globalPrefixSum, x58) range-
+    * exchanges every row to compute per-row offsets that budget
+    * selection doesn't need — only the BOUNDARY of the prefix sum
+    * matters. So:
+    *  1. hash-aggregate token sums per DISTINCT SCORE — map-side
+    *     partials collapse the corpus to <= |score codomain| rows
+    *     before any shuffle (scores here are quantized, the repo's own
+    *     cross-engine convention: x49's round(score, 4) bounds the
+    *     codomain at ~10^4 however large the corpus);
+    *  2. one cumulative window over that summary frame finds the
+    *     boundary score and the token remainder entering it. The
+    *     window is conceptually global but runs on the POST-AGGREGATE
+    *     frame — the same bounded-summary exemption as globalOrdinal's
+    *     S-row offset frame, pinned in PlanSpec (the Window's child is
+    *     the aggregate, never the scan);
+    *  3. every non-boundary row gets its verdict from one broadcast
+    *     crossJoin of the 1-row cut + a map-side comparison;
+    *  4. only the boundary score's own documents — a 1/|codomain|
+    *     slice — pay a partitioned rank window to split the remainder
+    *     exactly by id.
+    * The corpus itself is never exchanged; it is scanned twice (the
+    * verdict branch and the boundary-slice branch), the same
+    * recompute-over-reshuffle call as ChunkDedup's probe side.
+    *
+    * Rows with a NULL score or NULL token count are dropped up front —
+    * nulls have no place in a total order, and defining them away
+    * keeps both union branches (and the SQL twin) agreeing on every
+    * row. Degenerate corpora where one score value owns most rows
+    * serialize step 4's slice window — real-valued quantized quality
+    * scores don't do this; a constant score column wants
+    * thresholdApprox-style sketching, not an exact budget.
+    */
+  def selectByTokenBudget(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Seq("cut", "keep", "__t", "__cum", "__rem", "__bc").foreach(c =>
+      require(idCol != c && scoreCol != c && tokenCol != c,
+        s"QualitySelect.selectByTokenBudget reserves column name '$c'"))
+    val in = scored.filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+    val perScore = in.groupBy(col(scoreCol)).agg(sum(col(tokenCol)).as("__t"))
+    val cum = perScore.withColumn("__cum",
+      sum(col("__t")).over(Window.orderBy(col(scoreCol).desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    // The boundary score-group: cumulative <= budget entering it,
+    // > budget leaving it. Monotone cumulative => at most one group
+    // qualifies; the aggregate turns 0-or-1 rows into exactly one
+    // (nulls when the whole corpus fits the budget).
+    // Lazily checkpoint the 1-row cut: both union branches below
+    // reference it, and without the checkpoint column pruning rewrites
+    // the verdict branch's copy to aggregate min(score) only — two
+    // STRUCTURALLY DIFFERENT subtrees that exchange reuse cannot
+    // dedup, so the whole per-score aggregation (and the corpus scan
+    // feeding it) would silently run twice. The same
+    // shared-work-divergence class as the inferred-IsNotNull defect in
+    // Novelty's scaladoc, triggered by pruning instead of inference;
+    // the checkpoint pins ONE materialization (computed on the first
+    // action, 1 row) that both branches read. PlanSpec pins the
+    // resulting single-aggregation shape.
+    val cutOne = cum
+      .filter(col("__cum") - col("__t") <= budget && col("__cum") > budget)
+      .agg(min(col(scoreCol)).as("cut"),
+        min(lit(budget) - (col("__cum") - col("__t"))).as("__rem"))
+      .localCheckpoint(false)
+    val verdict = in.crossJoin(broadcast(cutOne.select("cut")))
+      .filter(col("cut").isNull || col(scoreCol) =!= col("cut"))
+      .select(col(idCol), col(scoreCol), col(tokenCol), col("cut"),
+        (col("cut").isNull || col(scoreCol) > col("cut")).as("keep"))
+    val atCut = in.join(broadcast(cutOne),
+        col(scoreCol) === col("cut"))
+      .withColumn("__bc",
+        sum(col(tokenCol)).over(Window.partitionBy(col(scoreCol))
+          .orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(idCol), col(scoreCol), col(tokenCol), col("cut"),
+        (col("__bc") <= col("__rem")).as("keep"))
+    verdict.unionByName(atCut)
+  }
+
   /** Approximate threshold selection — the scale path: per-group
     * percentile sketch (one hash-aggregate, mergeable partials),
     * broadcast the tiny cut table, one filter pass. `accuracy` is

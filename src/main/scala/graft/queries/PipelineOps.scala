@@ -2383,10 +2383,85 @@ object PipelineOps {
             FROM documents d LEFT JOIN per USING (doc_id)
             ORDER BY doc_id"""))
 
+  /** Token-budget corpus selection (QualitySelect.selectByTokenBudget):
+    * keep the best-quality documents, in (score desc, doc_id) order,
+    * while the running token total stays <= 40k — the fixed-token-count
+    * curation gate. The oracle replays the global greedy prefix as one
+    * cumulative window; the engine computes only the prefix sum's
+    * BOUNDARY (per-score aggregate + summary-frame window + broadcast
+    * verdict + boundary-slice window) and must land on identical rows —
+    * which is exactly what makes the boundary formulation trustworthy.
+    */
+  private val x67 = Q(
+    "x67_token_budget_select",
+    (s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text"), stop), 4).as("score"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+      QualitySelect.selectByTokenBudget(
+        scored, "doc_id", "score", "tokens", 40000L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+                  CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS ns
+                FROM documents),
+            sc AS (SELECT doc_id, tokens,
+                     round((least(n/50.0, 1.0) + nd/n
+                            + least(ns/n*10.0, 1.0)) / 3.0, 4) AS score
+                   FROM f),
+            c AS (SELECT *, sum(tokens) OVER (ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM sc),
+            cut AS (SELECT score AS cut FROM c WHERE cum > 40000
+                    ORDER BY score DESC, doc_id LIMIT 1)
+          SELECT doc_id, score, tokens, (SELECT cut FROM cut) AS cut,
+                 cum <= 40000 AS keep
+          FROM c ORDER BY doc_id"""))
+
+  /** Incremental near-dup ingest (Dedup.minhashNearDupsAgainst):
+    * incoming batch (doc_id >= 250) against the existing corpus
+    * (doc_id < 250) — x30's ingest cadence lifted from exact digests to
+    * shingle-Jaccard near-dups. The oracle is the exact all-cross-pairs
+    * Jaccard (same hash-free formulation as x06), so the LSH banding's
+    * candidate set is graded against ground truth, not against itself.
+    */
+  private val x68 = Q(
+    "x68_neardup_ingest",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", 0.6)
+        .orderBy("id_new", "id_old")
+    },
+    Some("""WITH sh AS (SELECT doc_id AS id,
+                   list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS sh
+                 FROM documents
+                 WHERE len(string_split(text,' ')) >= 3)
+            SELECT a.id AS id_new, b.id AS id_old,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.id >= 250 AND b.id < 250
+              AND len(a.sh) >= 0.6 * len(b.sh)
+              AND len(b.sh) >= 0.6 * len(a.sh)
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+            ORDER BY id_new, id_old"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66)
+    x64, x65, x66, x67, x68)
 }

@@ -775,6 +775,75 @@ class PlanSpec extends SparkTestBase {
     assert(joins.forall(_.condition.isDefined), "non-equi join appeared")
   }
 
+  test("x66: line-unit chunk dedup keeps the word-unit plan shape — " +
+    "only the splitter changed") {
+    val df = q("x66_chunk_dedup_lines")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
+  test("x67: token-budget selection computes only the prefix sum's " +
+    "BOUNDARY — the one unpartitioned window runs on the per-score " +
+    "aggregate, the corpus is never range-exchanged") {
+    val df = q("x67_token_budget_select")
+    val ws = windowsOf(df)
+    // exactly ONE window in the returned plan, and it is partitioned:
+    // the boundary slice's id-order split. The summary-frame cumulative
+    // (unpartitioned by design, over the post-aggregate score codomain)
+    // lives inside the lazily-checkpointed 1-row cut — see the
+    // operator's scaladoc for why the checkpoint exists (column pruning
+    // would otherwise fork the cut subtree into two structurally
+    // different copies that each re-aggregate the corpus)
+    assert(ws.size == 1, s"expected 1 window, got ${ws.size}:\n$ws")
+    assert(ws.head.partitionSpec.nonEmpty,
+      "the boundary-slice window lost its partitioning")
+    // the checkpointed cut must actually BE the checkpoint (an RDD
+    // scan), not a re-derived aggregate per branch
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LogicalRDD") ||
+      optimized.contains("ExistingRDD"),
+      s"cut is not the shared checkpoint:\n$optimized")
+    // the corpus feeds exactly the two union branches — a refactor that
+    // re-derives the cut from raw parquet would show a third scan
+    assert("Relation \\[doc_id".r.findAllIn(optimized).size == 2,
+      s"expected 2 corpus scans:\n$optimized")
+    // no range exchange before the output orderBy (the whole point vs
+    // globalPrefixSum: the corpus is never exchanged) — strip the final
+    // presentation Sort before asserting
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val innerPlan = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!innerPlan.contains("rangepartitioning"),
+      s"corpus was range-exchanged:\n$innerPlan")
+    // the 1-row cut reaches the corpus as a broadcast (the nested-loop
+    // join here is the deliberate broadcast-scalar pattern, like x38's
+    // mixing totals), never a shuffled join of corpus vs cut
+    assert(!innerPlan.contains("CartesianProduct"), innerPlan)
+  }
+
+  test("x68: near-dup ingest joins the two banded frames equi on " +
+    "(band, bhash) and verifies through narrow set joins — no " +
+    "cartesian, no window, no nested loop") {
+    val df = q("x68_neardup_ingest")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // band-bucket join + two set-attach joins, all condition-carrying
+    assert(joins.size == 3, s"expected 3 equi-joins, got ${joins.size}")
+    assert(joins.forall(_.condition.isDefined), "non-equi join appeared")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -212,4 +212,47 @@ class DedupSpec extends SparkTestBase {
       Dedup.jaccard(col("t1"), col("t3"))).collect()(0)
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
+
+  test("minhashNearDupsAgainst finds every planted cross-corpus dup and " +
+    "emits NO intra-side pairs") {
+    // corpus = originals; incoming = their exact and near copies. Every
+    // copy must pair with its original; the exact copy of doc i and the
+    // near copy of doc i are near-dups OF EACH OTHER too, but both live
+    // on the incoming side — the cross form must not report them.
+    val corpus = planted.filter(col("doc_id") < 60)
+    val incoming = planted.filter(col("doc_id") >= 1000)
+    val pairs = Dedup.minhashNearDupsAgainst(
+      corpus, incoming, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains((i + 1000, i)), s"missed exact ingest dup $i")
+      assert(pairs.contains((i + 2000, i)), s"missed near ingest dup $i")
+    }
+    assert(pairs.forall { case (n, o) => n >= 1000 && o < 60 },
+      s"intra-side pair leaked: $pairs")
+  }
+
+  test("minhashNearDupsAgainst equals the self-form's cross-side slice " +
+    "(split formulation loses no pairs)") {
+    val corpus = planted.filter(col("doc_id") < 60)
+    val incoming = planted.filter(col("doc_id") >= 1000)
+    val self = Dedup.minhashNearDups(planted, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // self emits (a < b); orient its cross-side subset as (new, old)
+    val crossFromSelf = self.collect {
+      case (a, b) if a < 60 && b >= 1000 => (b, a)
+      case (a, b) if b < 60 && a >= 1000 => (a, b)
+    }
+    val cross = Dedup.minhashNearDupsAgainst(
+      corpus, incoming, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == crossFromSelf)
+  }
+
+  test("minhashNearDupsAgainst: an empty incoming batch yields no rows") {
+    val corpus = planted.filter(col("doc_id") < 60)
+    assert(Dedup.minhashNearDupsAgainst(
+      corpus, corpus.filter(col("doc_id") < 0), "doc_id", "text", 0.6)
+      .count() == 0)
+  }
 }
