@@ -193,6 +193,35 @@ object Scale10 {
         QualitySelect.thresholdApprox(sc, "doc_id", "score", "lang", 3)
           .filter(col("keep")).count()
       }),
+      // x67: the budget gate must stay one TINY per-score aggregate +
+      // broadcast verdict across decades — no corpus exchange at any
+      // size. The budget is 40% of the corpus's token mass so the
+      // boundary is exercised at every decade instead of saturating to
+      // all-keep/none-keep; deriving it costs one extra sum() scan,
+      // included in the wall (identical at every decade, so the decade
+      // FACTOR still isolates the operator's own growth).
+      "token_budget" -> (() => {
+        val sc = docs.select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text"),
+            TextAnalysis.langMarkers("en")), 4).as("score"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        val budget = (sc.agg(sum(col("tokens"))).head().getLong(0)
+          * 4L) / 10L
+        QualitySelect.selectByTokenBudget(
+          sc, "doc_id", "score", "tokens", budget)
+          .filter(col("keep")).count()
+      }),
+      // x68: daily-ingest near-dup — 10% of docs arrive as the batch,
+      // the other 90% are the standing corpus. Replica growth multiplies
+      // BOTH sides by the decade, so candidate mass grows like the
+      // band-bucket collision count (the same clustering x06's decade
+      // measures), not quadratically.
+      "neardup_ingest" -> (() => {
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        Dedup.minhashNearDupsAgainst(
+          corpus, incoming, "doc_id", "text", 0.6).count()
+      }),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
       // ever appear). The filters force the md5 assignment to compute.
@@ -1532,7 +1561,7 @@ object Scale10 {
         "quality_select", "tfidf_terms", "hash_split",
         "filter_rules", "chunk_dedup", "canonical_survivors",
         "corpus_offsets", "novelty", "winnow_pairs",
-        "winnow_coverage"), "docs100")
+        "winnow_coverage", "token_budget", "neardup_ingest"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
