@@ -2458,10 +2458,103 @@ object PipelineOps {
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
             ORDER BY id_new, id_old"""))
 
+  /** Product-quantization encode (Pq.encode, Jégou et al. 2011): each
+    * 64-float embedding as 8 nearest-codeword ids over the
+    * deterministic every-97th-id seed codebook (x36's pool pattern),
+    * flattened to (vec_id, sub, code) so the compare is scalar. The
+    * oracle replays the per-subspace argmin verbatim — ascending-j
+    * double summation, ties to the smaller code — which is
+    * NearestCentroid's pinned contract.
+    */
+  private val x69 = Q(
+    "x69_pq_encode",
+    (s, d) => {
+      val cbs = Pq.seedCodebooks(ivfCentroids(s, d).map(_._2), 64, 8)
+      Pq.encode(t(s, d, "embeddings"), "vec_id", "embedding", 64, cbs)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy("vec_id", "sub")
+    },
+    Some("""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 d AS (SELECT e.vec_id, u.m, s.cid,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE))
+                          * (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE)))) AS d2
+                   FROM embeddings e
+                     CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) u
+                     CROSS JOIN seeds s)
+            SELECT vec_id, m AS sub, cid AS code FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY d2, cid) AS rn FROM d)
+            WHERE rn = 1 ORDER BY vec_id, sub"""))
+
+  /** PQ asymmetric-distance top-10 (Pq.adcTopK): exact queries against
+    * the 8-byte codes, distance = sum of 8 LUT lookups. The oracle
+    * recomputes every per-subspace partial from the seed codebook and
+    * the replayed encode, summing in ascending-subspace order (list_sum
+    * over an m-ordered list) — the engine's reduce does the same left
+    * association, so the doubles are bit-identical and rank ties break
+    * on vec_id in both.
+    */
+  private val x70 = Q(
+    "x70_pq_adc_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cbs = Pq.seedCodebooks(ivfCentroids(s, d).map(_._2), 64, 8)
+      val queries = e.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      Pq.adcTopK(Pq.encode(e, "vec_id", "embedding", 64, cbs),
+          "vec_id", "codes", queries, cbs, 64, 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 d AS (SELECT e.vec_id, u.m, s.cid,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE))
+                          * (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE)))) AS d2
+                   FROM embeddings e
+                     CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) u
+                     CROSS JOIN seeds s),
+                 enc AS (SELECT vec_id, m, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d2, cid) AS rn FROM d)
+                   WHERE rn = 1),
+                 qs AS (SELECT vec_id AS qid, embedding AS qvec
+                        FROM embeddings WHERE vec_id < 4),
+                 part AS (SELECT q.qid, e.vec_id, e.m,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(q.qvec[e.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[e.m*8 + j] AS DOUBLE))
+                          * (CAST(q.qvec[e.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[e.m*8 + j] AS DOUBLE)))) AS pd
+                   FROM enc e JOIN seeds s ON s.cid = e.cid
+                     CROSS JOIN qs q),
+                 tot AS (SELECT qid, vec_id,
+                           list_sum(list(pd ORDER BY m)) AS adc
+                         FROM part GROUP BY qid, vec_id)
+            SELECT qid AS query_id,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY adc, vec_id) AS INT) AS rank,
+                   vec_id, round(adc, 6) AS adc_d2
+            FROM tot
+            QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68)
+    x64, x65, x66, x67, x68, x69, x70)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, ChunkDedup, Components, Decontaminate, Dedup,
-  FilterRules, IntervalJoin, LmQuality, QualitySelect, Ranking,
+  FilterRules, IntervalJoin, LmQuality, Pq, QualitySelect, Ranking,
   SemanticDedup, Sessionize, Similarity, Split, TextAnalysis, TfIdf}
 
 /** The 1000x thought experiment, measured one decade further: generates
@@ -121,6 +121,13 @@ object Scale10 {
     * graded queries cap rows for oracle size; scaling is measured on
     * the unbounded operator shapes the captions advertise).
     */
+  /** PQ seed pool: every-97th-id, capped at 16 — the x69 graded
+    * pattern, bounded driver rows growing with neither decade.
+    */
+  private def pqSeeds(emb: DataFrame): Seq[Array[Double]] =
+    emb.filter(pmod(col("id"), lit(97)) === 0).orderBy("id").limit(16)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+
   private def pipelines(spark: SparkSession, dir: String)
       : Seq[(String, () => Long)] = {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -152,6 +159,27 @@ object Scale10 {
       // adaptive choice is what keeps the decade near-flat
       "embed_neardups_auto" -> (() =>
         Similarity.autoBandNearDupPairs(emb, 0.3).count()),
+      // x69/x70: PQ must stay a MAP pass (encode) and a broadcast-LUT
+      // scan + bounded re-rank join (search) at every decade — the 32x
+      // compression is worthless if either stage grows an exchange.
+      // Codebooks come from the seed pool (bounded collect, index-sized)
+      // refined one Lloyd round; the value-forcing filter reads the
+      // LAST code so count() can't elide the assignment natives.
+      "pq_encode" -> (() => {
+        val cbs = Pq.trainCodebooks(emb, "vec", 64,
+          Pq.seedCodebooks(pqSeeds(emb), 64, 8), iters = 1)
+        Pq.encode(emb, "id", "vec", 64, cbs)
+          .filter(element_at(col("codes"), 8) >= 0).count()
+      }),
+      "pq_adc_rerank" -> (() => {
+        val cbs = Pq.trainCodebooks(emb, "vec", 64,
+          Pq.seedCodebooks(pqSeeds(emb), 64, 8), iters = 1)
+        val queries = emb.orderBy("id").limit(8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        Pq.adcTopKReranked(Pq.encode(emb, "id", "vec", 64, cbs),
+          emb, "id", "vec", "codes", queries, cbs, 64, 50, 10).count()
+      }),
       // SemDeDup's scale contract measured: nlist grows with the corpus
       // so cells stay ~128 vectors and the within-cell quadratic is
       // per-task-flat across decades. Hash-ordered seed sample (the
@@ -587,7 +615,8 @@ object Scale10 {
       }
       val names = flowNames(
         Set("embed_neardups_auto", "semantic_dedup",
-          "knn_label_exact", "knn_label_agree"), "emb100")
+          "knn_label_exact", "knn_label_agree",
+          "pq_encode", "pq_adc_rerank"), "emb100")
       time(SRC, names)
       time(dir100, names)
     } else if (only("skewscope")) {

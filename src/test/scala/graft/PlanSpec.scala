@@ -844,6 +844,36 @@ class PlanSpec extends SparkTestBase {
     assert(joins.forall(_.condition.isDefined), "non-equi join appeared")
   }
 
+  test("x69: PQ encode is one compiled map pass — no window, no " +
+    "exchange before the presentation sort") {
+    val df = q("x69_pq_encode")
+    assert(windowsOf(df).isEmpty)
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"encode shuffled the corpus:\n$inner")
+    assert(inner.contains("nearest_centroid"),
+      s"encode lost the compiled assignment native:\n$inner")
+  }
+
+  test("x70: PQ ADC search reads codes against a broadcast LUT and " +
+    "ranks in a query-partitioned window — no cartesian, no corpus " +
+    "exchange beyond the rank window's query partitioning") {
+    val df = q("x70_pq_adc_topk")
+    val ws = windowsOf(df)
+    assert(ws.size == 1 && ws.head.partitionSpec.nonEmpty,
+      s"expected one query-partitioned rank window: $ws")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("broadcast"), s"LUT not broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
