@@ -145,6 +145,11 @@ object Pq {
       .reduce(_ + _)
     encoded.crossJoin(broadcast(luts))
       .select(col("query_id"), col(idCol), adc.as("__adc"))
+      // a malformed vector encodes to null codes -> null ADC, and the
+      // ascending window sort is NULLS FIRST, which would hand every
+      // corrupt row rank 1 — drop them here so corruption surfaces in
+      // the encode output (null codes), never in the search results
+      .filter(col("__adc").isNotNull)
       .withColumn("rank", row_number().over(Window
         .partitionBy(col("query_id"))
         .orderBy(col("__adc"), col(idCol))).cast("int"))
@@ -176,6 +181,128 @@ object Pq {
       dim, kCand)
     val spark = encoded.sparkSession
     import spark.implicits._
+    val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qvec")
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("qvec"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    cand.select(col("query_id"), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col(idCol), d2.as("__d2"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__d2"), col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        round(col("__d2"), 6).as("d2"))
+  }
+
+  /** IVF-PQ: the billion-scale layout (Jégou et al. §V.D) as a
+    * composition of two already-graded operators — ivfAssign's cell
+    * blocking decides WHICH rows are scored, PQ codes decide HOW
+    * CHEAPLY, and the exact re-rank restores fidelity. Per query the
+    * driver picks the `nprobe` nearest cell centroids (|queries| x
+    * nlist doubles — index-sized, the sanctioned collect class); the
+    * LUT frame then carries one row per (query, probed cell) and joins
+    * the encoded corpus EQUI ON THE CELL, so the ADC projection runs
+    * only over probed rows — on a cell-bucketed/partitioned table the
+    * join prunes physically and the scan itself shrinks by the probe
+    * fraction, which is the number that matters at 10^9 rows. nprobe
+    * defaults follow Similarity.nprobeForNlist's ln-scaled rule (the
+    * round-15 fidelity-decay lesson: fixed nprobe probes a vanishing
+    * fraction as nlist grows with the corpus).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cells: Seq[(Int, Array[Double])],
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      queries: Seq[(Long, Array[Double])],
+      nprobe: Int, kCand: Int, k: Int): DataFrame =
+    ivfPqTopKIndexed(
+      ivfPqIndex(corpus, idCol, vecCol, dim, cells, codebooks),
+      corpus, idCol, vecCol, dim, cells, codebooks,
+      queries, nprobe, kCand, k)
+
+  /** The (id, cell, codes) index frame — ONE compiled map pass
+    * (ivfAssign's nearest_centroid + the m subspace natives) that
+    * production runs once at ingest, persisted bucketed by cell so
+    * every later search's probe join prunes physically. ivfPqTopK
+    * builds it inline for the self-contained form; Scale10's search
+    * decade checkpoints it first, because re-deriving the O(nlist·dim)
+    * assignment per query batch measurably dominated search wall at
+    * the ×100 slice (the build-vs-search split is the measurement, see
+    * SCALE.md round-15 PQ).
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      cells: Seq[(Int, Array[Double])],
+      codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && dim % codebooks.size == 0,
+      s"m must divide dim, got $dim/${codebooks.size}")
+    Similarity.ivfAssign(corpus, vecCol, cells)
+      .select(col(idCol), col("cell"),
+        array(codeExprs(col(vecCol), codebooks, dim): _*).as("codes"))
+  }
+
+  /** Search a prebuilt IVF-PQ index (ivfPqIndex's schema). `corpus` is
+    * still needed for the exact re-rank reads of the bounded candidate
+    * set.
+    */
+  def ivfPqTopKIndexed(
+      index: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int,
+      cells: Seq[(Int, Array[Double])],
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      queries: Seq[(Long, Array[Double])],
+      nprobe: Int, kCand: Int, k: Int): DataFrame = {
+    require(nprobe >= 1 && kCand >= k && k >= 1,
+      s"need nprobe >= 1 ($nprobe), kCand >= k >= 1 ($kCand, $k)")
+    val m = codebooks.size
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got $dim/$m")
+    val sub = dim / m
+    def l2(q: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    def lutFor(q: Array[Double]): Seq[Seq[Double]] =
+      (0 until m).map { i =>
+        codebooks(i).sortBy(_._1).map { case (_, cw) =>
+          var d2 = 0.0; var j = 0
+          while (j < sub) {
+            val diff = q(i * sub + j) - cw(j); d2 += diff * diff; j += 1
+          }
+          d2
+        }
+      }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // (query, probed cell, lut): nprobe nearest centroids per query,
+    // ties toward the smaller cell id — same order ivfAssign breaks them
+    val probes = queries.flatMap { case (qid, q) =>
+      require(q.length == dim, s"query length ${q.length} != dim $dim")
+      val lut = lutFor(q)
+      cells.map { case (cid, cv) => (l2(q, cv), cid) }
+        .sorted.take(nprobe)
+        .map { case (_, cid) => (qid, cid, lut) }
+    }.toDF("query_id", "cell", "lut")
+    val encoded = index
+    val adc = (0 until m).map(i =>
+      element_at(element_at(col("lut"), i + 1),
+        element_at(col("codes"), i + 1) + 1))
+      .reduce(_ + _)
+    val cand = encoded.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col(idCol), adc.as("__adc"))
+      // same null-ADC guard as adcTopK (NULLS FIRST would rank corrupt
+      // rows 1st); malformed vectors also assign a null CELL, so most
+      // never reach this join — the filter covers the belt-and-braces
+      .filter(col("__adc").isNotNull)
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__adc"), col(idCol))))
+      .filter(col("__rn") <= kCand)
     val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
       .toDF("query_id", "qvec")
     val d2 = aggregate(

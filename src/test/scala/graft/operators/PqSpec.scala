@@ -113,6 +113,40 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK with nprobe = nlist equals adcTopKReranked exactly " +
+    "(cell blocking changes WHICH rows are scored, never the scores); " +
+    "ln-ruled nprobe keeps a recall floor") {
+    val queries = emb.filter(col("id") < 8)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val nlist = 8
+    val cells = emb.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+    val cbs = Pq.trainCodebooks(emb, "vec", 64, seedCbs, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val full = rows(Pq.adcTopKReranked(
+      Pq.encode(emb, "id", "vec", 64, cbs),
+      emb, "id", "vec", "codes", queries, cbs, 64, 50, 10))
+    val allCells = rows(Pq.ivfPqTopK(emb, "id", "vec", 64, cells, cbs,
+      queries, nprobe = nlist, kCand = 50, k = 10))
+    assert(allCells == full,
+      "probing every cell must reproduce the unblocked search")
+    // the ln-scaled probe rule on a small index: recall vs exact truth
+    val nprobe = Similarity.nprobeForNlist(nlist)
+    val got = Pq.ivfPqTopK(emb, "id", "vec", 64, cells, cbs,
+        queries, nprobe, kCand = 50, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val truth = exactTopK(queries, 10)
+    val recall = queries.map { case (qid, _) =>
+      (got(qid) & truth(qid)).size / 10.0 }.sum / queries.size
+    info(s"ivf-pq recall@10 at nprobe=$nprobe/$nlist: $recall")
+    assert(recall >= 0.4, s"ivf-pq recall collapsed: $recall")
+  }
+
   test("m must divide dim; malformed vectors yield null codes rather " +
     "than a poisoned cell") {
     intercept[IllegalArgumentException] {
@@ -125,5 +159,20 @@ class PqSpec extends SparkTestBase {
     // the ones fully inside 63 elements; the LAST slice is short, so at
     // least one code is null and the row is visibly corrupt
     assert(codes.getSeq[Any](1).contains(null))
+  }
+
+  test("a corrupt vector's null ADC never reaches the top-k (NULLS " +
+    "FIRST would otherwise rank it 1st)") {
+    import spark.implicits._
+    val corrupt = Seq((900000L, Seq.fill(63)(0.5f))).toDF("id", "vec")
+    val mixed = emb.unionByName(corrupt)
+    val queries = emb.filter(col("id") < 2)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val out = Pq.adcTopK(Pq.encode(mixed, "id", "vec", 64, seedCbs),
+        "id", "codes", queries, seedCbs, 64, 5).collect()
+    assert(out.length == queries.size * 5)
+    assert(!out.exists(_.getLong(2) == 900000L),
+      "corrupt row leaked into the top-k")
   }
 }
