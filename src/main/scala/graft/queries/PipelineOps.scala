@@ -2551,10 +2551,45 @@ object PipelineOps {
             FROM tot
             QUALIFY rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Label-centroid outlier scoring
+    * (Similarity.labelCentroidOutliers): distance to own class mean +
+    * within-label outlier rank — the labeling-QA queue feed. Rounded to
+    * 4 decimals because avg() accumulates in engine-specific order
+    * (~1e-12 jitter, see the operator's scaladoc); the rank compares
+    * raw doubles, where flips would need distinct vectors within that
+    * jitter.
+    */
+  private val x71 = Q(
+    "x71_label_outliers",
+    (s, d) => Similarity.labelCentroidOutliers(
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), col("label")),
+        "vec_id", "embedding", "label", 64)
+      .select(col("vec_id"), col("label"),
+        round(col("d2"), 4).as("d2"), col("outlier_rank"))
+      .orderBy("vec_id"),
+    Some("""WITH c AS (SELECT label, i,
+                  avg(CAST(embedding[i] AS DOUBLE)) AS m
+                FROM embeddings
+                  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+                GROUP BY label, i),
+            cent AS (SELECT label, list(m ORDER BY i) AS cv
+                     FROM c GROUP BY label),
+            dd AS (SELECT e.vec_id, e.label,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - cv[i])))
+                       AS d2
+                   FROM embeddings e JOIN cent USING (label))
+          SELECT vec_id, label, round(d2, 4) AS d2,
+                 CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY d2 DESC, vec_id) AS INT) AS outlier_rank
+          FROM dd ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70)
+    x64, x65, x66, x67, x68, x69, x70, x71)
 }

@@ -193,6 +193,15 @@ object Scale10 {
             queries, cbs, 64, 50, 10).count()
         }
       },
+      // x71: one coordinate-means hash agg + broadcast + zip_with —
+      // the claim is pure linearity with the corpus (the explode
+      // formulation would shuffle n x 64 rows; this shuffles |labels|)
+      "label_outliers" -> (() =>
+        Similarity.labelCentroidOutliers(
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"), col("label")),
+          "vec_id", "embedding", "label", 64)
+          .filter(col("outlier_rank") <= 100).count()),
       // IVF-PQ: nlist grows with the corpus (cells ~128 vectors,
       // semantic_dedup's contract) and nprobe follows the ln rule, so
       // the probed FRACTION shrinks across decades — the claim to
@@ -660,7 +669,8 @@ object Scale10 {
       val names = flowNames(
         Set("embed_neardups_auto", "semantic_dedup",
           "knn_label_exact", "knn_label_agree",
-          "pq_encode", "pq_adc_rerank", "ivfpq_rerank"), "emb100")
+          "pq_encode", "pq_adc_rerank", "ivfpq_rerank",
+          "label_outliers"), "emb100")
       time(SRC, names)
       time(dir100, names)
     } else if (only("skewscope")) {

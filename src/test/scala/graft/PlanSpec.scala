@@ -874,6 +874,24 @@ class PlanSpec extends SparkTestBase {
       plan.contains("broadcast"), s"LUT not broadcast:\n$plan")
   }
 
+  test("x71: label centroids aggregate coordinate-wise in ONE hash " +
+    "agg (no n x dim explode), broadcast back, rank within label") {
+    val df = q("x71_label_outliers")
+    // the posexplode formulation would put a Generate below the
+    // centroid aggregate — the shape that ships corpus x 64 rows
+    // through a shuffle at scale
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.isEmpty, "centroid computation exploded the vectors")
+    val ws = windowsOf(df)
+    assert(ws.size == 1 && ws.head.partitionSpec.nonEmpty, ws.toString)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -549,6 +549,39 @@ class SimilaritySpec extends SparkTestBase {
         s"nlist=${cents.size}")
   }
 
+  test("labelCentroidOutliers: a planted far vector ranks 1 in its " +
+    "label; identical vectors tie on d2 and break rank by id") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val lbl = base.select("label").head().getInt(0)
+    val far = Seq((800000L, Seq.fill(64)(99.0f), lbl),
+        (800001L, Seq.fill(64)(99.0f), lbl))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidOutliers(
+      base.unionByName(far), "vec_id", "embedding", "label", 64)
+    val mine = out.filter(col("label") === lbl)
+      .orderBy("outlier_rank").collect()
+    // the two identical planted vectors are farthest; equal d2, id
+    // breaks the tie
+    assert(mine(0).getLong(0) == 800000L && mine(0).getInt(3) == 1)
+    assert(mine(1).getLong(0) == 800001L && mine(1).getInt(3) == 2)
+    assert(mine(0).getDouble(2) == mine(1).getDouble(2))
+    // ranks are a permutation of 1..n within every label
+    out.collect().groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("labelCentroidOutliers reserves its working names") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f), 0, 0.0)).toDF("id", "vec", "label", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.labelCentroidOutliers(df, "id", "vec", "label", 1)
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("nprobeForNlist grows with ln(nlist), floors at base, clamps " +
     "at nlist") {
     assert(Similarity.nprobeForNlist(1) == 1)   // clamp: can't probe > nlist
