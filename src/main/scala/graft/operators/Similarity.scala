@@ -614,6 +614,46 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Contrastive pair mining: for each anchor, the k most-similar
+    * SAME-label vectors (positives) and the k most-similar
+    * DIFFERENT-label vectors (hard negatives) — the triplet/InfoNCE
+    * training-data feed for embedding models, where random negatives
+    * are too easy to carry gradient and the hard ones live exactly at
+    * the decision boundary this finds. Output: (qid, qlabel, kind
+    * 'positive'|'negative', rank, id, label, sim), ranked within
+    * (anchor, kind) by (sim desc, id) on the 6-decimal-rounded cosine
+    * (x08's determinism discipline).
+    *
+    * Anchors are small-by-contract and broadcast — the same deliberate
+    * broadcast square as bruteForceTopK, and the honest graded form. At
+    * corpus scale (every vector an anchor) this composes with the cell
+    * blocking selfKnnLabelAgreementByCell already grades: block both
+    * sides by IVF cell, mine within probed cells, re-rank — WHICH rows
+    * are compared changes, the scoring never does (the ivfPqTopK
+    * equivalence-law pattern).
+    */
+  def contrastivePairs(
+      anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    Seq("qid", "qvec", "qlabel", "kind", "rank", "sim").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"contrastivePairs reserves column name '$c'; rename the input"))
+    val a = anchors.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      col(labelCol).as("qlabel"))
+    corpus.crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        when(col(labelCol) === col("qlabel"), lit("positive"))
+          .otherwise(lit("negative")).as("kind"),
+        col(idCol), col(labelCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("qid"), col("kind"))
+        .orderBy(col("sim").desc, col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Label-centroid outlier scoring: each vector's squared L2 distance
     * to its OWN label's mean vector, plus its within-label outlier rank
     * (1 = farthest). The nearest-class-mean cousin of

@@ -2586,10 +2586,45 @@ object PipelineOps {
                    ORDER BY d2 DESC, vec_id) AS INT) AS outlier_rank
           FROM dd ORDER BY vec_id"""))
 
+  /** Contrastive pair mining (Similarity.contrastivePairs): top-3
+    * same-label positives + top-3 different-label hard negatives per
+    * anchor — the triplet/InfoNCE feed. Same broadcast square, rounded
+    * cosine, and (sim desc, id) determinism as x08.
+    */
+  private val x72 = Q(
+    "x72_contrastive_pairs",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Similarity.contrastivePairs(
+        e.filter(col("vec_id") < 4), e,
+        "vec_id", "embedding", "label", 3)
+        .orderBy("qid", "kind", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+                   label AS qlabel
+                 FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.qid, q.qlabel,
+                     CASE WHEN e.label = q.qlabel THEN 'positive'
+                          ELSE 'negative' END AS kind,
+                     e.vec_id, e.label,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            SELECT qid, qlabel, kind, vec_id, label, sim,
+                   CAST(row_number() OVER (PARTITION BY qid, kind
+                     ORDER BY sim DESC, vec_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3 ORDER BY qid, kind, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72)
 }

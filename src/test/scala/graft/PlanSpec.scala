@@ -892,6 +892,16 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("x72: contrastive mining is the deliberate broadcast square " +
+    "(x08's shape) ranked in ONE (anchor, kind)-partitioned window") {
+    val df = q("x72_contrastive_pairs")
+    val ws = windowsOf(df)
+    assert(ws.size == 1 && ws.head.partitionSpec.size == 2, ws.toString)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("Broadcast"), s"anchors not broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -582,6 +582,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("reserves"))
   }
 
+  test("contrastivePairs: a planted duplicate is the top positive, " +
+    "kinds partition by label agreement, self excluded") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val anchor = base.filter(col("vec_id") === 0)
+    val aRow = anchor.head()
+    val dup = Seq((700000L, aRow.getSeq[Float](1), aRow.getInt(2)))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(
+      anchor, base.unionByName(dup),
+      "vec_id", "embedding", "label", 3).collect()
+    assert(out.length == 6)
+    assert(!out.exists(_.getLong(3) == 0L), "self-match leaked")
+    val pos = out.filter(_.getString(2) == "positive")
+      .sortBy(_.getInt(6))
+    assert(pos.head.getLong(3) == 700000L && pos.head.getDouble(5) == 1.0,
+      s"planted duplicate not the top positive: ${pos.head}")
+    out.foreach { r =>
+      val same = r.getInt(4) == r.getInt(1)
+      assert(if (r.getString(2) == "positive") same else !same, r.toString)
+    }
+  }
+
   test("nprobeForNlist grows with ln(nlist), floors at base, clamps " +
     "at nlist") {
     assert(Similarity.nprobeForNlist(1) == 1)   // clamp: can't probe > nlist
