@@ -128,4 +128,58 @@ object TextAnalysis {
       round(wordRatio(col("text"), stopwords), 4).as("stop_ratio"),
       qualityScore(col("text"), stopwords).as("quality"),
       fingerprint(col("text")).as("fp"))
+
+  /** Overlapping token windows of a PRE-SPLIT token array — retrieval
+    * chunking (the embed-index prep stage): windows of `size` tokens
+    * starting every `stride` tokens, stride < size ⇒ overlap so no
+    * semantic span is cut at every boundary. Starts are 0, stride,
+    * 2·stride, … while start < nTokens; trailing windows keep whatever
+    * remains. Takes the ARRAY, not the text — the same
+    * lambda-re-evaluates-outer-exprs quadratic ChunkDedup.chunks
+    * documents — and guards the null contract explicitly (legacy-mode
+    * size(null) = -1 would otherwise fabricate phantom windows,
+    * ChunkDedup's ANSI lesson).
+    */
+  def slidingWindows(toks: Column, size: Int, stride: Int): Column = {
+    require(size >= 1, s"window size must be >= 1, got $size")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val lastStart =
+      floor((org.apache.spark.sql.functions.size(toks) - lit(1))
+        / lit(stride)).cast("long")
+    val windows = transform(
+      sequence(lit(0L), lastStart),
+      i => struct(
+        (i * stride).cast("long").as("tok_start"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(toks) - i * stride)
+          .cast("long").as("n_tok"),
+        array_join(slice(toks, (i * stride + lit(1)).cast("int"),
+          lit(size)), " ").as("chunk")))
+    when(toks.isNull, lit(null)).otherwise(windows)
+  }
+
+  /** Frame form: one row per (doc, window) — (idCol, chunk_idx,
+    * tok_start, n_tok, chunk). Pure Generate over the scan, zero
+    * exchanges (PlanSpec-pinned via x73): row volume multiplies by
+    * ~size/stride relative to a non-overlapping split, the overlap
+    * factor a retrieval index deliberately pays. A NULL document has
+    * no chunks and emits no rows — chunk consumers index chunks, not
+    * documents (unlike ChunkDedup's rewrite contract, which must give
+    * every input doc back).
+    */
+  def slidingChunks(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    Seq("__toks", "chunk_idx", "tok_start", "n_tok", "chunk").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"slidingChunks reserves column name '$c'; rename the input"))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(slidingWindows(col("__toks"), size, stride))
+          .as(Seq("chunk_idx", "__w")))
+      .select(col(idCol), col("chunk_idx"),
+        col("__w.tok_start").as("tok_start"),
+        col("__w.n_tok").as("n_tok"),
+        col("__w.chunk").as("chunk"))
+  }
 }

@@ -2621,10 +2621,33 @@ object PipelineOps {
             FROM scored
             QUALIFY rank <= 3 ORDER BY qid, kind, rank"""))
 
+  /** Retrieval chunking (TextAnalysis.slidingChunks): overlapping
+    * 5-token windows every 3 tokens — the embed-index prep stage. The
+    * oracle replays starts/slices with DuckDB list arithmetic.
+    */
+  private val x73 = Q(
+    "x73_sliding_chunks",
+    (s, d) => TextAnalysis.slidingChunks(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", size = 5, stride = 3)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 100),
+                 w AS (SELECT doc_id,
+                         unnest(range(0,
+                           CAST(floor((len(t) - 1) / 3.0) AS BIGINT) + 1))
+                           AS i, t
+                       FROM toks)
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   i * 3 AS tok_start,
+                   least(5, len(t) - i * 3) AS n_tok,
+                   array_to_string(t[i*3 + 1 : i*3 + 5], ' ') AS chunk
+            FROM w ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
 }

@@ -303,6 +303,11 @@ object Scale10 {
         Dedup.minhashNearDupsAgainst(
           corpus, incoming, "doc_id", "text", 0.6).count()
       }),
+      // x73: pure Generate over the scan, row volume ~size/stride per
+      // token — the claim is shuffle-free linearity like hash_split
+      "sliding_chunks" -> (() =>
+        TextAnalysis.slidingChunks(docs, "doc_id", "text", 64, 48)
+          .filter(length(col("chunk")) >= 0).count()),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
       // ever appear). The filters force the md5 assignment to compute.
@@ -1644,7 +1649,8 @@ object Scale10 {
         "quality_select", "tfidf_terms", "hash_split",
         "filter_rules", "chunk_dedup", "canonical_survivors",
         "corpus_offsets", "novelty", "winnow_pairs",
-        "winnow_coverage", "token_budget", "neardup_ingest"), "docs100")
+        "winnow_coverage", "token_budget", "neardup_ingest",
+        "sliding_chunks"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

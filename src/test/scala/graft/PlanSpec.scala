@@ -902,6 +902,22 @@ class PlanSpec extends SparkTestBase {
       plan.contains("Broadcast"), s"anchors not broadcast:\n$plan")
   }
 
+  test("x73: sliding chunks are a pure Generate over the scan — no " +
+    "window, no exchange before the presentation sort") {
+    val df = q("x73_sliding_chunks")
+    assert(windowsOf(df).isEmpty)
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"chunking shuffled the corpus:\n$inner")
+    assert(inner.contains("Generate"), s"no explode found:\n$inner")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")

@@ -102,4 +102,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(f.count() == 100)
     assert(f.na.drop().count() == 100)
   }
+
+  test("slidingChunks: starts stride apart, every token covered, " +
+    "trailing windows short, stride==size degenerates to the " +
+    "non-overlapping split") {
+    import spark.implicits._
+    val doc = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text") // 8 toks
+    val out = TextAnalysis.slidingChunks(doc, "doc_id", "text", 5, 3)
+      .orderBy("chunk_idx").collect()
+    // starts 0, 3, 6 (floor(7/3) = 2 -> 3 windows)
+    assert(out.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getString(4))).toSeq == Seq(
+      (0, 0L, 5L, "a b c d e"),
+      (1, 3L, 5L, "d e f g h"),
+      (2, 6L, 2L, "g h")))
+    // stride == size: exactly ChunkDedup.chunks' non-overlapping split
+    val nonOv = TextAnalysis.slidingChunks(doc, "doc_id", "text", 3, 3)
+      .orderBy("chunk_idx").collect().map(_.getString(4)).toSeq
+    assert(nonOv == Seq("a b c", "d e f", "g h"))
+    // every token position is covered by at least one window
+    val covered = out.flatMap(r =>
+      r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+    assert(covered == (0L until 8L).toSet)
+  }
+
+  test("slidingChunks: null doc emits no rows, empty string is one " +
+    "single-token window, reserved names refuse") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.slidingChunks(docs, "doc_id", "text", 4, 2)
+      .collect()
+    assert(out.forall(_.getLong(0) == 2L) && out.length == 1)
+    assert(out(0).getLong(3) == 1L && out(0).getString(4) == "")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.slidingChunks(
+        docs.withColumnRenamed("text", "chunk"), "doc_id", "chunk", 4, 2)
+    }
+    assert(e.getMessage.contains("reserves"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.slidingChunks(docs, "doc_id", "text", 4, 0)
+    }
+  }
 }
