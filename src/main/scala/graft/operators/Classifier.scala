@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Hashed-n-gram linear classifier inference — the fastText /
+  * CCNet-LM-alternative / GPT-3-style TRAINED quality filter: a
+  * document's score is bias + the sum of learned weights of its hashed
+  * word unigram+bigram features, and the gate keeps score > 0. The
+  * third quality-filter family in the repo, completing the set: rule
+  * gates encode judgment (x53), corpus statistics encode typicality
+  * (x46 bigram-LM, x41 DSIR), and this encodes a SUPERVISED signal
+  * (weights trained offline against labeled good/bad corpora — e.g.
+  * GPT-3's LR filter trained WebText-vs-CommonCrawl). Training is an
+  * offline artifact-producing job, deliberately out of scope; what a
+  * 100 TB pipeline runs per-document, and what this operator is, is
+  * inference.
+  *
+  * Scale shape: the weight vector rides the plan as ONE literal array
+  * (D doubles ship with the task binary, applyBoilerplate's
+  * list-as-literal trade — a D too big for that wants a broadcast
+  * join keyed by bucket, a different operator); scoring is a per-row
+  * HOF fold over the pre-split token array — zero shuffles, zero
+  * joins, whole-stage codegen. Feature hashing uses the repo's
+  * cross-engine md5-prefix family (Split.hashBucket), which is what
+  * lets x74's oracle replay scores bit-for-bit; production swaps
+  * xxhash64 exactly as Split documents.
+  *
+  * The score column is the raw linear MARGIN, not the sigmoid
+  * probability, and keep is margin > 0 (≡ sigmoid > 0.5): exp()
+  * differs in final ulps across libm implementations, so the margin is
+  * the cross-engine contract and the probability is display-only
+  * (callers wanting it apply 1/(1+e^-margin) downstream).
+  */
+object Classifier {
+
+  /** Hashed unigram+bigram feature list of a PRE-SPLIT token array, in
+    * deterministic order (unigrams left-to-right, then bigrams) — the
+    * order both engines sum in. Guards the one-token case explicitly:
+    * sequence(1, 0) is a DESCENDING two-element array in Spark, not
+    * empty (same trap class as ChunkDedup's ANSI lesson).
+    */
+  private def features(toks: Column): Column = {
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .otherwise(concat(toks, bigrams))
+  }
+
+  /** Per-document linear score over hashed features: (idCol, score,
+    * keep). `weights(j)` is the learned weight of hash bucket j
+    * (D = weights.length buckets, md5-prefix hash mod D); score =
+    * bias + Σ weights(bucket(feature)), keep = score > 0. A null text
+    * scores null and keep null — nulls surface, they don't gate.
+    */
+  def ngramScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], bias: Double,
+      fastHash: Boolean = false): DataFrame = {
+    val d = weights.length
+    require(d >= 1, "need at least one weight bucket")
+    Seq("__toks", "__feats", "score", "keep").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"Classifier.ngramScore reserves column name '$c'; rename the input"))
+    val wlit = typedlit(weights)
+    // fastHash = the production bucket family (xxhash64 — one compiled
+    // 64-bit hash vs md5's full digest + hex + parse per FEATURE).
+    // Measured worth 22% at the ×100 slice (11.75s -> 9.15s, SCALE.md
+    // round-15): the fold + feature construction, not the hash,
+    // dominates this expression — the swap is still free, just not the
+    // lever intuition says. Weights trained under one family only
+    // score under that family — the bucket map is part of the model
+    // artifact, which is why the default stays the SQL-replayable md5
+    // form the oracle grades.
+    def bucket(g: Column): Column =
+      if (fastHash) pmod(xxhash64(g), lit(d.toLong))
+      else pmod(conv(substring(md5(g), 1, 8), 16, 10).cast(LongType),
+        lit(d.toLong))
+    val score = aggregate(
+      col("__feats"), lit(bias),
+      (acc, g) => acc + element_at(wlit, (bucket(g) + 1).cast("int")))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), features(col("__toks")).as("__feats"))
+      .select(col(idCol), score.as("score"))
+      .select(col(idCol), col("score"), (col("score") > 0).as("keep"))
+  }
+}

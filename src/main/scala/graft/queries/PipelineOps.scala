@@ -2644,10 +2644,47 @@ object PipelineOps {
                    array_to_string(t[i*3 + 1 : i*3 + 5], ' ') AS chunk
             FROM w ORDER BY doc_id, chunk_idx"""))
 
+  /** Hashed-n-gram classifier gate (Classifier.ngramScore): the
+    * supervised quality filter's inference pass. The graded weight
+    * vector is the deterministic Knuth-multiplier grid (w(j) =
+    * (j·2654435761 mod 1000)/1000 − 0.5 — integer arithmetic then one
+    * exact division, identical doubles in both engines); a production
+    * run loads trained weights, same plan. Score is the raw margin
+    * (exp differs across libms — operator scaladoc), summed in
+    * feature order by both engines.
+    */
+  private val x74 = Q(
+    "x74_classifier_gate",
+    (s, d) => {
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      Classifier.ngramScore(
+        t(s, d, "documents"), "doc_id", "text", w, bias = -0.1)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 f AS (SELECT doc_id,
+                         list_concat(t,
+                           list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS feats
+                       FROM toks),
+                 sc AS (SELECT doc_id,
+                          -0.1 + list_sum(list_transform(feats,
+                            g -> (CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT
+                                     % 256 AS BIGINT)
+                                  * 2654435761 % 1000) / 1000.0 - 0.5))
+                            AS s
+                        FROM f)
+            SELECT doc_id, round(s, 6) AS score, s > 0 AS keep
+            FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74)
 }

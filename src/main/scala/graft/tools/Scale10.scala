@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.operators.{AsOfJoin, ChunkDedup, Components, Decontaminate, Dedup,
-  FilterRules, IntervalJoin, LmQuality, Pq, QualitySelect, Ranking,
-  SemanticDedup, Sessionize, Similarity, Split, TextAnalysis, TfIdf}
+import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
+  Decontaminate, Dedup, FilterRules, IntervalJoin, LmQuality, Pq,
+  QualitySelect, Ranking, SemanticDedup, Sessionize, Similarity, Split,
+  TextAnalysis, TfIdf}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -308,6 +309,18 @@ object Scale10 {
       "sliding_chunks" -> (() =>
         TextAnalysis.slidingChunks(docs, "doc_id", "text", 64, 48)
           .filter(length(col("chunk")) >= 0).count()),
+      // x74: per-row fold over literal weights — shuffle-free linear;
+      // the filter forces the margin so count() can't elide the fold
+      "classifier_gate" -> (() =>
+        Classifier.ngramScore(docs, "doc_id", "text",
+          (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5),
+          bias = -0.1)
+          .filter(col("score").isNotNull && col("score") > -1e18).count()),
+      "classifier_gate_fast" -> (() =>
+        Classifier.ngramScore(docs, "doc_id", "text",
+          (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5),
+          bias = -0.1, fastHash = true)
+          .filter(col("score").isNotNull && col("score") > -1e18).count()),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
       // ever appear). The filters force the md5 assignment to compute.
@@ -1650,7 +1663,8 @@ object Scale10 {
         "filter_rules", "chunk_dedup", "canonical_survivors",
         "corpus_offsets", "novelty", "winnow_pairs",
         "winnow_coverage", "token_budget", "neardup_ingest",
-        "sliding_chunks"), "docs100")
+        "sliding_chunks", "classifier_gate",
+        "classifier_gate_fast"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

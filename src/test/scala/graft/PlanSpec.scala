@@ -918,6 +918,24 @@ class PlanSpec extends SparkTestBase {
     assert(inner.contains("Generate"), s"no explode found:\n$inner")
   }
 
+  test("x74: classifier inference is a pure per-row fold — no window, " +
+    "no join, no exchange before the presentation sort") {
+    val df = q("x74_classifier_gate")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "classifier grew a join — weights must ride as a literal")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"classifier shuffled the corpus:\n$inner")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
