@@ -2681,10 +2681,128 @@ object PipelineOps {
             SELECT doc_id, round(s, 6) AS score, s > 0 AS keep
             FROM sc ORDER BY doc_id"""))
 
+  /** The curation funnel end-to-end: rule gates (x53) ∧ classifier
+    * gate (x74) → per-language quality tertile among survivors (x49)
+    * → token-budget fill of the tertile (x67) → hash split (x50), one
+    * verdict row per input document with every stage's flag. The
+    * point is COMPOSITION: each stage consumes the previous stage's
+    * survivor set, so the tertile cut and the budget boundary are
+    * population-dependent — exactly what a real pipeline computes and
+    * exactly what the oracle must replay stage-for-stage (each CTE
+    * below is the corresponding graded query's oracle restricted to
+    * the upstream survivor set). Stage flags are false (not null) for
+    * documents gated out upstream: a funnel report reads "why did
+    * this doc drop", and every doc must answer.
+    */
+  private val x75 = Q(
+    "x75_curation_funnel",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text"), stop), 4)
+          .as("score"),
+        size(split(col("text"), " ")).cast(LongType).as("tokens"))
+      val rules = FilterRules(docs, "doc_id", "text", stop)
+        .select(col("doc_id"), col("keep").as("rule_pass"))
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      val clf = Classifier.ngramScore(docs, "doc_id", "text", w, -0.1)
+        .select(col("doc_id"), col("keep").as("clf_pass"))
+      val gated = scored.join(rules, Seq("doc_id"))
+        .join(clf, Seq("doc_id"))
+        .filter(col("rule_pass") && col("clf_pass"))
+      val tert = QualitySelect.topFraction(
+          gated.select(col("doc_id"), col("score"), col("lang")),
+          "doc_id", "score", "lang", 3)
+        .select(col("doc_id"), col("keep").as("tertile_keep"))
+      val budget = QualitySelect.selectByTokenBudget(
+          gated.join(tert, Seq("doc_id")).filter(col("tertile_keep"))
+            .select(col("doc_id"), col("score"), col("tokens")),
+          "doc_id", "score", "tokens", 300L)
+        .select(col("doc_id"), col("keep").as("budget_keep"))
+      val splits = Split.assign(docs.select(col("doc_id")), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      docs.select(col("doc_id"))
+        .join(rules, Seq("doc_id"))
+        .join(clf, Seq("doc_id"))
+        .join(tert, Seq("doc_id"), "left")
+        .join(budget, Seq("doc_id"), "left")
+        .join(splits, Seq("doc_id"))
+        .select(col("doc_id"), col("rule_pass"), col("clf_pass"),
+          coalesce(col("tertile_keep"), lit(false)).as("tertile_keep"),
+          coalesce(col("budget_keep"), lit(false)).as("budget_keep"),
+          col("split"),
+          coalesce(col("budget_keep"), lit(false)).as("final_keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+                  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+                  CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                  CAST(list_sum(list_transform(string_split(text,' '),
+                       x -> length(x))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS avglen,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS nd,
+                  CAST(len(list_filter(string_split(text,' '),
+                       x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS ns,
+                  string_split(text, ' ') AS t
+                FROM documents),
+            rules AS (SELECT doc_id,
+                  (n_tokens BETWEEN 20 AND 80) AND
+                  (avglen BETWEEN 3.0 AND 4.5) AND
+                  nd / n >= 0.5 AND ns / n >= 0.05 AS rule_pass
+                FROM f),
+            clf AS (SELECT doc_id,
+                  -0.1 + list_sum(list_transform(
+                    list_concat(t, list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])),
+                    g -> (CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT
+                             % 256 AS BIGINT)
+                          * 2654435761 % 1000) / 1000.0 - 0.5)) > 0
+                    AS clf_pass
+                FROM f),
+            base AS (SELECT doc_id, lang, tokens,
+                  round((least(n/50.0, 1.0) + nd/n
+                         + least(ns/n*10.0, 1.0)) / 3.0, 4) AS score
+                FROM f),
+            gated AS (SELECT b.* FROM base b
+                  JOIN rules USING (doc_id) JOIN clf USING (doc_id)
+                  WHERE rule_pass AND clf_pass),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY score DESC, doc_id) AS rn,
+                    count(*) OVER (PARTITION BY lang) AS cnt
+                  FROM gated),
+            cut AS (SELECT lang, score AS cut FROM r
+                    WHERE rn = CAST(ceil(cnt / 3.0) AS BIGINT)),
+            tert AS (SELECT g.doc_id, g.score >= cut.cut AS tertile_keep
+                     FROM gated g JOIN cut USING (lang)),
+            bin AS (SELECT g.doc_id, g.score, g.tokens
+                    FROM gated g JOIN tert USING (doc_id)
+                    WHERE tertile_keep),
+            c AS (SELECT *, sum(tokens) OVER (ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                  FROM bin),
+            budget AS (SELECT doc_id, cum <= 300 AS budget_keep FROM c)
+          SELECT d.doc_id, rules.rule_pass, clf.clf_pass,
+                 coalesce(tert.tertile_keep, false) AS tertile_keep,
+                 coalesce(budget.budget_keep, false) AS budget_keep,
+                 CASE WHEN ${duckHashBucket("d.doc_id")} < ${pmCutoff(800)}
+                        THEN 'train'
+                      WHEN ${duckHashBucket("d.doc_id")} < ${pmCutoff(900)}
+                        THEN 'val'
+                      ELSE 'test' END AS split,
+                 coalesce(budget.budget_keep, false) AS final_keep
+          FROM documents d
+            JOIN rules USING (doc_id) JOIN clf USING (doc_id)
+            LEFT JOIN tert USING (doc_id) LEFT JOIN budget USING (doc_id)
+          ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75)
 }

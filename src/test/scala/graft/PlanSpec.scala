@@ -936,6 +936,16 @@ class PlanSpec extends SparkTestBase {
       s"classifier shuffled the corpus:\n$inner")
   }
 
+  test("x75: the curation funnel composes stages without a cartesian " +
+    "and every visible window stays partitioned (the budget stage's " +
+    "global summary window lives inside its 1-row checkpoint)") {
+    val df = q("x75_curation_funnel")
+    windowsOf(df).foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window leaked into the funnel:\n$w"))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
