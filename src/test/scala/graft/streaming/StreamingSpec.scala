@@ -88,6 +88,25 @@ class StreamingSpec extends SparkTestBase {
       batchDocs, "doc_id", "text", 3, 4)
     assert(gotFp.exceptAll(wantFp).isEmpty &&
       wantFp.exceptAll(gotFp).isEmpty)
+    // classifier inference: a literal weight artifact + per-row fold —
+    // the trained gate runs at ingest with the same operator code
+    val w = (0 until 64).map(j => (j * 37 % 100) / 100.0 - 0.4)
+    val gotClf = StreamOps.runToMemory(spark,
+      graft.operators.Classifier.ngramScore(
+        streamDocs, "doc_id", "text", w, -0.1), "clf_stream")
+    val wantClf = graft.operators.Classifier.ngramScore(
+      batchDocs, "doc_id", "text", w, -0.1)
+    assert(gotClf.exceptAll(wantClf).isEmpty &&
+      wantClf.exceptAll(gotClf).isEmpty)
+    // retrieval chunking: pure Generate, so the embed-index prep can
+    // chunk documents as they arrive
+    val gotCh = StreamOps.runToMemory(spark,
+      graft.operators.TextAnalysis.slidingChunks(
+        streamDocs, "doc_id", "text", 5, 3), "chunks_stream")
+    val wantCh = graft.operators.TextAnalysis.slidingChunks(
+      batchDocs, "doc_id", "text", 5, 3)
+    assert(gotCh.exceptAll(wantCh).isEmpty &&
+      wantCh.exceptAll(gotCh).isEmpty)
   }
 
   test("sliding windows produce overlapping coverage") {
