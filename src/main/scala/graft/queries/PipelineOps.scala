@@ -2799,10 +2799,58 @@ object PipelineOps {
             LEFT JOIN tert USING (doc_id) LEFT JOIN budget USING (doc_id)
           ORDER BY doc_id"""))
 
+  /** The mixture APPLIED (Mix.weights ∘ Split.stratifiedSample):
+    * x38's temperature-scaled per-domain rates become per-mille
+    * integers (tens of rows collected driver-side — the bounded
+    * class), and the hash sampler materializes the sampled corpus —
+    * closing the loop from "weights are advisory" to "this is the
+    * training mixture", deterministically and append-stably. The
+    * per-mille conversion is round(rate·1000) on the SAME double in
+    * both engines (rate is x38's hash-equal 6-decimal value;
+    * half-up == half-away-from-zero for positives), after which
+    * everything is x50/x51's exact integer cutoff arithmetic.
+    */
+  private val x76 = Q(
+    "x76_mix_sample",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pm = Mix.weights(docs, "source",
+          TextAnalysis.tokenCount(col("text")), targetTokens = 26000L)
+        .select(col("source"), col("rate")).collect()
+        .map(r => r.getString(0) ->
+          math.round(r.getDouble(1) * 1000).toInt).toMap
+      Split.stratifiedSample(
+        docs.select(col("doc_id"), col("source")),
+        "doc_id", "source", pm, defaultPerMille = 1000)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+              FROM documents GROUP BY source),
+            w AS (SELECT *,
+                    CAST(round(sqrt(CAST(tokens AS DOUBLE)), 6)
+                         AS DECIMAL(18,6)) AS wd
+                  FROM per),
+            t AS (SELECT sum(wd) AS tot FROM w),
+            rates AS (SELECT source,
+                   CAST(round(
+                     round(least(1.0,
+                       26000.0 * round(CAST(wd AS DOUBLE)
+                                       / CAST(tot AS DOUBLE), 6)
+                         / CAST(tokens AS DOUBLE)), 6) * 1000.0)
+                     AS BIGINT) AS pm
+                 FROM w CROSS JOIN t)
+          SELECT d.doc_id, d.source
+          FROM documents d JOIN rates USING (source)
+          WHERE ${duckHashBucket("d.doc_id")} < (pm << 32) // 1000
+          ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76)
 }

@@ -946,6 +946,25 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("x76: the applied mixture is a stateless map filter — the rate " +
+    "table collapsed to literals driver-side, no join, no window, no " +
+    "exchange before the presentation sort") {
+    val df = q("x76_mix_sample")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "sampling grew a join — rates must fold into the filter")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"the sampler shuffled the corpus:\n$inner")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE reports codegen spans only on the finalized plan -> execute first
     val df = q("r03_filter_and_or")
