@@ -64,6 +64,13 @@ object Pq {
 
   /** Lloyd-refine each subspace's codebook for `iters` rounds —
     * Similarity.kmeans on the sliced corpus, m independent problems.
+    * The result is REINDEXED to contiguous codes 0..k'-1: kmeansStep
+    * drops cells that lose all members (dead-centroid removal), and a
+    * gap in the code sequence would silently misalign the positional
+    * ADC LUT below (element_at(lut, code+1) holds code c's distance at
+    * position c+1 ONLY when codes are dense). Reindexing is safe here
+    * because codes never travel without their codebook — encode always
+    * derives them fresh from the codebook it is handed.
     */
   def trainCodebooks(
       corpus: DataFrame, vecCol: String, dim: Int,
@@ -76,7 +83,84 @@ object Pq {
       val sliced = corpus.select(
         slice(col(vecCol), i * sub + 1, sub).as("__sub"))
       Similarity.kmeans(sliced, "__sub", sub, cb, iters)._1
+        .sortBy(_._1).zipWithIndex.map { case ((_, v), c) => (c, v) }
     }
+  }
+
+  /** Every ADC path indexes its LUT positionally, so every codebook it
+    * accepts must carry codes exactly 0..k-1 — fail loudly instead of
+    * misindexing (a gapped codebook reads the WRONG code's distance
+    * with no error; caught in round-15 self-review before any trained
+    * codebook hit a dead cell in practice).
+    */
+  private def requireContiguous(
+      codebooks: Seq[Seq[(Int, Array[Double])]]): Unit =
+    codebooks.zipWithIndex.foreach { case (cb, i) =>
+      require(cb.map(_._1) == (0 until cb.size),
+        s"subspace $i codebook codes ${cb.map(_._1).mkString(",")} are " +
+          s"not contiguous 0..${cb.size - 1}: the positional ADC LUT " +
+          "would misindex — retrain via trainCodebooks (which reindexes)")
+    }
+
+  /** Per-query LUT: lut(i)(c) = ||q_i - codeword_c||^2, j-ascending
+    * double summation — the order the SQL oracles replay. Shared by
+    * the flat and cell-blocked search paths so a tweak cannot diverge.
+    */
+  private def lutFor(q: Array[Double],
+      codebooks: Seq[Seq[(Int, Array[Double])]], dim: Int)
+      : Seq[Seq[Double]] = {
+    require(q.length == dim, s"query length ${q.length} != dim $dim")
+    val m = codebooks.size
+    val sub = dim / m
+    (0 until m).map { i =>
+      codebooks(i).sortBy(_._1).map { case (_, cw) =>
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = q(i * sub + j) - cw(j)
+          d2 += diff * diff
+          j += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** The ascending-subspace ADC sum over a codes column against a lut
+    * column — one shared expression for both search paths.
+    */
+  private def adcExpr(codesCol: String, m: Int): Column =
+    (0 until m).map(i =>
+      element_at(element_at(col("lut"), i + 1),
+        element_at(col(codesCol), i + 1) + 1))
+      .reduce(_ + _)
+
+  /** Exact-L2 re-rank of a bounded (query_id, id) candidate frame:
+    * fetch full vectors by id, score against the broadcast query set,
+    * keep each query's best k by (d2, id). Shared by adcTopKReranked
+    * and ivfPqTopKIndexed.
+    */
+  private def exactRerank(
+      cand: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qvec")
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("qvec"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, x) => acc + x)
+    cand.select(col("query_id"), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col(idCol), d2.as("__d2"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("__d2"), col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        round(col("__d2"), 6).as("d2"))
   }
 
   private def codeExprs(vecCol: Column,
@@ -95,6 +179,9 @@ object Pq {
       dim: Int, codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     require(codebooks.nonEmpty && dim % codebooks.size == 0,
       s"m must divide dim, got $dim/${codebooks.size}")
+    requireContiguous(codebooks)
+    require(!corpus.columns.contains("codes"),
+      "Pq.encode reserves column name 'codes'; rename the input column")
     corpus.select(col(idCol),
       array(codeExprs(col(vecCol), codebooks, dim): _*).as("codes"))
   }
@@ -115,36 +202,20 @@ object Pq {
     require(k >= 1, "k must be >= 1")
     val m = codebooks.size
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $dim/$m")
-    val sub = dim / m
-    // per-query LUT: lut(i)(c) = ||q_i - codeword_c||^2, j ascending —
-    // the oracle replays this exact summation order
-    def lutFor(q: Array[Double]): Seq[Seq[Double]] = {
-      require(q.length == dim, s"query length ${q.length} != dim $dim")
-      (0 until m).map { i =>
-        codebooks(i).sortBy(_._1).map { case (_, cw) =>
-          var d2 = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = q(i * sub + j) - cw(j)
-            d2 += diff * diff
-            j += 1
-          }
-          d2
-        }
-      }
-    }
+    requireContiguous(codebooks)
+    Seq("query_id", "lut", "rank", "adc_d2", "__adc").foreach(c =>
+      require(!encoded.columns.contains(c),
+        s"Pq.adcTopK reserves column name '$c'; rename the input column"))
     val spark = encoded.sparkSession
     import spark.implicits._
-    val luts = queries.map { case (qid, q) => (qid, lutFor(q)) }
+    val luts = queries
+      .map { case (qid, q) => (qid, lutFor(q, codebooks, dim)) }
       .toDF("query_id", "lut")
     // ascending-subspace sum of lookups, same association order as the
     // SQL twin's list_sum over m-ordered partials
-    val adc = (0 until m).map(i =>
-      element_at(element_at(col("lut"), i + 1),
-        element_at(col(codesCol), i + 1) + 1))
-      .reduce(_ + _)
     encoded.crossJoin(broadcast(luts))
-      .select(col("query_id"), col(idCol), adc.as("__adc"))
+      .select(col("query_id"), col(idCol),
+        adcExpr(codesCol, m).as("__adc"))
       // a malformed vector encodes to null codes -> null ADC, and the
       // ascending window sort is NULLS FIRST, which would hand every
       // corrupt row rank 1 — drop them here so corruption surfaces in
@@ -179,24 +250,7 @@ object Pq {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
     val cand = adcTopK(encoded, idCol, codesCol, queries, codebooks,
       dim, kCand)
-    val spark = encoded.sparkSession
-    import spark.implicits._
-    val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
-      .toDF("query_id", "qvec")
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("qvec"),
-        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0), (acc, x) => acc + x)
-    cand.select(col("query_id"), col(idCol))
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(qdf), Seq("query_id"))
-      .select(col("query_id"), col(idCol), d2.as("__d2"))
-      .withColumn("rank", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("__d2"), col(idCol))).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol),
-        round(col("__d2"), 6).as("d2"))
+    exactRerank(cand, corpus, idCol, vecCol, queries, k)
   }
 
   /** IVF-PQ: the billion-scale layout (Jégou et al. §V.D) as a
@@ -241,6 +295,10 @@ object Pq {
       codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     require(codebooks.nonEmpty && dim % codebooks.size == 0,
       s"m must divide dim, got $dim/${codebooks.size}")
+    requireContiguous(codebooks)
+    Seq("cell", "codes").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"Pq.ivfPqIndex reserves column name '$c'; rename the input column"))
     Similarity.ivfAssign(corpus, vecCol, cells)
       .select(col(idCol), col("cell"),
         array(codeExprs(col(vecCol), codebooks, dim): _*).as("codes"))
@@ -261,40 +319,29 @@ object Pq {
       s"need nprobe >= 1 ($nprobe), kCand >= k >= 1 ($kCand, $k)")
     val m = codebooks.size
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $dim/$m")
-    val sub = dim / m
+    requireContiguous(codebooks)
+    Seq("query_id", "lut", "rank", "__adc", "__rn").foreach(c =>
+      require(!index.columns.contains(c),
+        s"Pq.ivfPqTopKIndexed reserves column name '$c'; rename the " +
+          "input column"))
     def l2(q: Array[Double], c: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }
       d
     }
-    def lutFor(q: Array[Double]): Seq[Seq[Double]] =
-      (0 until m).map { i =>
-        codebooks(i).sortBy(_._1).map { case (_, cw) =>
-          var d2 = 0.0; var j = 0
-          while (j < sub) {
-            val diff = q(i * sub + j) - cw(j); d2 += diff * diff; j += 1
-          }
-          d2
-        }
-      }
     val spark = corpus.sparkSession
     import spark.implicits._
     // (query, probed cell, lut): nprobe nearest centroids per query,
     // ties toward the smaller cell id — same order ivfAssign breaks them
     val probes = queries.flatMap { case (qid, q) =>
-      require(q.length == dim, s"query length ${q.length} != dim $dim")
-      val lut = lutFor(q)
+      val lut = lutFor(q, codebooks, dim)
       cells.map { case (cid, cv) => (l2(q, cv), cid) }
         .sorted.take(nprobe)
         .map { case (_, cid) => (qid, cid, lut) }
     }.toDF("query_id", "cell", "lut")
-    val encoded = index
-    val adc = (0 until m).map(i =>
-      element_at(element_at(col("lut"), i + 1),
-        element_at(col("codes"), i + 1) + 1))
-      .reduce(_ + _)
-    val cand = encoded.join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col(idCol), adc.as("__adc"))
+    val cand = index.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        adcExpr("codes", m).as("__adc"))
       // same null-ADC guard as adcTopK (NULLS FIRST would rank corrupt
       // rows 1st); malformed vectors also assign a null CELL, so most
       // never reach this join — the filter covers the belt-and-braces
@@ -303,22 +350,7 @@ object Pq {
         .partitionBy(col("query_id"))
         .orderBy(col("__adc"), col(idCol))))
       .filter(col("__rn") <= kCand)
-    val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
-      .toDF("query_id", "qvec")
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("qvec"),
-        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-      lit(0.0), (acc, x) => acc + x)
-    cand.select(col("query_id"), col(idCol))
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(qdf), Seq("query_id"))
-      .select(col("query_id"), col(idCol), d2.as("__d2"))
-      .withColumn("rank", row_number().over(Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("__d2"), col(idCol))).cast("int"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol),
-        round(col("__d2"), 6).as("d2"))
+    exactRerank(cand, corpus, idCol, vecCol, queries, k)
   }
 
   /** Mean squared reconstruction error of a codebook over the corpus —

@@ -155,7 +155,15 @@ object TextAnalysis {
           .cast("long").as("n_tok"),
         array_join(slice(toks, (i * stride + lit(1)).cast("int"),
           lit(size)), " ").as("chunk")))
-    when(toks.isNull, lit(null)).otherwise(windows)
+    // the EMPTY (non-null) array needs its own branch: lastStart =
+    // floor(-1/stride) = -1 makes sequence(0, -1) the descending
+    // two-element [0, -1] — two phantom windows, one at a negative
+    // offset. Unreachable through tokens() (split never yields []) but
+    // any other tokenizer can produce it; zero windows is the contract.
+    when(toks.isNull, lit(null))
+      .when(org.apache.spark.sql.functions.size(toks) === 0,
+        slice(windows, 1, 0))
+      .otherwise(windows)
   }
 
   /** Frame form: one row per (doc, window) — (idCol, chunk_idx,

@@ -147,6 +147,30 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.4, s"ivf-pq recall collapsed: $recall")
   }
 
+  test("trained codebooks are reindexed contiguous (dead cells close " +
+    "the gap) and a gapped codebook is refused, never misindexed") {
+    // kmeansStep drops cells that lose every member; the positional
+    // ADC LUT would then read the WRONG code's distance silently.
+    // trainCodebooks must hand back dense codes whatever Lloyd did...
+    val trained = Pq.trainCodebooks(emb, "vec", 64, seedCbs, 2)
+    trained.zipWithIndex.foreach { case (cb, i) =>
+      assert(cb.map(_._1) == (0 until cb.size),
+        s"subspace $i codes not contiguous: ${cb.map(_._1)}")
+    }
+    // ...and every ADC entry point refuses a gapped codebook loudly
+    val gapped = seedCbs.map(cb =>
+      cb.filterNot(_._1 == 2)) // drop code 2, keep 0,1,3..
+    val enc = Pq.encode(emb, "id", "vec", 64, seedCbs)
+    val qs = Seq((0L, Array.fill(64)(0.0)))
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(enc, "id", "codes", qs, gapped, 64, 5)
+    }
+    assert(e.getMessage.contains("not contiguous"))
+    intercept[IllegalArgumentException] {
+      Pq.encode(emb, "id", "vec", 64, gapped)
+    }
+  }
+
   test("m must divide dim; malformed vectors yield null codes rather " +
     "than a poisoned cell") {
     intercept[IllegalArgumentException] {

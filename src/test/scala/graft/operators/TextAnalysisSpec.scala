@@ -144,4 +144,17 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.slidingChunks(docs, "doc_id", "text", 4, 0)
     }
   }
+
+  test("slidingWindows on an EMPTY token array yields zero windows, " +
+    "not the sequence(0,-1) phantom pair") {
+    import spark.implicits._
+    // unreachable via tokens() (split never returns []) but any other
+    // tokenizer can produce it — e.g. filtering empties out
+    val df = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq("a", "b")))
+      .toDF("toks")
+    val out = df.select(
+      size(TextAnalysis.slidingWindows(col("toks"), 4, 2)).as("n"))
+      .collect().map(_.getInt(0)).sorted
+    assert(out.toSeq == Seq(0, 1))
+  }
 }
