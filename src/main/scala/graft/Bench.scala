@@ -152,8 +152,36 @@ object Bench {
         .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
       (System.nanoTime() - c0) / 1e9
     }
-    val canaryStride = 15
-    val canaries = scala.collection.mutable.ArrayBuffer(runCanary())
+    // Stride 10 (was 15) narrows each canary segment so a short
+    // congestion window is bracketed more tightly, and the pre-loop
+    // gate below refuses to START the loop inside a busy window at
+    // all: two consecutive driver rounds (r14, r15) began congested
+    // (~19s of retry burn) while every quiet-host run landed in-band,
+    // so waiting tens of seconds up front is strictly cheaper than
+    // retrying mid-loop. Bounded: after `maxGateWaits` sleeps the run
+    // proceeds regardless (a permanently-busy host still produces a
+    // flagged, normalized number rather than no number).
+    val canaryStride = 10
+    // The canary nominal was measured at local[32] (the driver/judge
+    // configuration); at fewer threads the fixed 32-slice work is
+    // legitimately slower, so the gate only arms there — a dev-loop
+    // local[4] run must not burn 2 minutes "waiting out" its own
+    // thread count.
+    val gateLimit =
+      if (cpus.toInt >= 32) BenchNominals.canaryNominal * 1.5
+      else Double.MaxValue
+    val maxGateWaits = 6
+    var gateWaits = 0
+    var firstCanary = runCanary()
+    while (firstCanary > gateLimit && gateWaits < maxGateWaits) {
+      System.err.println(f"[bench] pre-loop canary $firstCanary%.3fs > " +
+        f"$gateLimit%.3fs (1.5x clean nominal) — host busy, waiting 20s " +
+        s"(${gateWaits + 1}/$maxGateWaits)")
+      Thread.sleep(20000)
+      gateWaits += 1
+      firstCanary = runCanary()
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer(firstCanary)
     // A failing query must not masquerade as a fast success: log it and
     // record a sentinel -1.0 so the JSON total goes visibly wrong.
     // Fixed sorted order: deterministic run-to-run and round-to-round, so
@@ -262,7 +290,7 @@ object Bench {
     // "timed" self-identifies the round-14 primitive change (count ->
     // full materialization): totals are NOT comparable with rounds <= 13,
     // which benchmarked the count()-weakened plans (~17s less work)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"pre_gate_waits":$gateWaits,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -135,6 +135,18 @@ object Pq {
         element_at(col(codesCol), i + 1) + 1))
       .reduce(_ + _)
 
+  /** Reserve-check for the names exactRerank introduces on the CORPUS
+    * frame: a corpus already carrying e.g. `query_id` would make the
+    * candidate id-join resolve against the wrong column (ambiguity
+    * error at best, silent mis-join at worst). Called by both public
+    * entry points that reach exactRerank, before any candidate work.
+    */
+  private def requireRerankSafe(corpus: DataFrame, entry: String): Unit =
+    Seq("query_id", "qvec", "rank", "d2", "__d2").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"Pq.$entry reserves column name '$c' on the corpus frame; " +
+          "rename the input column"))
+
   /** Exact-L2 re-rank of a bounded (query_id, id) candidate frame:
     * fetch full vectors by id, score against the broadcast query set,
     * keep each query's best k by (d2, id). Shared by adcTopKReranked
@@ -248,6 +260,7 @@ object Pq {
       codebooks: Seq[Seq[(Int, Array[Double])]], dim: Int,
       kCand: Int, k: Int): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    requireRerankSafe(corpus, "adcTopKReranked")
     val cand = adcTopK(encoded, idCol, codesCol, queries, codebooks,
       dim, kCand)
     exactRerank(cand, corpus, idCol, vecCol, queries, k)
@@ -324,6 +337,7 @@ object Pq {
       require(!index.columns.contains(c),
         s"Pq.ivfPqTopKIndexed reserves column name '$c'; rename the " +
           "input column"))
+    requireRerankSafe(corpus, "ivfPqTopKIndexed")
     def l2(q: Array[Double], c: Array[Double]): Double = {
       var d = 0.0; var i = 0
       while (i < q.length) { val x = q(i) - c(i); d += x * x; i += 1 }

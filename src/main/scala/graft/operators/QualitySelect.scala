@@ -101,9 +101,13 @@ object QualitySelect {
     * directly (its percentage argument must be foldable), so the
     * aggregate sketches a FIXED grid of gridSteps+1 quantiles once per
     * group and the group's own count then INDEXES the grid, snapping the
-    * quantile DOWN — permissive by construction: the cut errs low, so
-    * the approximate form keeps a superset of the exact capPerGroup
-    * rows (spec-pinned), overshooting the budget by at most the grid
+    * quantile DOWN. Only the grid snap is one-sided, so the result is a
+    * superset of the exact capPerGroup rows UP TO SKETCH ERROR: the
+    * snap itself errs permissive, but approx_percentile's rank error
+    * (~n/accuracy) can push the estimated cut above the true cap'th
+    * score and drop rows the exact form keeps — at the default
+    * accuracy=10000 the spec pins the superset on the test corpus, not
+    * as a construction guarantee. Overshoot is bounded by the grid
     * cell (~n/gridSteps rows) plus sketch error plus ties. That is the
     * documented trade: the hard row budget becomes approximate, which
     * is why the exact window form stays the graded one (x55) and this

@@ -944,6 +944,20 @@ class PlanSpec extends SparkTestBase {
       s"unpartitioned window leaked into the funnel:\n$w"))
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan)
+    // Stage boundaries are lazily checkpointed (the x67
+    // shared-work-divergence fix one level up): the composed plan
+    // reads materialized stage verdicts, so the classifier HOF fold
+    // lives ONLY inside the clf checkpoint (it must not re-appear —
+    // that was the 38-scans-of-documents defect), and documents is
+    // re-scanned exactly once, for the split/base projection.
+    assert(!plan.contains("aggregate("),
+      s"classifier fold leaked outside its stage checkpoint:\n$plan")
+    val docScans = "Scan parquet".r.findAllIn(plan).size
+    assert(docScans == 1,
+      s"expected exactly 1 documents scan in the composed plan, " +
+        s"got $docScans:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 4,
+      s"expected the 4+ checkpointed stage verdict scans:\n$plan")
   }
 
   test("x76: the applied mixture is a stateless map filter — the rate " +

@@ -82,14 +82,33 @@ block = ("  val sf01: Map[String, (Double, Double)] = Map(\n"
 
 path = "src/main/scala/graft/BenchNominals.scala"
 with open(path) as fh:
-    src = fh.read()
-start = src.find("  val sf01: Map[String, (Double, Double)] = Map")
-if start < 0:
-    sys.exit(f"refusing: band map block not found in {path}")
-end = src.find(")\n", src.rfind("->"))
-if end < 0:
-    sys.exit(f"refusing: cannot locate end of band map in {path}")
-new = src[:start] + block + src[end + 2:]
+    lines = fh.readlines()
+# Locate the block LINE-WISE, bounded to the map itself: the header
+# line, then every consecutive entry line ('"name" -> ((lo, hi))').
+# This survives arbitrary "->" tokens elsewhere in the file (the old
+# rfind("->") end-detection spliced out everything between the map and
+# the file's last arrow) and bootstraps a fresh `Map.empty` header.
+import re
+HDR = "  val sf01: Map[String, (Double, Double)] ="
+hdr_idx = [i for i, l in enumerate(lines) if l.startswith(HDR)]
+if len(hdr_idx) != 1:
+    sys.exit(f"refusing: expected exactly one sf01 header in {path}, "
+             f"found {len(hdr_idx)}")
+hdr = hdr_idx[0]
+entry_re = re.compile(r'^\s*"[^"]+"\s*->\s*\(\(')
+end = hdr  # header-only (Map.empty / Map()) bootstrap replaces one line
+if "Map(" in lines[hdr] and "()" not in lines[hdr]:
+    j = hdr + 1
+    while j < len(lines) and entry_re.match(lines[j]):
+        j += 1
+    if j == hdr + 1:
+        sys.exit(f"refusing: sf01 header opens Map( but no entry lines "
+                 f"follow at {path}:{hdr + 2}")
+    end = j - 1
+    if not lines[end].rstrip().endswith("))"):
+        sys.exit(f"refusing: last entry line does not close the map at "
+                 f"{path}:{end + 1}: {lines[end]!r}")
+new = "".join(lines[:hdr]) + block + "".join(lines[end + 1:])
 with open(path, "w") as fh:
     fh.write(new)
 print(f"wrote {len(bands)} nominal bands from {len(runs)} runs to {path}")
