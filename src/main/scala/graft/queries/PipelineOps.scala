@@ -2874,10 +2874,106 @@ object PipelineOps {
           WHERE ${duckHashBucket("d.doc_id")} < (pm << 32) // 1000
           ORDER BY doc_id"""))
 
+  /** IVF-PQ composed search (Pq.ivfPqTopK) graded END-TO-END: cell
+    * assignment, per-query probe selection, positional-LUT ADC over
+    * only the probed cells, candidate cut at kCand, exact re-rank to
+    * k — every stage replayed by the oracle on the seeded geometry
+    * (the every-97th-id pool serves as BOTH the 16 IVF cells and, via
+    * seedCodebooks, the 8 per-subspace codebooks; x69/x70 grade the
+    * parts, this grades the composition, closing VERDICT r15 gap #1).
+    * Determinism rides the same arguments as x33 (probe margins) and
+    * x70 (ascending-subspace ADC sum, ties on vec_id): both engines
+    * produce bit-identical doubles at every cut. nprobe=4 of 16 cells
+    * means the ADC scan covers ~1/4 of the corpus — the plan pin
+    * asserts the probe join is EQUI ON CELL with the probe side
+    * broadcast and no shuffle under it, the shape that prunes
+    * physically on a cell-bucketed table at 10^9 rows.
+    */
+  private val x77 = Q(
+    "x77_ivfpq_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cells = ivfCentroids(s, d)
+      val cbs = Pq.seedCodebooks(cells.map(_._2), 64, 8)
+      val queries = e.filter(col("vec_id") < 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+      Pq.ivfPqTopK(e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 64, cells, cbs, queries,
+          nprobe = 4, kCand = 20, k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 dfull AS (SELECT e.vec_id, s.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE)))) AS d2
+                   FROM embeddings e CROSS JOIN seeds s),
+                 asg AS (SELECT vec_id, cid AS cell FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM dfull) WHERE rn = 1),
+                 dsub AS (SELECT e.vec_id, u.m, s.cid,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE))
+                          * (CAST(e.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE)))) AS d2
+                   FROM embeddings e
+                     CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) u
+                     CROSS JOIN seeds s),
+                 enc AS (SELECT vec_id, m, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d2, cid) AS rn FROM dsub) WHERE rn = 1),
+                 qs AS (SELECT vec_id AS qid, embedding AS qvec
+                        FROM embeddings WHERE vec_id < 4),
+                 probes AS (SELECT qid, cid AS cell FROM
+                     (SELECT q.qid, s.cid, row_number() OVER (
+                        PARTITION BY q.qid ORDER BY
+                          list_sum(list_transform(range(1, 65),
+                            i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+                               * (CAST(q.qvec[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE)))),
+                          s.cid) AS rn
+                      FROM qs q CROSS JOIN seeds s) WHERE rn <= 4),
+                 part AS (SELECT p.qid, a.vec_id, e.m,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(q.qvec[e.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[e.m*8 + j] AS DOUBLE))
+                          * (CAST(q.qvec[e.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[e.m*8 + j] AS DOUBLE)))) AS pd
+                   FROM probes p
+                     JOIN asg a ON a.cell = p.cell
+                     JOIN enc e ON e.vec_id = a.vec_id
+                     JOIN seeds s ON s.cid = e.cid
+                     JOIN qs q ON q.qid = p.qid),
+                 tot AS (SELECT qid, vec_id,
+                           list_sum(list(pd ORDER BY m)) AS adc
+                         FROM part GROUP BY qid, vec_id),
+                 cand AS (SELECT qid, vec_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY adc, vec_id) AS rn FROM tot)
+                     WHERE rn <= 20),
+                 rr AS (SELECT c.qid, c.vec_id,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)))) AS d2
+                   FROM cand c
+                     JOIN embeddings e USING (vec_id)
+                     JOIN qs q USING (qid))
+            SELECT qid AS query_id,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY d2, vec_id) AS INT) AS rank,
+                   vec_id, round(d2, 6) AS d2
+            FROM rr
+            QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
 }

@@ -960,6 +960,28 @@ class PlanSpec extends SparkTestBase {
       s"expected the 4+ checkpointed stage verdict scans:\n$plan")
   }
 
+  test("x77: IVF-PQ probes join the index EQUI ON CELL with the probe " +
+    "side broadcast and no shuffle beneath the join — the shape that " +
+    "prunes the scan physically on a cell-bucketed table") {
+    val df = q("x77_ivfpq_topk")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val cellJoins = deepNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys)
+          .exists(_.toString.contains("cell")) => j
+    }
+    assert(cellJoins.nonEmpty,
+      s"no broadcast hash join on cell in the probe path:\n$plan")
+    // the corpus flows into the probe join unshuffled: encode + cell
+    // assignment are map-only, so the join's whole subtree carries no
+    // shuffle exchange (the probe side arrives by broadcast)
+    cellJoins.foreach(j => assert(j.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"shuffle under the cell probe join:\n$j"))
+  }
+
   test("x76: the applied mixture is a stateless map filter — the rate " +
     "table collapsed to literals driver-side, no join, no window, no " +
     "exchange before the presentation sort") {
