@@ -396,6 +396,53 @@ object Sketches {
     }
     new GenericArrayData(mins)
   }
+
+  /** One-pass hashed unigram+bigram linear margin — the compiled twin
+    * of Classifier.ngramScore's HOF fold (bit-identical doubles,
+    * asserted in ClassifierSpec): bias + Σ weights(bucket(feature)),
+    * unigram weights added left-to-right first, then bigram weights,
+    * the same association order as the fold. Because the tokenizer is
+    * the shared space-only split (tokenBounds), the bigram feature
+    * "tok_i tok_{i+1}" is EXACTLY the original byte range spanning
+    * both tokens and their single separator byte — so the xxhash64
+    * family hashes ranges in place with zero allocation, and the md5
+    * family digests one contiguous slice per feature. Empty text
+    * yields split's one empty token, matching the HOF/SQL twins.
+    */
+  def classifierMargin(text: UTF8String, weights: Array[Double],
+      bias: Double, fastHash: Boolean): Double = {
+    val d = weights.length
+    val bounds = tokenBounds(text)
+    val nTok = bounds.length - 1
+    val bytes = if (fastHash) null else text.getBytes
+    val md = if (fastHash) null else md5Local.get()
+    def bucket(lo: Int, hi: Int): Int =
+      if (fastHash) {
+        val h = byteRangeHash(text, lo, hi) % d
+        (if (h < 0) h + d else h).toInt
+      } else {
+        md.reset()
+        md.update(bytes, lo, hi - lo)
+        val dig = md.digest()
+        // conv(substr(md5hex,1,8),16,10) = first 4 digest bytes as an
+        // unsigned 32-bit big-endian int
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        (h % d).toInt
+      }
+    var score = bias
+    var t = 0
+    while (t < nTok) {
+      score += weights(bucket(bounds(t) + 1, bounds(t + 1)))
+      t += 1
+    }
+    t = 0
+    while (t < nTok - 1) {
+      score += weights(bucket(bounds(t) + 1, bounds(t + 2)))
+      t += 1
+    }
+    score
+  }
 }
 
 /** simhash(text): LongType. Null in -> null out. */
@@ -596,6 +643,35 @@ case class WinnowFingerprintPositions(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** classifier_margin(text): the hashed unigram+bigram linear margin in
+  * one compiled pass (see Sketches.classifierMargin). Weights travel as
+  * a codegen reference object, not a Catalyst literal — a k-bucket
+  * array literal would otherwise be re-materialized per row by the HOF
+  * fold this replaces. Value-equal on (weights content, bias, family)
+  * so structurally identical plans stay dedup-able.
+  */
+case class ClassifierMargin(child: Expression, weights: IndexedSeq[Double],
+    bias: Double, fastHash: Boolean) extends UnaryExpression {
+  require(weights.nonEmpty, "classifier_margin: need at least one weight")
+  require(!bias.isNaN && !bias.isInfinite,
+    s"classifier_margin: bias must be finite, got $bias")
+  // one conversion at plan time; eval reads the primitive array
+  private val warr: Array[Double] = weights.toArray
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.classifierMargin(
+      input.asInstanceOf[UTF8String], warr, bias, fastHash)
+  override def prettyName: String = "classifier_margin"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("clfWeights", warr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketches.classifierMargin($c, $w, ${bias}D, $fastHash)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): ClassifierMargin =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
@@ -637,4 +713,12 @@ object SketchFunctions {
   /** Column API: one-pass native distinct char n-grams. */
   def charNgrams(c: Column, n: Int): Column =
     ColumnShim.toColumn(CharNgrams(ColumnShim.toExpression(c), n))
+
+  /** Column API: one-pass native classifier margin (the compiled twin
+    * of Classifier.ngramScore's fold).
+    */
+  def classifierMargin(c: Column, weights: Seq[Double], bias: Double,
+      fastHash: Boolean): Column =
+    ColumnShim.toColumn(ClassifierMargin(
+      ColumnShim.toExpression(c), weights.toIndexedSeq, bias, fastHash))
 }

@@ -819,6 +819,90 @@ object Scale10 {
         }
         e.unpersist()
       }
+    } else if (only("pq256")) {
+      // Production PQ dials measured (VERDICT r15 #3): k=256 codewords
+      // per subspace, m=8 — the 256-byte-float -> 8-byte regime of
+      // Jégou 2011 §V — with codebooks TRAINED ON A ~10% HASH SAMPLE
+      // (the paper's regime: Lloyd over the full corpus would dominate
+      // build cost for no recall gain) and searched over the full
+      // slice. The graded x69/x70/x77 queries use seed-pool-sized
+      // codebooks (6-16 codewords) for oracle replayability; this flow
+      // records what the production dial actually buys over that
+      // regime at the same corpus: recall@10 with and without the
+      // exact re-rank, train/encode/search walls, and the effective k
+      // after dead-cell reindexing. Both arms (k16, k256) share the
+      // training sample, queries, and exact ground truth.
+      import org.apache.spark.sql.expressions.Window
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- Seq(outDir, dir100)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint()
+        val n = e.count()
+        val sampleN = math.max(512L, n / 10L).min(n).toInt
+        val sample = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(sampleN).localCheckpoint()
+        val queries = e.orderBy("id").limit(8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        // exact ground truth, computed DISTRIBUTEDLY (broadcast the 8
+        // queries, never collect the corpus — the PqSpec collect-side
+        // form would pull 200k x 64 floats to the driver here)
+        import spark.implicits._
+        val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec")
+        val qd2 = aggregate(
+          zip_with(col("vec"), col("qvec"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val truth = e.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("id"), qd2.as("d2"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+          val got = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          queries.map { case (qid, _) =>
+            (got(qid) & truth(qid)).size / 10.0 }.sum / queries.size
+        }
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val v = body
+          (v, (System.nanoTime() - t0) / 1e9)
+        }
+        for ((arm, k) <- Seq("k16" -> 16, "k256" -> 256)) {
+          val seeds = sample.limit(k).collect()
+            .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+          val (cbs, trainSec) = timed(Pq.trainCodebooks(
+            sample, "vec", 64, Pq.seedCodebooks(seeds, 64, 8),
+            iters = 4))
+          val kEff = cbs.map(_.size)
+          val (codes, encodeSec) = timed {
+            val c = Pq.encode(e, "id", "vec", 64, cbs).localCheckpoint()
+            c.count()
+            c
+          }
+          def adc() = Pq.adcTopK(
+            codes, "id", "codes", queries, cbs, 64, 10).collect()
+          def rr() = Pq.adcTopKReranked(codes, e, "id", "vec", "codes",
+            queries, cbs, 64, 50, 10).collect()
+          adc(); rr() // warm
+          val (adcRows, adcSec) = timed(adc())
+          val (rrRows, rrSec) = timed(rr())
+          println(s"""{"flow":"pq256","dir":"$dir","arm":"$arm","n":$n,"sample_n":$sampleN,"k_eff_min":${kEff.min},"k_eff_max":${kEff.max},"train_sec":${f(trainSec)},"encode_sec":${f(encodeSec)},"recall_adc10":${f4(recallOf(adcRows))},"adc_sec":${f(adcSec)},"recall_rerank50":${f4(recallOf(rrRows))},"rerank_sec":${f(rrSec)}}""")
+        }
+        e.unpersist()
+      }
     } else if (only("dupskew")) {
       // Duplicate-heavy skew on the dedup tier: 1,000 exact copies of
       // one sf0.1 document form a 1,001-member LSH bucket in EVERY band

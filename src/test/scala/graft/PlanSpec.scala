@@ -934,6 +934,14 @@ class PlanSpec extends SparkTestBase {
       noSort).executedPlan.toString
     assert(!inner.contains("Exchange"),
       s"classifier shuffled the corpus:\n$inner")
+    // round 16: the margin is the compiled one-pass native, not the
+    // interpreted HOF fold (11.75s -> 1.28s at the x100 decade,
+    // SCALE.md) — a regression to the fold would keep correctness and
+    // silently give the wall back
+    assert(inner.contains("classifier_margin"),
+      s"classifier margin is not the compiled native:\n$inner")
+    assert(!inner.contains("aggregate("),
+      s"the HOF fold re-appeared in the hot path:\n$inner")
   }
 
   test("x75: the curation funnel composes stages without a cartesian " +

