@@ -103,4 +103,33 @@ object Classifier {
       .select(col(idCol), score.as("score"))
       .select(col(idCol), col("score"), (col("score") > 0).as("keep"))
   }
+
+  /** The curation funnel's STATELESS ingest prefix (x75 stages 1-2) as
+    * one projection: rule gates ∧ classifier gate with zero joins —
+    * the form a streaming ingest actually runs, since recombining the
+    * per-stage projections (FilterRules, ngramScore each project away
+    * the text) would otherwise need stream-stream self-joins. Shares
+    * FilterRules.keepColumn and the compiled margin with the batch
+    * operators, so the two cadences cannot drift (StreamingSpec pins
+    * row parity against the batch joined form). The funnel's tertile
+    * and budget stages are population-dependent cuts and stay batch
+    * by design — an ingest stream gates rows, a curation batch job
+    * selects among the gated survivors.
+    */
+  def composedGate(
+      docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], weights: Seq[Double], bias: Double,
+      fastHash: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    Seq("rule_pass", "clf_pass", "keep").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"Classifier.composedGate reserves column name '$c'; " +
+          "rename the input"))
+    val rule = FilterRules.keepColumn(col(textCol), stopwords)
+    val margin = graft.functions.SketchFunctions
+      .classifierMargin(col(textCol), weights, bias, fastHash)
+    docs.select(col(idCol), rule.as("rule_pass"),
+      (margin > 0).as("clf_pass"),
+      (rule && (margin > 0)).as("keep"))
+  }
 }

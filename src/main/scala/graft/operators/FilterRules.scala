@@ -41,14 +41,14 @@ object FilterRules {
     */
   val defaults: Bounds = Bounds(20, 80, 3.0, 4.5, 0.5, 0.05)
 
-  /** (idCol, n_tokens, r_len, r_wordlen, r_ttr, r_stop, keep). */
-  def apply(
-      docs: DataFrame, idCol: String, textCol: String,
-      stopwords: Seq[String], b: Bounds = defaults): DataFrame = {
-    Seq("n_tokens", "r_len", "r_wordlen", "r_ttr", "r_stop", "keep")
-      .foreach(c => require(idCol != c,
-        s"FilterRules reserves output column name '$c'; rename the input"))
-    val text = col(textCol)
+  /** The four rule columns + conjunction over a bare text column —
+    * the ONE definition both apply (per-rule reporting) and the
+    * streaming composed gate (Classifier.composedGate) build from, so
+    * the two cadences can never drift.
+    */
+  private def rules(text: org.apache.spark.sql.Column,
+      stopwords: Seq[String], b: Bounds)
+      : (org.apache.spark.sql.Column, Seq[org.apache.spark.sql.Column]) = {
     val n = TextAnalysis.tokenCount(text)
     val rLen = n >= b.minTokens && n <= b.maxTokens
     val avg = TextAnalysis.avgTokenLen(text)
@@ -56,6 +56,26 @@ object FilterRules {
     val rTtr = TextAnalysis.distinctTokenCount(text).cast("double") / n >=
       b.minTypeTokenRatio
     val rStop = TextAnalysis.wordRatio(text, stopwords) >= b.minStopRatio
+    (n, Seq(rLen, rWordLen, rTtr, rStop))
+  }
+
+  /** The composite keep verdict as a bare column (null text -> null,
+    * same as apply's keep).
+    */
+  def keepColumn(text: org.apache.spark.sql.Column,
+      stopwords: Seq[String], b: Bounds = defaults)
+      : org.apache.spark.sql.Column =
+    rules(text, stopwords, b)._2.reduce(_ && _)
+
+  /** (idCol, n_tokens, r_len, r_wordlen, r_ttr, r_stop, keep). */
+  def apply(
+      docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], b: Bounds = defaults): DataFrame = {
+    Seq("n_tokens", "r_len", "r_wordlen", "r_ttr", "r_stop", "keep")
+      .foreach(c => require(idCol != c,
+        s"FilterRules reserves output column name '$c'; rename the input"))
+    val (n, Seq(rLen, rWordLen, rTtr, rStop)) =
+      rules(col(textCol), stopwords, b)
     docs.select(
       col(idCol), n.as("n_tokens"),
       rLen.as("r_len"), rWordLen.as("r_wordlen"),

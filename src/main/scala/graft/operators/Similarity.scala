@@ -625,12 +625,11 @@ object Similarity {
     * (x08's determinism discipline).
     *
     * Anchors are small-by-contract and broadcast — the same deliberate
-    * broadcast square as bruteForceTopK, and the honest graded form. At
-    * corpus scale (every vector an anchor) this composes with the cell
-    * blocking selfKnnLabelAgreementByCell already grades: block both
-    * sides by IVF cell, mine within probed cells, re-rank — WHICH rows
-    * are compared changes, the scoring never does (the ivfPqTopK
-    * equivalence-law pattern).
+    * broadcast square as bruteForceTopK, and the honest graded form.
+    * At corpus scale (every vector an anchor) use
+    * contrastivePairsByCell below — the IVF-cell-blocked composition,
+    * equivalence-law-pinned against this form and decade-measured in
+    * the `contrastive` scale flow.
     */
   def contrastivePairs(
       anchors: DataFrame, corpus: DataFrame, idCol: String,
@@ -642,6 +641,61 @@ object Similarity {
     val a = anchors.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       col(labelCol).as("qlabel"))
     corpus.crossJoin(broadcast(a))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qlabel"),
+        when(col(labelCol) === col("qlabel"), lit("positive"))
+          .otherwise(lit("negative")).as("kind"),
+        col(idCol), col(labelCol),
+        round(cosine(col(vecCol), col("qvec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("qid"), col("kind"))
+        .orderBy(col("sim").desc, col(idCol))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Contrastive mining at CORPUS scale: every vector is an anchor,
+    * and candidate generation is IVF-cell blocked instead of the
+    * broadcast square — each anchor is compared only against vectors
+    * whose assigned cell is among the anchor's `nprobe` nearest
+    * centroids (the selfKnnLabelAgreementByCell composition the
+    * graded x72 scaladoc promised). WHICH rows are compared changes,
+    * the scoring never does: with nprobe = nlist every corpus cell is
+    * probed and the output equals contrastivePairs over the full
+    * anchor set row-for-row (spec-pinned equivalence law, the
+    * ivfPqTopK pattern). Below that, positives/negatives split across
+    * unprobed cells are missed — the same recall/cost dial as ivfTopK,
+    * measured against the exact form in the `contrastive` scale flow.
+    *
+    * Shape: one map-side cell assignment + probe explode (rows ×
+    * nprobe), one equi-join on cell, one (qid, kind)-partitioned
+    * rank window over the ~probe-fraction candidate set. No broadcast
+    * of the anchor side — anchors ARE the corpus here; the join is
+    * shuffle-parallel on cell and the window on (qid, kind).
+    *
+    * Output contract difference from the exact form (the
+    * selfKnnLabelAgreementByCell caveat, verbatim): an anchor with no
+    * candidate of a kind in its probed cells emits no row of that
+    * kind; rate computations must use this frame's own rows, never
+    * the corpus size.
+    */
+  def contrastivePairsByCell(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, centroids: Seq[(Int, Array[Double])],
+      nprobe: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    Seq("qid", "qvec", "qlabel", "kind", "rank", "sim", "cell").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"contrastivePairsByCell reserves column name '$c'; " +
+          "rename the input"))
+    val assigned = ivfAssign(
+      corpus.select(col(idCol), col(vecCol), col(labelCol)),
+      vecCol, centroids)
+    val probes = corpus
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col(labelCol).as("qlabel"))
+      .withColumn("cell",
+        explode(ivfProbeCells(col("qvec"), centroids, nprobe)))
+    assigned.join(probes, Seq("cell"))
       .filter(col(idCol) =!= col("qid"))
       .select(col("qid"), col("qlabel"),
         when(col(labelCol) === col("qlabel"), lit("positive"))

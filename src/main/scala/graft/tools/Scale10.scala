@@ -819,6 +819,59 @@ object Scale10 {
         }
         e.unpersist()
       }
+    } else if (only("contrastive")) {
+      // x72's corpus-scale form measured (VERDICT r15 #5): every
+      // vector an anchor. The exact arm is the broadcast square (n²
+      // cosine) — measured where feasible (≤ 30k vectors, the same
+      // crossover protocol as the kNN 250s-vs-43.8s table); the
+      // blocked arm (contrastivePairsByCell, ln-ruled nprobe, cells
+      // ~128 vectors) runs at every decade. pair_recall grades the
+      // blocked (qid, kind, id) triples against the exact output
+      // where the exact arm ran; the nprobe=nlist ≡ exact law itself
+      // is spec-pinned in SimilaritySpec.
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- Seq(SRC, outDir, dir100)) {
+        val e = (if (dir == SRC)
+            spark.read.parquet(s"$dir/embeddings.parquet")
+          else spark.read.parquet(s"$dir/embeddings.parquet"))
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .localCheckpoint()
+        val n = e.count()
+        val nlist = math.max(4L, n / 128L).toInt
+        val cells = e
+          .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+          .limit(nlist).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val nprobe = Similarity.nprobeForNlist(nlist)
+        def blocked() = Similarity.contrastivePairsByCell(
+          e, "vec_id", "embedding", "label", cells, nprobe, 4)
+        blocked().count() // warm
+        val t0b = System.nanoTime()
+        val bRows = blocked().count()
+        val bSec = (System.nanoTime() - t0b) / 1e9
+        if (n <= 30000) {
+          def exact() = Similarity.contrastivePairs(
+            e, e, "vec_id", "embedding", "label", 4)
+          exact().count() // warm
+          val t0x = System.nanoTime()
+          val xRows = exact().count()
+          val xSec = (System.nanoTime() - t0x) / 1e9
+          val ex = exact().select("qid", "kind", "vec_id")
+          val recall = blocked().select("qid", "kind", "vec_id")
+            .intersect(ex).count().toDouble / xRows
+          println(s"""{"flow":"contrastive","dir":"$dir","n":$n,"nlist":$nlist,"nprobe":$nprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":${f(xSec)},"exact_rows":$xRows,"pair_recall":${f4(recall)}}""")
+        } else {
+          println(s"""{"flow":"contrastive","dir":"$dir","n":$n,"nlist":$nlist,"nprobe":$nprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":null,"note":"exact broadcast square refused above 30k vectors (n^2 cosine)"}""")
+        }
+        e.unpersist()
+      }
     } else if (only("pq256")) {
       // Production PQ dials measured (VERDICT r15 #3): k=256 codewords
       // per subspace, m=8 — the 256-byte-float -> 8-byte regime of

@@ -606,6 +606,41 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("contrastivePairsByCell with nprobe = nlist equals the " +
+    "broadcast-square form over the full anchor set row-for-row " +
+    "(cell blocking changes WHICH rows are compared, never the " +
+    "scores); ln-ruled nprobe keeps a pair-recall floor") {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val nlist = 8
+    val cells = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "kind", "rank").collect().map(_.toString).toSeq
+    val exact = rows(Similarity.contrastivePairs(
+      base, base, "vec_id", "embedding", "label", 3))
+    val blockedAll = rows(Similarity.contrastivePairsByCell(
+      base, "vec_id", "embedding", "label", cells, nprobe = nlist, 3))
+    assert(blockedAll == exact,
+      "probing every cell must reproduce the broadcast square")
+    // the ln-scaled dial: recall of the exact (qid, kind, id) triples
+    val nprobe = Similarity.nprobeForNlist(nlist)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "kind", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = triples(Similarity.contrastivePairsByCell(
+      base, "vec_id", "embedding", "label", cells, nprobe, 3))
+    val want = triples(Similarity.contrastivePairs(
+      base, base, "vec_id", "embedding", "label", 3))
+    val recall = (got & want).size.toDouble / want.size
+    info(s"cell-blocked contrastive pair recall at nprobe=$nprobe/$nlist: " +
+      s"$recall")
+    assert(recall >= 0.4, s"cell-blocked pair recall collapsed: $recall")
+  }
+
   test("nprobeForNlist grows with ln(nlist), floors at base, clamps " +
     "at nlist") {
     assert(Similarity.nprobeForNlist(1) == 1)   // clamp: can't probe > nlist

@@ -107,6 +107,25 @@ class StreamingSpec extends SparkTestBase {
       batchDocs, "doc_id", "text", 5, 3)
     assert(gotCh.exceptAll(wantCh).isEmpty &&
       wantCh.exceptAll(gotCh).isEmpty)
+    // the COMPOSED funnel prefix (rules ∧ classifier — x75 stages
+    // 1-2) as one joinless projection: the form an ingest pipeline
+    // actually runs, pinned row-for-row against the batch x75 shape
+    // (separate stage frames joined on doc_id). Tertile/budget are
+    // population-dependent cuts and stay batch by design.
+    val gotFunnel = StreamOps.runToMemory(spark,
+      graft.operators.Classifier.composedGate(
+        streamDocs, "doc_id", "text", stop, w, -0.1), "funnel_stream")
+    val wantFunnel = graft.operators.FilterRules(
+        batchDocs, "doc_id", "text", stop)
+      .select(col("doc_id"), col("keep").as("rule_pass"))
+      .join(graft.operators.Classifier.ngramScore(
+          batchDocs, "doc_id", "text", w, -0.1)
+        .select(col("doc_id"), col("keep").as("clf_pass")), Seq("doc_id"))
+      .select(col("doc_id"), col("rule_pass"), col("clf_pass"),
+        (col("rule_pass") && col("clf_pass")).as("keep"))
+    assert(gotFunnel.count() == batchDocs.count())
+    assert(gotFunnel.exceptAll(wantFunnel).isEmpty &&
+      wantFunnel.exceptAll(gotFunnel).isEmpty)
   }
 
   test("sliding windows produce overlapping coverage") {
