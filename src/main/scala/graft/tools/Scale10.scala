@@ -724,6 +724,54 @@ object Scale10 {
           println(s"""{"flow":"skewscope","dir":"$dir","mix":"$name","sec":${f(sec)},"dropped":$dropped}""")
         }
       }
+    } else if (only("capskew")) {
+      // capPerGroupApprox exists FOR the 90%-one-domain case (VERDICT
+      // r15 #7): the exact form ranks inside a per-group window, so a
+      // hot domain serializes through ONE task; the approx form is
+      // sketch partials + a broadcast cut + a filter, partition-
+      // parallel whatever the mix. Measured: exact-vs-approx wall on
+      // uniform and skew90 mixes at sf0.1 and the ×100 slice, plus
+      // the fidelity ledger — overshoot (approx keeps more than cap:
+      // grid cell + ties) and missed (exact-kept rows the approx
+      // path dropped: the up-to-sketch-error caveat the operator doc
+      // now states). Scoring is checkpointed OUTSIDE the timed body:
+      // the flow measures the CAP, not qualityScore.
+      val dir100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dir100/documents.parquet").isDirectory) {
+        genDocs(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/documents.parquet"}""")
+      }
+      for (dir <- Seq(SRC, dir100)) {
+        val base = spark.read.parquet(s"$dir/documents.parquet")
+        val skewed = base.withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("hotdomain"))
+            .otherwise(col("source")))
+        for ((mix, d) <- Seq("uniform" -> base, "skew90" -> skewed)) {
+          val scored = d.select(col("doc_id"), col("source"),
+            round(TextAnalysis.qualityScore(col("text"),
+              TextAnalysis.langMarkers("en")), 4).as("score"))
+            .localCheckpoint()
+          val n = scored.count()
+          val cap = math.max(50L, n / 25L).toInt
+          def ex() = QualitySelect.capPerGroup(
+            scored, "doc_id", "score", "source", cap)
+            .filter(col("keep"))
+          def ap() = QualitySelect.capPerGroupApprox(
+            scored, "doc_id", "score", "source", cap)
+            .filter(col("keep"))
+          ex().count(); ap().count() // warm
+          val t0e = System.nanoTime()
+          val exKept = ex().count()
+          val exSec = (System.nanoTime() - t0e) / 1e9
+          val t0a = System.nanoTime()
+          val apKept = ap().count()
+          val apSec = (System.nanoTime() - t0a) / 1e9
+          val missed = ex().select("doc_id")
+            .exceptAll(ap().select("doc_id")).count()
+          println(s"""{"flow":"capskew","dir":"$dir","mix":"$mix","n":$n,"cap":$cap,"exact_sec":${f(exSec)},"exact_kept":$exKept,"approx_sec":${f(apSec)},"approx_kept":$apKept,"overshoot":${apKept - exKept},"missed":$missed}""")
+          scored.unpersist()
+        }
+      }
     } else if (only("minlabel")) {
       // x45/x57/x32 amortization probe: three of the four slowest
       // graded queries each pay ~6 checkpointed label-propagation
