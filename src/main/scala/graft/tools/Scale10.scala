@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
-  Decontaminate, Dedup, FilterRules, IntervalJoin, LmQuality, Pq,
-  QualitySelect, Ranking, SemanticDedup, Sessionize, Similarity, Split,
-  TextAnalysis, TfIdf}
+  Decontaminate, Dedup, FilterRules, GraphAnn, IntervalJoin, LmQuality,
+  Pq, QualitySelect, Ranking, SemanticDedup, Sessionize, Similarity,
+  Split, TextAnalysis, TfIdf}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -864,6 +864,132 @@ object Scale10 {
           val agree = run()
           val sec = (System.nanoTime() - t0) / 1e9
           println(s"""{"flow":"knnfidelity","dir":"$dir","cents":"$kind","n":$n,"nlist":$nlist,"nprobe":$nprobe,"scaled_rule":${nprobe == scaled},"agree":$agree,"agree_exact":$exact,"pct_of_exact":${f(100.0 * agree / exact)},"sec":${f(sec)},"exact_sec":${f(exactSec)},"train_sec":${f(trainSec)}}""")
+        }
+        e.unpersist()
+      }
+    } else if (only("graphann")) {
+      // The family the round-15 knnfidelity refusal NAMED (graph ANN)
+      // built and measured at scale: NN-descent k-NN graph + beam
+      // search (GraphAnn). Protocol: 8 held-out query vectors
+      // (ids < 8, EXCLUDED from the corpus and the graph, so no
+      // self-matches and all arms compare equal), distributed exact
+      // top-10 ground truth, and the IVF probe path at the ln-ruled
+      // nprobe on the SAME queries/corpus — the apples-to-apples
+      // fidelity/cost point the refusal lacked. Build cost is
+      // reported cumulatively at 4/8/12 NN-descent rounds (on
+      // quasi-orthogonal structure convergence is a slow linear
+      // diffusion, ~0.055 edge recall/round at sf0.001 — the curve
+      // itself is a finding).
+      import org.apache.spark.sql.expressions.Window
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- Seq(outDir, dir100)) {
+        val all = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = all.filter(col("id") < 8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        val e = all.filter(col("id") >= 8).localCheckpoint()
+        val n = e.count()
+        // exact ground truth + its wall, distributed (n x 8 cosines)
+        import spark.implicits._
+        val qdf = broadcast(queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec"))
+        def exactRun() = e.crossJoin(qdf)
+          .select(col("qid"), col("id"),
+            round(Similarity.cosine(col("vec"), col("qvec")), 6).as("sim"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("id"))))
+          .filter(col("rn") <= 10)
+        exactRun().count() // warm
+        val t0x = System.nanoTime()
+        val truthRows = exactRun().collect()
+        val exactSec = (System.nanoTime() - t0x) / 1e9
+        val truth = truthRows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row],
+            idIdx: Int): Double = {
+          val got = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(idIdx)).toSet }
+          queries.map { case (qid, _) =>
+            (got.getOrElse(qid, Set.empty[Long]) & truth(qid)).size / 10.0 }
+            .sum / queries.size
+        }
+        // IVF probe arm (knnfidelity sizing: cells ~512 vectors)
+        val nlist = math.max(32L, n / 512L).toInt
+        val cents = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(nlist).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val nprobe = Similarity.nprobeForNlist(nlist)
+        val qsDf = all.filter(col("id") < 8)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        def ivfRun() = Similarity.ivfTopK(qsDf, e, cents, nprobe, 10)
+        ivfRun().count() // warm
+        val t0i = System.nanoTime()
+        val ivfRows = ivfRun().collect()
+        val ivfSec = (System.nanoTime() - t0i) / 1e9
+        val ivfRecall = recallOf(ivfRows, 1)
+        println(s"""{"flow":"graphann","dir":"$dir","arm":"ivf_ln","n":$n,"nlist":$nlist,"nprobe":$nprobe,"recall":${f4(ivfRecall)},"sec":${f(ivfSec)},"exact_sec":${f(exactSec)}}""")
+        // probe seeds for the hybrid arm: members of each query's
+        // nprobe nearest cells — the DiskANN-style entry points that
+        // give the walk a start inside the right neighborhood
+        def l2d(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var i = 0
+          while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+          d
+        }
+        val probeDf = broadcast(queries.flatMap { case (qid, q) =>
+          cents.map { case (cid, cv) => (l2d(q, cv), cid) }
+            .sorted.take(nprobe).map { case (_, cid) => (qid, cid) } }
+          .toDF("query_id", "cell"))
+        val assigned = Similarity.ivfAssign(e, "vec", cents)
+          .select(col("id"), col("cell")).localCheckpoint()
+        val probeSeeds = assigned.join(probeDf, Seq("cell"))
+          .select(col("query_id"), col("id")).localCheckpoint()
+        // graph arms: ring init (the pure form) and IVF-bootstrapped
+        // cell init, each refined and searched with hash seeds; the
+        // cell-init graph additionally searched from the probe seeds
+        // (the hybrid). Build cost cumulative per round.
+        for ((initName, init) <- Seq(
+            "ring" -> GraphAnn.ringInit(e, "id", 8),
+            "cellinit" -> GraphAnn.cellRingInit(e, "id", "vec", cents, 8))) {
+          var g = init
+          var buildSec = 0.0
+          val rounds = if (initName == "ring") 12 else 4
+          for (iter <- 1 to rounds) {
+            val t0 = System.nanoTime()
+            val s = GraphAnn.nnDescentStep(g, e, "id", "vec", 8)
+              .localCheckpoint()
+            s.count()
+            buildSec += (System.nanoTime() - t0) / 1e9
+            g = s.select("id", "nbr")
+            if (iter % 4 == 0) {
+              val graph = s
+              val arms = if (initName == "ring")
+                Seq("hash" -> Option.empty[org.apache.spark.sql.DataFrame])
+              else Seq(
+                "hash" -> Option.empty[org.apache.spark.sql.DataFrame],
+                "probe" -> Some(probeSeeds))
+              for ((seedName, sd) <- arms) {
+                def gRun() = GraphAnn.graphTopK(graph, e, "id", "vec",
+                  queries, k = 10, beam = 32, hops = 5, seeds = sd)
+                gRun().count() // warm
+                val t0g = System.nanoTime()
+                val gRows = gRun().collect()
+                val gSec = (System.nanoTime() - t0g) / 1e9
+                val gRecall = recallOf(gRows, 2)
+                println(s"""{"flow":"graphann","dir":"$dir","arm":"${initName}_${seedName}_b32h5","n":$n,"iters":$iter,"build_sec":${f(buildSec)},"recall":${f4(gRecall)},"search_sec":${f(gSec)}}""")
+              }
+            }
+          }
         }
         e.unpersist()
       }
