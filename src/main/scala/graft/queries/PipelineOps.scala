@@ -2970,10 +2970,117 @@ object PipelineOps {
             FROM rr
             QUALIFY rank <= 10 ORDER BY query_id, rank"""))
 
+  /** The composed streaming ingest gate (Classifier.composedGate):
+    * rule gates ∧ classifier margin as ONE joinless projection — the
+    * form the stream-parity test runs, now also oracle-graded (the
+    * rules replay x53's CTE, the margin x74's; their conjunction is
+    * the frame an ingest pipeline actually persists). Null text
+    * surfaces as null flags in both engines.
+    */
+  private val x78 = Q(
+    "x78_composed_gate",
+    (s, d) => {
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      Classifier.composedGate(
+        t(s, d, "documents"), "doc_id", "text", stop, w, -0.1)
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+                  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+                  CAST(list_sum(list_transform(string_split(text,' '),
+                       x -> length(x))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS avglen,
+                  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS ttr,
+                  CAST(len(list_filter(string_split(text,' '),
+                       x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / len(string_split(text,' ')) AS stopr
+                FROM documents),
+                 r AS (SELECT doc_id,
+                       (n_tokens BETWEEN 20 AND 80) AND
+                       (avglen BETWEEN 3.0 AND 4.5) AND
+                       ttr >= 0.5 AND stopr >= 0.05 AS rule_pass
+                     FROM f),
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                 ft AS (SELECT doc_id,
+                          list_concat(t,
+                            list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS feats
+                        FROM toks),
+                 sc AS (SELECT doc_id,
+                          -0.1 + list_sum(list_transform(feats,
+                            g -> (CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT
+                                     % 256 AS BIGINT)
+                                  * 2654435761 % 1000) / 1000.0 - 0.5))
+                            AS s
+                        FROM ft)
+            SELECT r.doc_id, rule_pass, s > 0 AS clf_pass,
+                   rule_pass AND s > 0 AS keep
+            FROM r JOIN sc USING (doc_id) ORDER BY doc_id"""))
+
+  /** Cell-blocked contrastive mining at corpus scale
+    * (Similarity.contrastivePairsByCell): every vector an anchor,
+    * candidates = vectors assigned to the anchor's 4 nearest seeded
+    * cells, top-3 positives + top-3 hard negatives per anchor. The
+    * oracle replays assignment (x33's argmin CTE), per-anchor probe
+    * selection, the label split, and the (sim desc, id) rank — the
+    * corpus-scale miner whose broadcast-square twin x72 grades. Both
+    * engines' outputs are restricted to anchors qid < 50 (ranks are
+    * within-anchor, so the restriction commutes with ranking); like
+    * x33, determinism rests on the measured probe-boundary and cosine
+    * margins of this fixed corpus.
+    */
+  private val x79 = Q(
+    "x79_contrastive_bycell",
+    (s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Similarity.contrastivePairsByCell(base, "vec_id", "embedding",
+          "label", ivfCentroids(s, d), nprobe = 4, k = 3)
+        .filter(col("qid") < 50)
+        .orderBy("qid", "kind", "rank")
+    },
+    Some("""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 dd AS (SELECT e.vec_id, e.embedding, e.label, s.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cvec[i] AS DOUBLE)))) AS d2
+                   FROM embeddings e CROSS JOIN seeds s),
+                 ca AS (SELECT vec_id, embedding, label, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM dd) WHERE rn = 1),
+                 qp AS (SELECT vec_id AS qid, embedding AS qvec,
+                          label AS qlabel, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM dd) WHERE rn <= 4),
+                 scored AS (SELECT q.qid, q.qlabel,
+                     CASE WHEN c.label = q.qlabel THEN 'positive'
+                          ELSE 'negative' END AS kind,
+                     c.vec_id, c.label,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+                   FROM ca c JOIN qp q ON c.cid = q.cid
+                   WHERE c.vec_id <> q.qid)
+            SELECT qid, qlabel, kind, vec_id, label, sim,
+                   CAST(row_number() OVER (PARTITION BY qid, kind
+                     ORDER BY sim DESC, vec_id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 3 AND qid < 50
+            ORDER BY qid, kind, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
-    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77)
+    x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
+    x78, x79)
 }

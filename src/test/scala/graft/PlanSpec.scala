@@ -990,6 +990,40 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, s"shuffle under the cell probe join:\n$j"))
   }
 
+  test("x78: the composed ingest gate is ONE joinless projection — " +
+    "no join, no window, no exchange before the presentation sort, " +
+    "and the margin is the compiled native") {
+    val df = q("x78_composed_gate")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "the composed gate grew a join — it must stay one projection")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"the composed gate shuffled the corpus:\n$inner")
+    assert(inner.contains("classifier_margin"),
+      s"gate margin is not the compiled native:\n$inner")
+  }
+
+  test("x79: cell-blocked contrastive mining joins candidates EQUI ON " +
+    "CELL (no cartesian) and ranks in (anchor, kind)-partitioned " +
+    "windows only") {
+    val df = q("x79_contrastive_bycell")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val ws = windowsOf(df)
+    assert(ws.nonEmpty)
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in the miner:\n$w"))
+  }
+
   test("x76: the applied mixture is a stateless map filter — the rate " +
     "table collapsed to literals driver-side, no join, no window, no " +
     "exchange before the presentation sort") {
