@@ -82,14 +82,14 @@ object Classifier {
     }
     val wlit = typedlit(weights)
     // fastHash = the production bucket family (xxhash64 — one compiled
-    // 64-bit hash vs md5's full digest + hex + parse per FEATURE).
-    // Measured worth 22% at the ×100 slice (11.75s -> 9.15s, SCALE.md
-    // round-15): the fold + feature construction, not the hash,
-    // dominates this expression — the swap is still free, just not the
-    // lever intuition says. Weights trained under one family only
-    // score under that family — the bucket map is part of the model
-    // artifact, which is why the default stays the SQL-replayable md5
-    // form the oracle grades.
+    // 64-bit hash vs md5's full digest + hex + parse per FEATURE). In
+    // the round-15 HOF era the swap bought only 22% (the fold owned
+    // the cost); with the round-16 compiled native the cost structure
+    // INVERTS and the hash becomes the lever (md5 1.28s vs xxhash64
+    // 0.49s at the ×100 slice, SCALE.md round-16). Weights trained
+    // under one family only score under that family — the bucket map
+    // is part of the model artifact, which is why the default stays
+    // the SQL-replayable md5 form the oracle grades.
     def bucket(g: Column): Column =
       if (fastHash) pmod(xxhash64(g), lit(d.toLong))
       else pmod(conv(substring(md5(g), 1, 8), 16, 10).cast(LongType),

@@ -52,7 +52,14 @@ import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
   * `streamscale` (streaming sessionize state under x10 volume; extra
   * args: `rocksdb` = RocksDB state store, `shuffled` = bounded
   * out-of-order delivery), `streamdedup` (streaming LSH dedup state;
-  * extra arg `rocksdb`).
+  * extra arg `rocksdb`), `ivfrecall`/`knnfidelity` (IVF recall/cost
+  * dials vs exact truth), `semrecall` (semantic-dedup blocking
+  * recall), `minlabel` (pointer-jumping round amortization A/B),
+  * `skewscope` (domain-scoped chunk dedup under a 90%-one-domain
+  * mix), `capskew` (exact-vs-approx per-group cap under the same
+  * skew), `pq256` (production k=256 PQ dial vs the seed regime),
+  * `contrastive` (cell-blocked miner vs the broadcast square),
+  * `graphann` (NN-descent + beam search vs IVF vs exact).
   * Extra args after a flow name restrict it to the named pipelines.
   */
 object Scale10 {
