@@ -132,7 +132,8 @@ object Bench {
         }
     }
     // Fixed-work canary: a 32-slice hash-sum whose cost depends only on
-    // the machine's EFFECTIVE parallel throughput (~0.5s nominal). Rounds
+    // the machine's EFFECTIVE parallel throughput (clean local[32]
+    // series land 0.26-0.31s — BenchNominals.canaryNominal). Rounds
     // 2/3 showed identical builds measuring 35s or 59s depending on host
     // congestion (a 32-way burn ran at half speed in the slow windows);
     // rounds 3/4 then showed the failure mode of a SINGLE start-of-run

@@ -114,6 +114,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(2).eval().asInstanceOf[Int])
       }))
     // ---- instance-data natives: literal family folded at injection ----
+    e.injectFunction((FunctionIdentifier("classifier_margin"),
+      info("classifier_margin",
+        "classifier_margin(text, weights, bias[, fast]) - hashed " +
+          "unigram+bigram linear margin; weights a literal " +
+          "array<double>, bias a literal double, fast = xxhash64 " +
+          "bucket family (default false = md5)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "classifier_margin(text, weights, bias[, fast])")
+        val w = foldedLiteral(args(1), ArrayType(DoubleType),
+          "classifier_margin weights").toDoubleArray()
+        require(args(2).foldable,
+          "classifier_margin bias must be a literal")
+        val bias = Cast(args(2), DoubleType).eval()
+        require(bias != null, "classifier_margin bias must not be null")
+        val fast = if (args.length == 4) {
+          require(args(3).foldable,
+            "classifier_margin fast must be a literal boolean")
+          args(3).eval().asInstanceOf[Boolean]
+        } else false
+        graft.functions.ClassifierMargin(args(0), w.toIndexedSeq,
+          bias.asInstanceOf[Double], fast)
+      }))
     e.injectFunction((FunctionIdentifier("hyperplane_bucket"),
       info("hyperplane_bucket",
         "hyperplane_bucket(vec, planes) - sign-pattern LSH bucket id; " +

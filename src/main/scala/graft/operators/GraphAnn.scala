@@ -48,15 +48,50 @@ object GraphAnn {
 
   /** Deterministic starter graph: nodes in id order form a ring, and
     * node at position r points at positions (r + j·stride) mod n for
-    * j = 1..k — id-order arithmetic both engines replay exactly. A
-    * stride coprime to small n spreads initial edges across the ring
+    * j = 1..min(k, n-1) — id-order arithmetic both engines replay
+    * exactly. A stride > 1 spreads initial edges across the ring
     * (pure successors would start every neighborhood maximally
-    * clustered). Output: (id, nbr), k rows per node.
+    * clustered); it must be PRIME, and rings it divides fall back to
+    * stride 1, so targets are always distinct and non-self. Output:
+    * (id, nbr), min(k, n-1) rows per node.
     */
+  /** Primality check for the ring stride — distinctness of the ring
+    * targets r + j·s mod n for j = 1..min(k, n-1) needs gcd(s, n) = 1,
+    * and for PRIME s that reduces to the one SQL-cheap test
+    * `n % s != 0` (per-ring fallback to stride 1, which is coprime to
+    * everything). A composite stride would need a full gcd per ring.
+    */
+  private def requirePrimeStride(stride: Int): Unit =
+    require(stride >= 2 &&
+      (2 to math.sqrt(stride.toDouble).toInt).forall(stride % _ != 0),
+      s"stride must be a prime >= 2, got $stride (coprimality with " +
+        "every ring size is checked as a cheap modulus only for primes)")
+
+  /** The shared ring-target construction over a ranked frame carrying
+    * (__r = 0-based rank within its ring, __n = ring size): neighbors
+    * j = 1..min(k, n-1) at rank r + j·s mod n, with s falling back to
+    * 1 for rings whose size the prime stride divides (n = s, 2s, …
+    * would otherwise collapse targets onto self/duplicates — a
+    * 7-member cell under stride 7 emitted ZERO edges, caught by the
+    * round-16 self-review). Coprime stride + j ≤ n-1 make every
+    * target distinct and non-self by construction.
+    */
+  private def ringTargets(ranked: DataFrame, k: Int, stride: Int)
+      : DataFrame = {
+    val eff = when(pmod(col("__n"), lit(stride)) === 0, lit(1L))
+      .otherwise(lit(stride.toLong))
+    ranked
+      .withColumn("__j", explode(when(col("__n") > 1,
+          sequence(lit(1L), least(lit(k.toLong), col("__n") - 1L)))
+        .otherwise(array().cast("array<bigint>"))))
+      .withColumn("__r2", pmod(col("__r") + col("__j") * eff, col("__n")))
+  }
+
   def ringInit(corpus: DataFrame, idCol: String, k: Int,
       stride: Int = 7): DataFrame = {
-    require(k >= 1 && stride >= 1, s"need k >= 1, stride >= 1 ($k, $stride)")
-    reserve(corpus, "ringInit", "__r", "__n", "__j", "nbr")
+    require(k >= 1, s"need k >= 1, got $k")
+    requirePrimeStride(stride)
+    reserve(corpus, "ringInit", "__r", "__n", "__j", "__r2", "nbr")
     val ranked = corpus.select(col(idCol))
       .withColumn("__r", row_number().over(Window.orderBy(col(idCol))) - 1)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
@@ -64,14 +99,11 @@ object GraphAnn {
     // the unpartitioned windows run on the ID COLUMN ONLY (never the
     // vectors) and exist to densify ids — a production corpus with a
     // dense id column skips straight to pure arithmetic
-    val targets = ranked
-      .withColumn("__j", explode(sequence(lit(1), lit(k))))
-      .select(col(idCol),
-        pmod(col("__r") + col("__j") * stride, col("__n")).as("__r2"))
-    targets.join(
+    ringTargets(ranked, k, stride)
+      .select(col(idCol), col("__r2"))
+      .join(
         ranked.select(col("__r").as("__r2"), col(idCol).as("nbr")),
         Seq("__r2"))
-      .filter(col(idCol) =!= col("nbr"))
       .select(col(idCol), col("nbr"))
   }
 
@@ -84,13 +116,18 @@ object GraphAnn {
     * random graph (measured: on the quasi-orthogonal ×100 slice a
     * ring-init graph stays near-random after 12 rounds while this
     * init starts at IVF quality). Nodes alone in their cell emit no
-    * edges (they re-enter through reverse edges of later rounds).
+    * edges (they re-enter through reverse edges of later rounds);
+    * every other node gets min(k, cellSize-1) distinct edges
+    * (sequence(1, 0)'s DESCENDING-array trap and the stride-divides-
+    * cell-size collapse are both guarded in ringTargets).
     */
   def cellRingInit(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Double])], k: Int,
       stride: Int = 7): DataFrame = {
-    require(k >= 1 && stride >= 1, s"need k >= 1, stride >= 1 ($k, $stride)")
-    reserve(corpus, "cellRingInit", "__r", "__n", "__j", "nbr", "cell")
+    require(k >= 1, s"need k >= 1, got $k")
+    requirePrimeStride(stride)
+    reserve(corpus, "cellRingInit",
+      "__r", "__n", "__j", "__r2", "nbr", "cell")
     val assigned = Similarity.ivfAssign(
       corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
       .select(col(idCol), col("cell"))
@@ -98,22 +135,13 @@ object GraphAnn {
       .withColumn("__r", row_number().over(Window
         .partitionBy(col("cell")).orderBy(col(idCol))) - 1)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
-    // sequence(1, 0) is a DESCENDING two-element array in Spark, not
-    // empty (the ChunkDedup ANSI lesson) — singleton cells must yield
-    // an explicit empty array, not a phantom ring
-    val targets = ranked
-      .withColumn("__j", explode(when(col("__n") > 1,
-          sequence(lit(1L), least(lit(k.toLong), col("__n") - 1L)))
-        .otherwise(array().cast("array<bigint>"))))
-      .select(col(idCol), col("cell"),
-        pmod(col("__r") + col("__j") * stride, col("__n")).as("__r2"))
-    targets.join(
+    ringTargets(ranked, k, stride)
+      .select(col(idCol), col("cell"), col("__r2"))
+      .join(
         ranked.select(col("cell"), col("__r").as("__r2"),
           col(idCol).as("nbr")),
         Seq("cell", "__r2"))
-      .filter(col(idCol) =!= col("nbr"))
       .select(col(idCol), col("nbr"))
-      .distinct()
   }
 
   /** One NN-descent refinement round: candidates = current edges ∪
@@ -212,12 +240,23 @@ object GraphAnn {
     // that gives the walk a starting point INSIDE the right
     // neighborhood when global similarity carries no gradient toward
     // it — or the default deterministic 1-in-sampleMod hash sample
-    // crossed with every query
+    // crossed with every query. The sample is unioned with the first
+    // `beam` ids so a small corpus where the 1-in-sampleMod filter
+    // matches nothing (P ≈ (1 - 1/64)^n — ~21% at n=100) still seeds
+    // every query instead of silently returning zero rows; distinct()
+    // because a duplicated seed would ride the accumulator as a
+    // duplicate visited row and crowd the final top-k window (the
+    // same defect class the hop loop's distinct-before-exceptAll
+    // guards against)
     val seedCand = seeds.map(_.select(col("query_id"), col(idCol)))
       .getOrElse(vecs
         .filter(pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
           16, 10).cast("long"), lit(sampleMod)) === 0)
-        .select(col(idCol)).crossJoin(qdf.select(col("query_id"))))
+        .select(col(idCol))
+        .unionByName(vecs.select(col(idCol)).orderBy(col(idCol))
+          .limit(beam))
+        .distinct()
+        .crossJoin(qdf.select(col("query_id"))))
     // visited accumulates every scored (query, node) pair — the beam
     // prunes the FRONTIER, never the answer set; checkpoint per hop
     // cuts the union lineage (minLabel pattern)

@@ -316,8 +316,10 @@ object Scale10 {
       "sliding_chunks" -> (() =>
         TextAnalysis.slidingChunks(docs, "doc_id", "text", 64, 48)
           .filter(length(col("chunk")) >= 0).count()),
-      // x74: per-row fold over literal weights — shuffle-free linear;
-      // the filter forces the margin so count() can't elide the fold
+      // x74: the compiled one-pass classifier_margin native (round 16;
+      // the pre-r16 rows in SCALE.md timed the interpreted HOF fold) —
+      // shuffle-free linear; the filter forces the margin so count()
+      // can't elide it
       "classifier_gate" -> (() =>
         Classifier.ngramScore(docs, "doc_id", "text",
           (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5),
@@ -1018,9 +1020,7 @@ object Scale10 {
       def f4(v: Double) = BigDecimal(v)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
       for (dir <- Seq(SRC, outDir, dir100)) {
-        val e = (if (dir == SRC)
-            spark.read.parquet(s"$dir/embeddings.parquet")
-          else spark.read.parquet(s"$dir/embeddings.parquet"))
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"), col("label"))
           .localCheckpoint()
         val n = e.count()

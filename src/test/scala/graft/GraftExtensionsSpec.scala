@@ -80,6 +80,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got(0).nonEmpty && got(2).isEmpty)
   }
 
+  test("classifier_margin resolves in SQL with a literal weight array " +
+    "and agrees with the Column API, both hash families; non-literal " +
+    "weights refuse loudly") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "classifier_margin"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq("the quick brown fox", "solo", "a  b ", "")
+      .toDF("text").createOrReplaceTempView("ext_clf_t")
+    val wSql = (0 until 8).map(j => (j / 8.0 - 0.3).toString)
+      .mkString("array(", ", ", ")")
+    val w = (0 until 8).map(j => j / 8.0 - 0.3)
+    for (fast <- Seq(false, true)) {
+      val got = spark.sql(
+        s"SELECT classifier_margin(text, $wSql, -0.1, $fast) AS m " +
+          "FROM ext_clf_t").collect().map(_.getDouble(0))
+      val viaCol = spark.table("ext_clf_t").select(
+        functions.SketchFunctions
+          .classifierMargin($"text", w, -0.1, fast).as("m"))
+        .collect().map(_.getDouble(0))
+      got.zip(viaCol).foreach { case (a, b) =>
+        assert(a == b, s"fast=$fast: SQL $a != Column $b") }
+    }
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT classifier_margin(text, array(length(text) * 1.0), 0.0)" +
+          " FROM ext_clf_t").collect()
+    }
+    assert(e.getMessage.contains("foldable literal"), e.getMessage)
+  }
+
   test("char_split resolves in SQL and matches the per-index substr " +
     "formula it replaced (code points, not bytes)") {
     import spark.implicits._

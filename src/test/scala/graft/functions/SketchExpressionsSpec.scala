@@ -271,7 +271,13 @@ class SketchExpressionsSpec extends SparkTestBase {
       SimHash64(text), SimHashMd5_60(text), WordShingles(text, 3),
       RollingHash31(text), CharNgrams(text, 3), ShingleHashSet(text, 3),
       MinHashSignature(text, 3, 16), CharSplit(text),
-      WinnowFingerprints(text, 3, 4), WinnowFingerprints(text, 1, 1))
+      WinnowFingerprints(text, 3, 4), WinnowFingerprints(text, 1, 1),
+      ClassifierMargin(text,
+        (0 until 16).map(j => j / 16.0 - 0.4).toIndexedSeq,
+        bias = -0.1, fastHash = false),
+      ClassifierMargin(text,
+        (0 until 16).map(j => j / 16.0 - 0.4).toIndexedSeq,
+        bias = -0.1, fastHash = true))
     // this line IS the compile assertion: no interpreted fallback here
     val proj = GenerateUnsafeProjection.generate(strExprs)
     def norm(v: Any, dt: DataType): Any = (v, dt) match {

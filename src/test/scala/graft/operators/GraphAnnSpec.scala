@@ -71,6 +71,32 @@ class GraphAnnSpec extends SparkTestBase {
     assert(crossCell == 0, s"$crossCell edges cross cells")
   }
 
+  test("stride-divides-ring-size fallback: a ring of exactly `stride` " +
+    "members still gets min(k, n-1) distinct non-self edges (the " +
+    "pre-fix collapse emitted ZERO edges and left those nodes " +
+    "permanently unreachable)") {
+    import spark.implicits._
+    // 7 vectors, one cell (single centroid): ring size == stride
+    val seven = (0L until 7L).map(i =>
+      (i, Seq.fill(64)(i.toFloat / 10f + 0.1f))).toDF("id", "vec")
+    val oneCell = Seq((0, Array.fill(64)(0.0)))
+    val g = GraphAnn.cellRingInit(seven, "id", "vec", oneCell, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.length == 7 * 3, s"expected 21 edges, got ${g.length}")
+    assert(g.forall { case (a, b) => a != b })
+    assert(g.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 3))
+    // same law on the global ring (n = 7 = stride)
+    val r = GraphAnn.ringInit(seven, "id", 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.length == 7 * 3 && r.forall { case (a, b) => a != b })
+    // a composite stride is refused loudly (coprimality is only a
+    // cheap modulus for primes)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.ringInit(seven, "id", 3, stride = 6)
+    }
+    assert(e.getMessage.contains("prime"))
+  }
+
   test("NN-descent: every refinement round keeps a node's CURRENT " +
     "edges among its candidates (per-node quality is monotone) and " +
     "true-edge recall rises from the ring init to a floor") {
