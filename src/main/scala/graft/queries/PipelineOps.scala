@@ -3028,9 +3028,12 @@ object PipelineOps {
     * selection, the label split, and the (sim desc, id) rank — the
     * corpus-scale miner whose broadcast-square twin x72 grades. Both
     * engines' outputs are restricted to anchors qid < 50 (ranks are
-    * within-anchor, so the restriction commutes with ranking); like
-    * x33, determinism rests on the measured probe-boundary and cosine
-    * margins of this fixed corpus.
+    * within-anchor, so the restriction commutes with ranking).
+    * Determinism footing: the 4th-vs-5th nearest-cell margin is
+    * MEASURED over every vector at both graded SFs (SimilaritySpec
+    * x77/x79 footing, ≥ 7.8e-5 — seven orders above double-fold
+    * summation error), and the cosine fold is bit-identical
+    * cross-engine per x33's argument.
     */
   private val x79 = Q(
     "x79_contrastive_bycell",

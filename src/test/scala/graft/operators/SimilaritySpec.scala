@@ -606,6 +606,38 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("x77/x79 determinism footing: the 4th-vs-5th nearest-cell " +
+    "margin over EVERY vector (the nprobe=4 probe boundary both " +
+    "graded queries cut at) dwarfs double summation error") {
+    // x33 measured the boundary for ITS 3 queries at nprobe=2; x77
+    // probes 4 cells for 4 queries and x79 for every anchor, so the
+    // margin that keeps the two engines' probe sets identical is the
+    // min over the whole corpus at the 4/5 boundary
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      val cents = rows.filter(_._1 % 97 == 0).sortBy(_._1).take(16)
+        .map(_._2)
+      val minMargin = rows.map { case (_, v) =>
+        val ds = cents.map(c => l2(v, c)).sorted
+        ds(4) - ds(3)
+      }.min
+      info(s"$dir: min 4th-vs-5th cell margin over ${rows.length} " +
+        s"vectors: $minMargin")
+      // double-fold wobble on these magnitudes is ~1e-12; demand 6 orders
+      assert(minMargin > 1e-6,
+        s"$dir probe boundary margin $minMargin too thin for " +
+          "cross-engine determinism")
+    }
+  }
+
   test("contrastivePairsByCell with nprobe = nlist equals the " +
     "broadcast-square form over the full anchor set row-for-row " +
     "(cell blocking changes WHICH rows are compared, never the " +
