@@ -330,6 +330,21 @@ object Scale10 {
           (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5),
           bias = -0.1, fastHash = true)
           .filter(col("score").isNotNull && col("score") > -1e18).count()),
+      // x78: the joinless rules ∧ classifier ingest prefix — one
+      // projection, so the decade claim is the same shuffle-free
+      // linearity as its two parts. The forcing filter SUMS a bit per
+      // verdict column (a boolean disjunction would let the row-level
+      // Or short-circuit past the classifier margin on rows the cheap
+      // rule already decides)
+      "composed_gate" -> (() =>
+        Classifier.composedGate(docs, "doc_id", "text",
+          TextAnalysis.langMarkers("en"),
+          (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5),
+          bias = -0.1)
+          .filter(
+            when(col("rule_pass"), 1).otherwise(0) +
+            when(col("clf_pass"), 2).otherwise(0) +
+            when(col("keep"), 4).otherwise(0) >= 0).count()),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
       // ever appear). The filters force the md5 assignment to compute.
@@ -1982,7 +1997,7 @@ object Scale10 {
         "corpus_offsets", "novelty", "winnow_pairs",
         "winnow_coverage", "token_budget", "neardup_ingest",
         "sliding_chunks", "classifier_gate",
-        "classifier_gate_fast"), "docs100")
+        "classifier_gate_fast", "composed_gate"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
