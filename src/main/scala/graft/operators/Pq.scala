@@ -347,13 +347,25 @@ object Pq {
     import spark.implicits._
     // (query, probed cell, lut): nprobe nearest centroids per query,
     // ties toward the smaller cell id — same order ivfAssign breaks them
-    val probes = queries.flatMap { case (qid, q) =>
+    val probeRows = queries.flatMap { case (qid, q) =>
       val lut = lutFor(q, codebooks, dim)
       cells.map { case (cid, cv) => (l2(q, cv), cid) }
         .sorted.take(nprobe)
         .map { case (_, cid) => (qid, cid, lut) }
-    }.toDF("query_id", "cell", "lut")
-    val cand = index.join(broadcast(probes), Seq("cell"))
+    }
+    val probes = probeRows.toDF("query_id", "cell", "lut")
+    // The probed cell set is known DRIVER-SIDE (the probe selection
+    // above is plan-time arithmetic), so push it as a LITERAL IN
+    // filter on the index before the join: on an in-memory index this
+    // is free, and on a cell-PARTITIONED index table it is guaranteed
+    // static partition pruning — the scan physically reads only the
+    // probed fraction, no dynamic-pruning heuristics needed. This is
+    // the mechanism behind the 10^9-row claim, demonstrated against a
+    // partitioned on-disk index in PqSpec (PartitionFilters pin).
+    val probedCells = probeRows.map(_._2).distinct
+    val cand = index
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col(idCol),
         adcExpr("codes", m).as("__adc"))
       // same null-ADC guard as adcTopK (NULLS FIRST would rank corrupt

@@ -189,6 +189,41 @@ class PqSpec extends SparkTestBase {
       s"trained-k256 re-ranked recall below floor: $rRerank")
   }
 
+  test("IVF-PQ search against a cell-PARTITIONED on-disk index prunes " +
+    "the scan to the probed cells (static partition pruning from the " +
+    "driver-side probe list) and returns the in-memory index's rows " +
+    "exactly") {
+    val nlist = 8
+    val cells = emb.orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(nlist).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+    val cbs = Pq.trainCodebooks(emb, "vec", 64, seedCbs, 1)
+    val queries = emb.filter(col("id") < 4)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val mem = Pq.ivfPqIndex(emb, "id", "vec", 64, cells, cbs)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-index").toString
+    graft.sources.Sinks.writePartitioned(mem, dir, Seq("cell"))
+    val disk = spark.read.parquet(dir)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqTopKIndexed(idx, emb, "id", "vec", 64, cells, cbs,
+        queries, nprobe = 2, kCand = 20, k = 5)
+    val fromDisk = run(disk)
+    assert(fromDisk.orderBy("query_id", "rank").collect().map(_.toString)
+      .toSeq == run(mem).orderBy("query_id", "rank").collect()
+      .map(_.toString).toSeq,
+      "partitioned on-disk index changed the search result")
+    // the pin: the probed-cell IN filter reaches the scan as a
+    // PARTITION filter — the physical mechanism behind "the scan
+    // shrinks by the probe fraction at 10^9 rows"
+    val scan = fromDisk.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+      s"probe list did not prune the partitioned index scan:\n$scan")
+  }
+
   test("trained codebooks are reindexed contiguous (dead cells close " +
     "the gap) and a gapped codebook is refused, never misindexed") {
     // kmeansStep drops cells that lose every member; the positional
