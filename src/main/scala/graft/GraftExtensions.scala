@@ -130,9 +130,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bias = Cast(args(2), DoubleType).eval()
         require(bias != null, "classifier_margin bias must not be null")
         val fast = if (args.length == 4) {
-          require(args(3).foldable,
+          require(args(3).foldable &&
+            args(3).dataType == org.apache.spark.sql.types.BooleanType,
             "classifier_margin fast must be a literal boolean")
-          args(3).eval().asInstanceOf[Boolean]
+          val v = args(3).eval()
+          require(v != null, "classifier_margin fast must not be null")
+          v.asInstanceOf[Boolean]
         } else false
         graft.functions.ClassifierMargin(args(0), w.toIndexedSeq,
           bias.asInstanceOf[Double], fast)

@@ -87,18 +87,36 @@ object GraphAnn {
       .withColumn("__r2", pmod(col("__r") + col("__j") * eff, col("__n")))
   }
 
+  /** The (id, __r, __n) densification frame ringInit checkpoints —
+    * exposed pre-checkpoint so the spec can pin that its plan carries
+    * no unpartitioned window (the checkpoint hides the subtree from
+    * downstream plans).
+    */
+  private[graft] def ringRanked(corpus: DataFrame, idCol: String,
+      shards: Int): DataFrame = {
+    val ids = corpus.select(col(idCol))
+    Ranking.globalOrdinal(ids, Seq(col(idCol)), "__r", shards)
+      .crossJoin(broadcast(ids.agg(count(lit(1)).as("__n"))))
+  }
+
   def ringInit(corpus: DataFrame, idCol: String, k: Int,
       stride: Int = 7): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     requirePrimeStride(stride)
     reserve(corpus, "ringInit", "__r", "__n", "__j", "__r2", "nbr")
-    val ranked = corpus.select(col(idCol))
-      .withColumn("__r", row_number().over(Window.orderBy(col(idCol))) - 1)
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-    // rank -> id lookup joins back on the ring-arithmetic target rank;
-    // the unpartitioned windows run on the ID COLUMN ONLY (never the
-    // vectors) and exist to densify ids — a production corpus with a
-    // dense id column skips straight to pure arithmetic
+    val spark = corpus.sparkSession
+    val shards = spark.sessionState.conf.numShufflePartitions
+    // id densification via the sharded global ordinal (Ranking.scala's
+    // three-pass shape: range-repartition, rank within shard, offset by
+    // shard sizes) — NOT row_number over an unpartitioned window, which
+    // would serialize the whole corpus through one task. The ranked
+    // frame is lazily checkpointed because TWO consumers read it (the
+    // ring-target arithmetic and the rank->id lookup join): without the
+    // cut, column pruning can rewrite the branches differently, break
+    // canonical equality of the shared range exchange, and let each
+    // branch sample DIFFERENT range boundaries — silently inconsistent
+    // ranks (the Novelty/selectByTokenBudget failure class).
+    val ranked = ringRanked(corpus, idCol, shards).localCheckpoint(false)
     ringTargets(ranked, k, stride)
       .select(col(idCol), col("__r2"))
       .join(
@@ -115,9 +133,13 @@ object GraphAnn {
     * neighbor-of-neighbor premise is too weak to bootstrap from a
     * random graph (measured: on the quasi-orthogonal ×100 slice a
     * ring-init graph stays near-random after 12 rounds while this
-    * init starts at IVF quality). Nodes alone in their cell emit no
-    * edges (they re-enter through reverse edges of later rounds);
-    * every other node gets min(k, cellSize-1) distinct edges
+    * init starts at IVF quality). Nodes alone in their cell get ONE
+    * global-fallback edge to the smallest non-self corpus id — an
+    * edgeless node could never re-enter, because NN-descent candidates
+    * (current ∪ reversed ∪ neighbors-of-neighbors) derive only from
+    * existing edges, so a zero-degree node stays permanently absent
+    * from the graph and unreachable by beam expansion; every other
+    * node gets min(k, cellSize-1) distinct within-cell edges
     * (sequence(1, 0)'s DESCENDING-array trap and the stride-divides-
     * cell-size collapse are both guarded in ringTargets).
     */
@@ -135,13 +157,26 @@ object GraphAnn {
       .withColumn("__r", row_number().over(Window
         .partitionBy(col("cell")).orderBy(col(idCol))) - 1)
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("cell"))))
-    ringTargets(ranked, k, stride)
+    val inCell = ringTargets(ranked, k, stride)
       .select(col(idCol), col("cell"), col("__r2"))
       .join(
         ranked.select(col("cell"), col("__r").as("__r2"),
           col(idCol).as("nbr")),
         Seq("cell", "__r2"))
       .select(col(idCol), col("nbr"))
+    // singleton-cell fallback: one deterministic edge to the globally
+    // smallest non-self id (a 1-row broadcast of the two smallest ids),
+    // so every node has degree >= 1 and can re-enter through reverse
+    // edges — ringTargets emits nothing for __n = 1
+    val mins = corpus.select(col(idCol)).orderBy(col(idCol)).limit(2)
+      .agg(min(col(idCol)).as("__m1"), max(col(idCol)).as("__m2"))
+    val singles = ranked.filter(col("__n") === 1)
+      .crossJoin(broadcast(mins))
+      .select(col(idCol),
+        when(col(idCol) === col("__m1"), col("__m2"))
+          .otherwise(col("__m1")).as("nbr"))
+      .filter(col(idCol) =!= col("nbr"))
+    inCell.unionByName(singles)
   }
 
   /** One NN-descent refinement round: candidates = current edges ∪
@@ -208,6 +243,14 @@ object GraphAnn {
     * beam ≥ component size the search degenerates to scoring every
     * reachable node (the probe-everything analogue; spec-pinned on a
     * small slice).
+    *
+    * Caller-provided `seeds` contract: a (query_id, id) frame; it is
+    * deduplicated defensively (duplicate seed rows would ride the
+    * accumulator as duplicate visited rows and crowd the final top-k
+    * window), and every query_id in `queries` MUST appear in it — a
+    * query with no seed rows has an empty walk and returns zero rows
+    * (by design: the hybrid's probe-seeded caller always covers every
+    * query; there is no silent fallback to the hash sample).
     */
   def graphTopK(graph: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, queries: Seq[(Long, Array[Double])],
@@ -248,7 +291,8 @@ object GraphAnn {
     // duplicate visited row and crowd the final top-k window (the
     // same defect class the hop loop's distinct-before-exceptAll
     // guards against)
-    val seedCand = seeds.map(_.select(col("query_id"), col(idCol)))
+    val seedCand = seeds.map(_.select(col("query_id"), col(idCol))
+        .distinct())
       .getOrElse(vecs
         .filter(pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
           16, 10).cast("long"), lit(sampleMod)) === 0)
@@ -257,11 +301,14 @@ object GraphAnn {
           .limit(beam))
         .distinct()
         .crossJoin(qdf.select(col("query_id"))))
-    // visited accumulates every scored (query, node) pair — the beam
-    // prunes the FRONTIER, never the answer set; checkpoint per hop
-    // cuts the union lineage (minLabel pattern)
-    var visited = best(score(seedCand), beam).localCheckpoint()
-    var frontier = visited.select(col("query_id"), col(idCol))
+    // visited accumulates EVERY scored (query, node) pair — the full
+    // scored expansion is unioned in, and best() prunes only the
+    // FRONTIER — so a scored-but-below-beam node can never be dropped
+    // from the answer set or redundantly re-scored on a later hop;
+    // each hop's leg is checkpointed, cutting the union lineage to a
+    // shallow tree of materialized legs (minLabel pattern)
+    var visited = score(seedCand).localCheckpoint()
+    var frontier = best(visited, beam).select(col("query_id"), col(idCol))
     var h = 0
     while (h < hops) {
       // distinct BEFORE the multiset subtract: several frontier nodes
@@ -276,9 +323,9 @@ object GraphAnn {
         .select(col("query_id"), col("nbr").as(idCol))
         .distinct()
         .exceptAll(visited.select(col("query_id"), col(idCol)))
-      val newly = best(score(expanded), beam)
-      visited = visited.unionByName(newly).localCheckpoint()
-      frontier = newly.select(col("query_id"), col(idCol))
+      val newly = score(expanded).localCheckpoint()
+      visited = visited.unionByName(newly)
+      frontier = best(newly, beam).select(col("query_id"), col(idCol))
       h += 1
     }
     best(visited, k)

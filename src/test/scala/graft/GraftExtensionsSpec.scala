@@ -110,6 +110,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           " FROM ext_clf_t").collect()
     }
     assert(e.getMessage.contains("foldable literal"), e.getMessage)
+    // a foldable-but-non-boolean 4th arg gets the same loud require as
+    // every sibling argument, not a raw ClassCastException
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"SELECT classifier_margin(text, $wSql, 0.0, 1) FROM ext_clf_t")
+        .collect()
+    }
+    assert(e2.getMessage.contains("literal boolean"), e2.getMessage)
   }
 
   test("char_split resolves in SQL and matches the per-index substr " +

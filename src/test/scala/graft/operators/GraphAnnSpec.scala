@@ -52,8 +52,11 @@ class GraphAnnSpec extends SparkTestBase {
       .sameElements(again.sorted))
   }
 
-  test("cellRingInit: edges stay within the assigned IVF cell, no " +
-    "self edges, at most k per node, singleton cells emit nothing") {
+  test("cellRingInit: multi-member-cell edges stay within the " +
+    "assigned IVF cell, no self edges, at most k per node; a " +
+    "singleton-cell node gets exactly ONE global-fallback edge (an " +
+    "edgeless node could never re-enter — NN-descent candidates " +
+    "derive only from existing edges)") {
     val cells = emb.orderBy(md5(col("id").cast("string")), col("id"))
       .limit(8).collect().zipWithIndex
       .map { case (r, i) =>
@@ -64,11 +67,33 @@ class GraphAnnSpec extends SparkTestBase {
     assert(g.groupBy("id").count().filter(col("count") > 4).count() == 0)
     val asg = Similarity.ivfAssign(emb, "vec", cells)
       .select(col("id"), col("cell"))
+    val cellSizes = asg.groupBy("cell").count()
+    val multi = asg.join(cellSizes.filter(col("count") > 1), Seq("cell"))
+      .select(col("id"), col("cell"))
     val crossCell = g
-      .join(asg.toDF("id", "ca"), Seq("id"))
+      .join(multi.toDF("id", "ca"), Seq("id"))
       .join(asg.toDF("nbr", "cb"), Seq("nbr"))
       .filter(col("ca") =!= col("cb")).count()
-    assert(crossCell == 0, s"$crossCell edges cross cells")
+    assert(crossCell == 0, s"$crossCell multi-member-cell edges cross cells")
+    // every node has degree >= 1 — including singleton-cell nodes
+    val degreeless = emb.select(col("id"))
+      .join(g.select(col("id")).distinct(), Seq("id"), "left_anti").count()
+    assert(degreeless == 0, s"$degreeless nodes have no out-edge")
+    // forced singleton: 5 near-identical vectors + 1 far outlier under
+    // 2 centroids — the outlier's cell has exactly one member and its
+    // one edge is the global min non-self id
+    import spark.implicits._
+    val six = ((0L until 5L).map(i =>
+        (i, Seq.fill(64)(1.0f + i.toFloat / 100f))) :+
+      (9L, (Seq.fill(32)(-1.0f) ++ Seq.fill(32)(1.0f)))).toDF("id", "vec")
+    val twoCells = Seq(
+      (0, Array.fill(64)(1.0)),
+      (1, Array.fill(32)(-1.0) ++ Array.fill(32)(1.0)))
+    val g6 = GraphAnn.cellRingInit(six, "id", "vec", twoCells, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val outlierEdges = g6.filter(_._1 == 9L)
+    assert(outlierEdges.toSeq == Seq((9L, 0L)),
+      s"singleton fallback edge wrong: ${outlierEdges.toSeq}")
   }
 
   test("stride-divides-ring-size fallback: a ring of exactly `stride` " +
@@ -95,6 +120,32 @@ class GraphAnnSpec extends SparkTestBase {
       GraphAnn.ringInit(seven, "id", 3, stride = 6)
     }
     assert(e.getMessage.contains("prime"))
+  }
+
+  test("scale pin: no unpartitioned window anywhere in GraphAnn " +
+    "plans — ringInit densifies ids via the sharded global ordinal, " +
+    "not a corpus-serializing row_number over an empty partitionSpec") {
+    def unpartitioned(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    val shards = spark.sessionState.conf.numShufflePartitions
+    assert(unpartitioned(GraphAnn.ringRanked(emb, "id", shards)).isEmpty,
+      "ringInit's densification frame has an unpartitioned window")
+    val cells = Seq(
+      (0, Array.fill(64)(1.0)),
+      (1, Array.fill(32)(-1.0) ++ Array.fill(32)(1.0)))
+    assert(unpartitioned(
+      GraphAnn.cellRingInit(emb, "id", "vec", cells, 4)).isEmpty)
+    val init = GraphAnn.ringInit(emb, "id", 4)
+    assert(unpartitioned(init).isEmpty)
+    assert(unpartitioned(
+      GraphAnn.nnDescentStep(init, emb, "id", "vec", 4)).isEmpty)
+    val q = Seq((0L, Array.fill(64)(1.0)))
+    assert(unpartitioned(GraphAnn.graphTopK(
+      GraphAnn.ringInit(emb, "id", 4), emb, "id", "vec", q,
+      k = 2, beam = 4, hops = 1)).isEmpty)
   }
 
   test("NN-descent: every refinement round keeps a node's CURRENT " +
