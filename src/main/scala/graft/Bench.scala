@@ -172,7 +172,17 @@ object Bench {
     // otherwise deterministically burn the full gate budget on every
     // run, and the constant silently drifts as hardware changes.
     val canaryNominal = sys.env.get("SPARK_GRAFT_CANARY_NOMINAL")
-      .map(_.toDouble).getOrElse(BenchNominals.canaryNominal)
+      .map { s =>
+        val v =
+          try s.toDouble
+          catch { case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_CANARY_NOMINAL must be a number, got '$s'") }
+        require(v > 0,
+          s"SPARK_GRAFT_CANARY_NOMINAL must be > 0, got '$s' — a zero or " +
+          "negative nominal makes every canary read hot and burns the " +
+          "full gate budget deterministically")
+        v
+      }.getOrElse(BenchNominals.canaryNominal)
     val gateLimit =
       if (cpus.toInt >= 32) canaryNominal * 1.5
       else Double.MaxValue
@@ -186,17 +196,28 @@ object Bench {
     // gated — a hot sample sleeps-and-rechecks on the SAME bounded
     // 6x20s budget before the next segment is timed, so first-run
     // numbers (what BENCH_r*.json archives) stop absorbing host noise.
-    // The hot observations are kept in midGateHot (emitted + they arm
-    // the widened pass — the already-timed segment is re-MEASURED, not
-    // canary-inferred) while the recorded series entry is the
-    // post-wait sample, so the next segment's bracket reflects the
-    // host state it actually ran under (recording the hot sample would
-    // deflate the following CLEAN segment by up to 2x).
-    val midGateHot = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // The hot observations are kept in gateHot, keyed by the series
+    // index the canary occupies, so the hot segment stays localizable
+    // and correctable OFFLINE (emitting only the count threw that
+    // information away); they also arm the widened pass — the
+    // already-timed segment is re-MEASURED, not canary-inferred. The
+    // recorded series entry is the post-wait sample, so the next
+    // segment's bracket reflects the host state it actually ran under
+    // (recording the hot sample would deflate the following CLEAN
+    // segment by up to 2x). Hot evidence is recorded even when the
+    // shared wait budget is already exhausted (the persistently-
+    // congested case burns the budget FIRST, exactly when suppressing
+    // the evidence would be worst) and for the closing post-loop
+    // sample, which never sleeps — no further segment is timed, so its
+    // waits would gate nothing.
+    val gateHot =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var seriesIdx = 0
     def gatedCanary(label: String): Double = {
       var c = runCanary()
-      while (c > gateLimit && gateWaits < maxGateWaits) {
-        if (label == "mid-loop") midGateHot += c
+      while (c > gateLimit && label != "post-loop" &&
+          gateWaits < maxGateWaits) {
+        if (label == "mid-loop") gateHot += ((seriesIdx, c))
         System.err.println(f"[bench] $label canary $c%.3fs > " +
           f"$gateLimit%.3fs (1.5x clean nominal) — host busy, waiting " +
           s"20s (${gateWaits + 1}/$maxGateWaits)")
@@ -205,6 +226,12 @@ object Bench {
         if (label == "mid-loop") midGateWaits += 1 else preGateWaits += 1
         c = runCanary()
       }
+      // Still hot on exit: post-loop (never sleeps), or the budget ran
+      // out. Either way queries were / will be timed under congestion —
+      // the evidence must arm the widened pass. A pre-loop canary that
+      // cleared inside the budget records nothing (the run starts clean).
+      if (c > gateLimit) gateHot += ((seriesIdx, c))
+      seriesIdx += 1
       c
     }
     val canaries =
@@ -226,7 +253,7 @@ object Bench {
           }
         name -> elapsed
       }
-    canaries += gatedCanary("mid-loop")
+    canaries += gatedCanary("post-loop")
     // Outlier re-run: round 6's driver number was distorted 47x on ONE
     // unchanged query by a mid-loop congestion window that the stride-15
     // canary straddled (canaries at positions 60/75 looked clean while
@@ -259,10 +286,11 @@ object Bench {
     // queries moderately over nominal at once — the uniform window that
     // fires no single outlier, see uniformlySlow).
     val nominals = BenchNominals.forDir(sfDir)
-    // a mid-loop gate firing is direct evidence the host was congested
-    // while queries were being timed — arm the widened pass
+    // a gate observing a hot canary (mid-loop, budget-exhausted, or
+    // post-loop) is direct evidence the host was congested while
+    // queries were being timed — arm the widened pass
     val suspect = halvedRetry || uniformlySlow(results, nominals) ||
-      midGateHot.nonEmpty
+      gateHot.nonEmpty
     val widened: Seq[(String, (Double, Double))] =
       if (!suspect) Seq.empty
       else widenRetrySet(results, retried.map(_._1).toSet, nominals)
@@ -320,7 +348,12 @@ object Bench {
     // "timed" self-identifies the round-14 primitive change (count ->
     // full materialization): totals are NOT comparable with rounds <= 13,
     // which benchmarked the count()-weakened plans (~17s less work)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"pre_gate_waits":$preGateWaits,"mid_gate_waits":$midGateWaits,"mid_gate_hot":${midGateHot.size},"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
+    // gate_hot_samples carries the VALUES, keyed by the series index of
+    // the canary that observed them (ADVICE r17: a count alone makes the
+    // hot segment impossible to localize or correct offline)
+    val hotJson = gateHot
+      .map { case (idx, v) => s"[$idx,${f(v)}]" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"pre_gate_waits":$preGateWaits,"mid_gate_waits":$midGateWaits,"mid_gate_hot":${gateHot.size},"gate_hot_samples":$hotJson,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
