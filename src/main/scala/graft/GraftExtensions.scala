@@ -98,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "char_ngrams(text, n) - distinct char n-grams, first-occurrence order"),
       (args: Seq[Expression]) => graft.functions.CharNgrams(args(0),
         args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("image_header_meta"),
+      info("image_header_meta",
+        "image_header_meta(bytes) - packed PNG/JPEG header metadata " +
+          "(fmt<<56 | depth<<48 | width<<24 | height; -1 unparseable)"),
+      (args: Seq[Expression]) => graft.functions.ImageHeaderMeta(args.head)))
     e.injectFunction((FunctionIdentifier("char_split"),
       info("char_split",
         "char_split(text) - one string per code point, one pass"),

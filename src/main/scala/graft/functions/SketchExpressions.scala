@@ -443,6 +443,81 @@ object Sketches {
     }
     score
   }
+
+  /** image_header_meta(bytes): width/height/bit-depth of a PNG or JPEG
+    * payload read straight from the container bytes — the FIRST thing an
+    * actual multimodal ingest computes per blob, and the real half of
+    * the Multimodal story (the pixel decode stays stubbed; container
+    * METADATA needs no codec, just the published layouts).
+    *
+    * PNG (ISO 15948 / RFC 2083 §5.3): the 8-byte signature, then the
+    * IHDR chunk, which MUST come first — 4-byte length (always 13),
+    * "IHDR", width/height as big-endian 32-bit, bit depth and colour
+    * type bytes. The CRC is deliberately NOT verified: header
+    * extraction reads structure, it does not validate payloads.
+    *
+    * JPEG (ITU-T T.81 §B.2): SOI, then marker segments — 0xFF, a marker
+    * byte (any number of 0xFF fill bytes allowed before it, §B.1.1.2),
+    * and for non-standalone markers a big-endian 16-bit length that
+    * includes itself. Dimensions live in the first SOFn frame header
+    * (0xC0-0xCF minus DHT/JPG/DAC = C4/C8/CC): sample precision byte,
+    * then lines (height) and samples-per-line (width), each BE16. The
+    * walk skips APPn/COM/quantization/etc segments by their declared
+    * lengths, so per-row variable-length segments genuinely exercise it.
+    *
+    * Returns one packed non-negative long — fmt<<56 | depth<<48 |
+    * width<<24 | height (fmt 1 = png, 2 = jpeg) — or -1 for anything
+    * unparseable: wrong signature, truncated buffer, malformed segment
+    * length, EOI/SOS before any SOF, zero or >= 2^24 dimensions (the
+    * pack's field width; real containers top out far below). A sentinel
+    * rather than SQL NULL keeps the generated code a primitive-long
+    * assignment; the Column wrapper surfaces NULL fields.
+    */
+  def imageHeaderMeta(bytes: Array[Byte]): Long = {
+    def be32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def be16(off: Int): Int =
+      ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def pack(fmt: Long, depth: Long, w: Long, h: Long): Long =
+      if (w <= 0 || h <= 0 || w >= (1L << 24) || h >= (1L << 24)) -1L
+      else (fmt << 56) | (depth << 48) | (w << 24) | h
+    if (bytes.length >= 26 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+        bytes(6) == 0x1a && bytes(7) == 0x0a) {
+      if (be32(8) != 13L || bytes(12) != 'I' || bytes(13) != 'H' ||
+          bytes(14) != 'D' || bytes(15) != 'R') return -1L
+      return pack(1L, bytes(24) & 0xffL, be32(16), be32(20))
+    }
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return -1L
+    var pos = 2
+    while (pos + 1 < bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return -1L
+      var p = pos
+      while (p + 1 < bytes.length && (bytes(p + 1) & 0xff) == 0xff)
+        p += 1 // fill bytes (T.81 §B.1.1.2)
+      if (p + 1 >= bytes.length) return -1L
+      val marker = bytes(p + 1) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+          marker != 0xc8 && marker != 0xcc) {
+        // SOFn: length(2), precision(1), lines(2), samples/line(2)
+        if (p + 9 > bytes.length) return -1L
+        return pack(2L, bytes(p + 4) & 0xffL, be16(p + 7), be16(p + 5))
+      }
+      if (marker == 0xd9 || marker == 0xda) return -1L // EOI/SOS, no SOF
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos = p + 2 // standalone markers carry no length field
+      } else {
+        if (p + 4 > bytes.length) return -1L
+        val len = be16(p + 2)
+        if (len < 2) return -1L
+        pos = p + 2 + len
+      }
+    }
+    -1L
+  }
 }
 
 /** simhash(text): LongType. Null in -> null out. */
@@ -672,6 +747,24 @@ case class ClassifierMargin(child: Expression, weights: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** image_header_meta(bytes): packed PNG/JPEG header metadata in one
+  * compiled pass over the payload bytes (see Sketches.imageHeaderMeta
+  * for the layouts and the -1 unparseable sentinel). BinaryType in,
+  * LongType out; null in -> null out.
+  */
+case class ImageHeaderMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.imageHeaderMeta(input.asInstanceOf[Array[Byte]])
+  override def prettyName: String = "image_header_meta"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.imageHeaderMeta($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageHeaderMeta =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
@@ -721,4 +814,10 @@ object SketchFunctions {
       fastHash: Boolean): Column =
     ColumnShim.toColumn(ClassifierMargin(
       ColumnShim.toExpression(c), weights.toIndexedSeq, bias, fastHash))
+
+  /** Column API: one-pass native PNG/JPEG header parse (packed long;
+    * see Multimodal.imageHeaderDecode for the unpacked-columns form).
+    */
+  def imageHeaderMeta(c: Column): Column =
+    ColumnShim.toColumn(ImageHeaderMeta(ColumnShim.toExpression(c)))
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full ingest-time document path, COMPOSED — the form a daily
+  * batch actually runs, not three separately-graded stages:
+  *
+  *   boilerplate-strip (yesterday's shipped chunk list,
+  *     ChunkDedup.applyBoilerplate)
+  *   → near-dup reject against the accumulated corpus
+  *     (Dedup.minhashNearDupsAgainst on the CLEANED text)
+  *   → rule ∧ classifier gate on the CLEANED text
+  *     (FilterRules.keepColumn + the compiled classifier margin).
+  *
+  * Ordering is load-bearing: stripping boilerplate BEFORE near-dup
+  * comparison stops shared site chrome from welding unrelated documents
+  * into near-dup pairs, and gating on the cleaned text scores the prose
+  * that would actually be trained on. The x75 curation funnel picks up
+  * AFTER this path: ingest gates rows as they arrive; curation selects
+  * among the accumulated survivors with population-dependent cuts.
+  *
+  * Scale shape: the strip + gate prefix is one stateless projection
+  * chain (no joins, no state — identical on batch and readStream
+  * frames; StreamingSpec pins row parity). The only joins in the whole
+  * path belong to the near-dup stage, which keeps minhashNearDupsAgainst's
+  * contract: the incoming batch is orders of magnitude smaller than the
+  * corpus, so its banded frame broadcasts and the corpus never shuffles;
+  * at production cadence the corpus half (signatures, banding, shingle
+  * sets) is ingest-invariant and lives as a bucketed table.
+  */
+object Ingest {
+
+  /** The stateless per-row prefix: boilerplate apply, then the rule ∧
+    * classifier gate on the cleaned text — no join, no aggregation, no
+    * state, so it runs identically at both cadences (a readStream frame
+    * takes this exact code path; the near-dup stage becomes a
+    * stream-static join there). Output: (idCol, n_chunks, n_dropped,
+    * text_clean, rule_pass, clf_pass, gate_keep).
+    */
+  def statelessPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, boilerplate: Seq[String], stopwords: Seq[String],
+      weights: Seq[Double], bias: Double): DataFrame = {
+    Seq("rule_pass", "clf_pass", "gate_keep").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"Ingest.statelessPrefix reserves column name '$c'; " +
+          "rename the input"))
+    val cleaned =
+      ChunkDedup.applyBoilerplate(docs, idCol, textCol, k, boilerplate)
+    val rule = FilterRules.keepColumn(col("text_clean"), stopwords)
+    val margin = graft.functions.SketchFunctions
+      .classifierMargin(col("text_clean"), weights, bias, fastHash = false)
+    // rule/margin are each computed ONCE (their own projection); the
+    // conjunction reads the attributes, not the expressions
+    cleaned
+      .select(col(idCol), col("n_chunks"), col("n_dropped"),
+        col("text_clean"), rule.as("rule_pass"),
+        (margin > 0).as("clf_pass"))
+      .select(col(idCol), col("n_chunks"), col("n_dropped"),
+        col("text_clean"), col("rule_pass"), col("clf_pass"),
+        (col("rule_pass") && col("clf_pass")).as("gate_keep"))
+  }
+
+  /** The composed batch verdict for an incoming batch against an
+    * accumulated corpus: one row PER INCOMING DOC with every stage's
+    * flag (verdicts, not just survivors — the x53 reasons contract, so
+    * audits see WHY a row fell out). The corpus side is cleaned with
+    * the SAME shipped list (its own ingest applied the then-current
+    * list at its cadence; re-applying is idempotent on already-clean
+    * text).
+    *
+    * Stage boundaries are lazily checkpointed — the x75 lesson applies
+    * here by construction: the cleaned incoming frame feeds both the
+    * near-dup join and the final verdict projection, and the corpus
+    * frame feeds both the banding and shingle-set subtrees inside the
+    * near-dup join; pushed filters and pruned projections would
+    * otherwise make those consumers structurally divergent, defeat
+    * exchange reuse, and re-run the strip + gate once per branch.
+    *
+    * Output: (idCol, n_chunks, n_dropped, rule_pass, clf_pass,
+    * neardup_reject, final_keep) with
+    * final_keep = gate ∧ ¬neardup_reject.
+    */
+  def ingestVerdicts(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, k: Int, boilerplate: Seq[String],
+      threshold: Double, stopwords: Seq[String], weights: Seq[Double],
+      bias: Double, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    Seq("neardup_reject", "final_keep", "__nd").foreach(c =>
+      require(!incoming.columns.contains(c),
+        s"Ingest.ingestVerdicts reserves column name '$c'; " +
+          "rename the input"))
+    val corpusClean =
+      ChunkDedup.applyBoilerplate(corpus, idCol, textCol, k, boilerplate)
+        .select(col(idCol), col("text_clean"))
+        .localCheckpoint(false)
+    val inc = statelessPrefix(incoming, idCol, textCol, k, boilerplate,
+      stopwords, weights, bias).localCheckpoint(false)
+    val pairs = Dedup.minhashNearDupsAgainst(
+      corpusClean, inc.select(col(idCol), col("text_clean")),
+      idCol, "text_clean", threshold, shingleK, numHashes, bands)
+    val flagged = pairs.select(col("id_new").as(idCol)).distinct()
+      .withColumn("__nd", lit(true))
+    inc.join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"), col("n_dropped"),
+        col("rule_pass"), col("clf_pass"),
+        coalesce(col("__nd"), lit(false)).as("neardup_reject"),
+        (col("gate_keep") && !coalesce(col("__nd"), lit(false)))
+          .as("final_keep"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride through the engine as
@@ -109,5 +109,83 @@ object Multimodal {
             Frame(id, i, hex, end - off)
           }
       }
+  }
+
+  // ---- real container-header metadata (not stubbed) -------------------
+  // The pixel DECODE above is stubbed (no codec libs in this container);
+  // container metadata needs no codec. imageHeaderDecode reads
+  // width/height/bit-depth straight from PNG IHDR / JPEG SOFn bytes —
+  // the first thing an actual multimodal ingest computes per blob — via
+  // the compiled one-pass functions.ImageHeaderMeta expression.
+
+  /** 4-byte big-endian binary of a non-negative int column (hex/lpad/
+    * unhex are all codegen'd natives).
+    */
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** 2-byte big-endian binary of a non-negative int column. */
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
+  /** A spec-shaped PNG file prefix (signature + IHDR chunk) with the
+    * given dimensions — a deterministic fixture CONSTRUCTOR for a
+    * container with no image libs, built from native expressions so
+    * generated payloads scale with the corpus. The CRC is a fixed
+    * placeholder: imageHeaderDecode reads structure, not checksums.
+    */
+  def pngHeaderBytes(w: Column, h: Column, bitDepth: Column,
+      colorType: Column): Column =
+    concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+      lit(Array[Byte](0, 0, 0, 13)), lit("IHDR").cast("binary"),
+      be32(w), be32(h),
+      unhex(lpad(hex(bitDepth), 2, "0")),
+      unhex(lpad(hex(colorType), 2, "0")),
+      lit(Array[Byte](0, 0, 0)), // compression, filter, interlace
+      lit(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte)))
+
+  /** A spec-shaped JPEG file prefix: SOI, a standard 16-byte JFIF APP0,
+    * a COM segment padded to `comPad` bytes (0-12 — per-row VARIABLE
+    * segment lengths make the parser's marker walk load-bearing, not
+    * decorative), then a 3-component SOF0 frame header with the given
+    * dimensions.
+    */
+  def jpegHeaderBytes(w: Column, h: Column, comPad: Column): Column =
+    concat(
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte)), // SOI
+      lit(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10)), // APP0 len 16
+      lit("JFIF").cast("binary"),
+      lit(Array[Byte](0, 1, 1, 0, 0, 0x48, 0, 0x48, 0, 0)),
+      lit(Array[Byte](0xff.toByte, 0xfe.toByte)), be16(comPad + lit(2)),
+      left(lit("xxxxxxxxxxxx"), comPad).cast("binary"),
+      lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08)),
+      be16(h), be16(w),
+      lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+
+  /** Parse PNG/JPEG header metadata out of a binary column:
+    * (idCol, img_fmt, width, height, bit_depth), all four null for an
+    * unparseable payload (nulls surface, they don't gate). ONE compiled
+    * parse per row: the packed meta is staged as its own aliased
+    * projection (CollapseProject keeps multi-use non-trivial aliases
+    * staged), and the four field decodes are integer bit arithmetic on
+    * that attribute — zero shuffles, zero joins, whole-stage codegen.
+    */
+  def imageHeaderDecode(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    Seq("__imeta", "img_fmt", "width", "height", "bit_depth").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Multimodal.imageHeaderDecode reserves column name '$c'; " +
+          "rename the input"))
+    val m = col("__imeta")
+    def field(shift: Int, mask: Long): Column =
+      when(m >= 0, shiftright(m, shift).bitwiseAND(lit(mask)).cast("int"))
+    df.select(col(idCol),
+        graft.functions.SketchFunctions.imageHeaderMeta(col(binCol))
+          .as("__imeta"))
+      .select(col(idCol),
+        when(m >= 0, when(shiftright(m, 56) === 1, "png").otherwise("jpeg"))
+          .as("img_fmt"),
+        field(24, 0xffffffL).as("width"),
+        field(0, 0xffffffL).as("height"),
+        field(48, 0xffL).as("bit_depth"))
   }
 }

@@ -3079,11 +3079,162 @@ object PipelineOps {
             QUALIFY rank <= 3 AND qid < 50
             ORDER BY qid, kind, rank"""))
 
+  /** REAL container-header decode (Multimodal.imageHeaderDecode): PNG
+    * IHDR / JPEG SOF0 width/height/bit-depth read from actual container
+    * bytes by the compiled one-pass functions.ImageHeaderMeta. Payloads
+    * are spec-shaped file prefixes CONSTRUCTED per row from doc_id dial
+    * arithmetic (no image libs in this container; the JPEG's COM
+    * segment length varies per row so the marker walk is exercised at
+    * different offsets), with a corrupted-signature arm surfacing as
+    * nulls. The oracle computes the expected metadata from the SAME
+    * dial arithmetic the constructors consume, independently of the
+    * bytes — a hash match therefore certifies the parser inverts the
+    * published layouts (signature checks, big-endian reads, the
+    * variable-length segment walk) on every row. Real fixed byte
+    * fixtures (a canonical 1x1 PNG, a minimal JPEG) are additionally
+    * pinned in MultimodalSpec.
+    */
+  private val x80 = Q(
+    "x80_image_headers",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = (pmod(col("doc_id") * 37, lit(1900)) + 1).cast(IntegerType)
+      val h = (pmod(col("doc_id") * 59, lit(1060)) + 1).cast(IntegerType)
+      val pad = pmod(col("doc_id"), lit(13)).cast(IntegerType)
+      val depth = when(pmod(col("doc_id"), lit(4)) === 0, 16).otherwise(8)
+      val payload = when(pmod(col("doc_id"), lit(17)) === 0,
+          lit(Array[Byte](0, 0)))
+        .when(pmod(col("doc_id"), lit(2)) === 0,
+          Multimodal.pngHeaderBytes(w, h, depth, lit(6)))
+        .otherwise(Multimodal.jpegHeaderBytes(w, h, pad))
+      Multimodal.imageHeaderDecode(
+        docs.select(col("doc_id").as("media_id"), payload.as("payload")),
+        "media_id", "payload")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'png'
+                        ELSE 'jpeg' END AS img_fmt,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE CAST((doc_id * 37) % 1900 + 1 AS INT)
+                     END AS width,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE CAST((doc_id * 59) % 1060 + 1 AS INT)
+                     END AS height,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 16
+                        ELSE 8 END AS bit_depth
+            FROM documents ORDER BY media_id"""))
+
+  /** The FULL ingest path composed (Ingest.ingestVerdicts):
+    * boilerplate-strip with the corpus-derived shipped list → minhash
+    * near-dup reject against the (equally cleaned) accumulated corpus →
+    * rules ∧ classifier gate on the cleaned text, one verdict row per
+    * incoming doc. Same corpus/incoming split as x68. The oracle
+    * replays every stage in sequence, each restricted to the upstream
+    * stage's survivor surface (the x75 CTE pattern): the x62 list CTE
+    * on the corpus half, the x56 rewrite CTE, the x68 EXACT-pair
+    * near-dup CTE over the cleaned shingle sets, and the x78 rules/clf
+    * CTEs over text_clean. The boilerplate list collect is the bounded
+    * artifact class applyBoilerplate documents (∝ shared text, not
+    * corpus size).
+    */
+  private val x81 = Q(
+    "x81_ingest_path",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250)
+      val boiler = ChunkDedup
+        .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+        .orderBy("chunk").collect().map(_.getString(0)).toSeq
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      Ingest.ingestVerdicts(corpus, incoming, "doc_id", "text",
+          4, boiler, 0.6, stop, w, -0.1)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                          FROM documents),
+                 flat AS (SELECT doc_id, c.ci AS chunk_idx, c.ck AS chunk
+                          FROM (SELECT doc_id,
+                            unnest(list_transform(
+                              range(0, CAST(ceil(len(l) / 4.0) AS BIGINT)),
+                              i -> struct_pack(ci := i,
+                                ck := array_to_string(l[i*4+1:i*4+4], ' '))))
+                              AS c
+                          FROM toks)),
+                 bo AS (SELECT chunk
+                        FROM (SELECT chunk, count(DISTINCT doc_id) AS dw
+                              FROM flat WHERE doc_id < 250 GROUP BY 1)
+                        WHERE dw >= 3),
+                 clean AS (SELECT f.doc_id,
+                             count(*) AS n_chunks,
+                             count(b.chunk) AS n_dropped,
+                             coalesce(string_agg(
+                                 CASE WHEN b.chunk IS NULL THEN f.chunk END,
+                                 ' ' ORDER BY f.chunk_idx), '') AS text_clean
+                           FROM flat f LEFT JOIN bo b ON f.chunk = b.chunk
+                           GROUP BY 1),
+                 sh AS (SELECT doc_id AS id,
+                          list_distinct(list_transform(
+                            range(1, len(string_split(text_clean,' ')) - 1),
+                            i -> string_split(text_clean,' ')[i] || ' ' ||
+                                 string_split(text_clean,' ')[i+1] || ' ' ||
+                                 string_split(text_clean,' ')[i+2])) AS sh
+                        FROM clean
+                        WHERE len(string_split(text_clean,' ')) >= 3),
+                 nd AS (SELECT DISTINCT a.id AS doc_id FROM sh a JOIN sh b
+                          ON a.id >= 250 AND b.id < 250
+                          AND len(a.sh) >= 0.6 * len(b.sh)
+                          AND len(b.sh) >= 0.6 * len(a.sh)
+                        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / len(list_distinct(list_concat(a.sh, b.sh)))
+                              >= 0.6),
+                 f2 AS (SELECT doc_id, string_split(text_clean,' ') AS t,
+                          CAST(len(string_split(text_clean,' ')) AS INT)
+                            AS n_tokens,
+                          CAST(list_sum(list_transform(
+                              string_split(text_clean,' '),
+                              x -> length(x))) AS DOUBLE)
+                            / len(string_split(text_clean,' ')) AS avglen,
+                          CAST(len(list_distinct(
+                              string_split(text_clean,' '))) AS DOUBLE)
+                            / len(string_split(text_clean,' ')) AS ttr,
+                          CAST(len(list_filter(string_split(text_clean,' '),
+                              x -> x IN ('the','a','of','and','to')))
+                              AS DOUBLE)
+                            / len(string_split(text_clean,' ')) AS stopr
+                        FROM clean WHERE doc_id >= 250),
+                 gate AS (SELECT doc_id,
+                            (n_tokens BETWEEN 20 AND 80) AND
+                            (avglen BETWEEN 3.0 AND 4.5) AND
+                            ttr >= 0.5 AND stopr >= 0.05 AS rule_pass,
+                            -0.1 + list_sum(list_transform(
+                              list_concat(t, list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i+1])),
+                              g -> (CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT
+                                       % 256 AS BIGINT)
+                                    * 2654435761 % 1000) / 1000.0 - 0.5)) > 0
+                              AS clf_pass
+                          FROM f2)
+            SELECT c.doc_id, c.n_chunks, c.n_dropped,
+                   g.rule_pass, g.clf_pass,
+                   (nd.doc_id IS NOT NULL) AS neardup_reject,
+                   g.rule_pass AND g.clf_pass AND nd.doc_id IS NULL
+                     AS final_keep
+            FROM clean c
+              JOIN gate g USING (doc_id)
+              LEFT JOIN nd USING (doc_id)
+            WHERE c.doc_id >= 250
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79)
+    x78, x79, x80, x81)
 }

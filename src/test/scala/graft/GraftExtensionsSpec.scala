@@ -144,6 +144,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(a.getSeq[String](0) == b.getSeq[String](0)) }
   }
 
+  test("image_header_meta resolves in SQL and agrees with the Column " +
+    "API on real and malformed payloads") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "image_header_meta"))
+    assume(hasExt, "extensions not active on the shared session")
+    val png = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a,
+      0x1a, 0x0a, 0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt,
+      'R'.toInt, 0, 0, 0, 7, 0, 0, 0, 5, 8, 6, 0, 0, 0, 1, 2, 3, 4)
+      .map(_.toByte)
+    Seq((1L, png), (2L, Array[Byte](9, 9)), (3L, null))
+      .toDF("i", "p").createOrReplaceTempView("ext_imghdr_t")
+    val got = spark.sql(
+      "SELECT i, image_header_meta(p) AS m FROM ext_imghdr_t ORDER BY i")
+      .collect()
+    val want = spark.table("ext_imghdr_t")
+      .select($"i", graft.functions.SketchFunctions
+        .imageHeaderMeta($"p").as("m"))
+      .orderBy("i").collect()
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getLong(1) == b.getLong(1))
+    }
+    assert(got(0).getLong(1) ==
+      ((1L << 56) | (8L << 48) | (7L << 24) | 5L))
+    assert(got(1).getLong(1) == -1L)
+    assert(got(2).isNullAt(1))
+  }
+
   test("hyperplane_bucket / nearest_centroid / nearest_centroid_dist " +
     "resolve in SQL with literal plane/centroid families and agree " +
     "with the Column API") {

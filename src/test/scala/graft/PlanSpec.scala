@@ -1011,6 +1011,53 @@ class PlanSpec extends SparkTestBase {
       s"gate margin is not the compiled native:\n$inner")
   }
 
+  test("x80: the image-header decode is one joinless projection with " +
+    "EXACTLY ONE compiled parse per row — no join, no window, no " +
+    "exchange before the presentation sort, and the packed meta stays " +
+    "a staged alias (field decodes must not re-inline the parser)") {
+    val df = q("x80_image_headers")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "header decode grew a join")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"header decode shuffled the corpus:\n$inner")
+    val parses = "image_header_meta".r.findAllIn(inner).size
+    assert(parses == 1,
+      s"expected exactly one image_header_meta in the plan, got " +
+        s"$parses (CollapseProject re-inlined the parse per field?):\n" +
+        inner)
+  }
+
+  test("x81: the composed ingest path reads ONLY checkpointed stage " +
+    "frames (zero re-scans of documents), keeps the classifier inside " +
+    "the prefix checkpoint, and plans no cartesian and no window") {
+    val df = q("x81_ingest_path")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(windowsOf(df).isEmpty,
+      "no window belongs in the ingest path")
+    // Stage boundaries are lazily checkpointed (the x75 lesson by
+    // construction): the composed plan joins materialized stage frames
+    // — documents must NOT be re-scanned downstream of the checkpoints,
+    // and the strip + gate expressions (classifier margin, chunk
+    // filter) live only INSIDE the prefix checkpoint.
+    assert(!plan.contains("Scan parquet"),
+      s"documents re-scanned outside the stage checkpoints:\n$plan")
+    assert(!plan.contains("classifier_margin"),
+      s"classifier leaked outside the prefix checkpoint:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"expected the checkpointed stage frames in the plan:\n$plan")
+  }
+
   test("x79: cell-blocked contrastive mining joins candidates EQUI ON " +
     "CELL (no cartesian) and ranks in (anchor, kind)-partitioned " +
     "windows only") {

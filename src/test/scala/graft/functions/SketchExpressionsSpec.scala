@@ -254,6 +254,88 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  // ---- image_header_meta: real container bytes ----------------------
+
+  /** The canonical 1x1 RGBA PNG file prefix — real bytes, real CRC
+    * (1F15C489 is the correct CRC32 of that IHDR), public knowledge.
+    */
+  private val png1x1: Array[Byte] = Array(
+    0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+    0, 0, 0, 13, 'I', 'H', 'D', 'R',
+    0, 0, 0, 1, 0, 0, 0, 1,
+    8, 6, 0, 0, 0, 0x1f, 0x15, 0xc4, 0x89).map(_.toByte)
+
+  /** A minimal baseline JPEG header: SOI, JFIF APP0, a 67-byte DQT
+    * segment (contents irrelevant to the header walk), then a
+    * 1-component SOF0 with height 2 / width 3 — the segment layout of
+    * the classic smallest-JPEG fixture.
+    */
+  private val jpegMin: Array[Byte] = (Seq(
+    0xff, 0xd8,
+    0xff, 0xe0, 0x00, 0x10, 'J'.toInt, 'F'.toInt, 'I'.toInt, 'F'.toInt,
+    0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+    0xff, 0xdb, 0x00, 0x43, 0x00) ++ Seq.fill(64)(0) ++ Seq(
+    0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01,
+    0x01, 0x11, 0x00)).map(_.toByte).toArray
+
+  private def meta(b: Array[Byte]): Long = Sketches.imageHeaderMeta(b)
+  private def unpack(m: Long): (Long, Long, Long, Long) =
+    (m >> 56, (m >> 48) & 0xff, (m >> 24) & 0xffffff, m & 0xffffff)
+
+  test("imageHeaderMeta reads real PNG IHDR and real JPEG SOF bytes") {
+    assert(unpack(meta(png1x1)) == ((1L, 8L, 1L, 1L)))
+    assert(unpack(meta(jpegMin)) == ((2L, 8L, 3L, 2L)))
+    // trailing garbage after a complete header parses identically
+    assert(meta(png1x1 ++ Array[Byte](1, 2, 3)) == meta(png1x1))
+    assert(meta(jpegMin ++ Array[Byte](0x12, 0x34)) == meta(jpegMin))
+  }
+
+  test("imageHeaderMeta walks fill bytes, standalone markers and " +
+    "progressive SOF2; rejects EOI/SOS before any SOF") {
+    def jpeg(mid: Seq[Int]): Array[Byte] =
+      (Seq(0xff, 0xd8) ++ mid).map(_.toByte).toArray
+    val sof = Seq(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x01, 0x00, 0x01,
+      0x01, 0x01, 0x11, 0x00)
+    // fill bytes before the marker (T.81 B.1.1.2)
+    assert(unpack(meta(jpeg(Seq(0xff, 0xff) ++ sof))) == ((2L, 8L, 1L, 1L)))
+    // TEM and RSTn are standalone: no length field to skip
+    assert(unpack(meta(jpeg(Seq(0xff, 0x01) ++ sof))) == ((2L, 8L, 1L, 1L)))
+    assert(unpack(meta(jpeg(Seq(0xff, 0xd3) ++ sof))) == ((2L, 8L, 1L, 1L)))
+    // progressive SOF2 carries dimensions in the same layout
+    val sof2 = sof.updated(1, 0xc2)
+    assert(unpack(meta(jpeg(sof2))) == ((2L, 8L, 1L, 1L)))
+    // DHT (C4) is NOT a frame header despite sitting in C0-CF
+    assert(unpack(meta(jpeg(Seq(0xff, 0xc4, 0x00, 0x02) ++ sof)))
+      == ((2L, 8L, 1L, 1L)))
+    assert(meta(jpeg(Seq(0xff, 0xd9))) == -1L) // EOI before SOF
+    assert(meta(jpeg(Seq(0xff, 0xda, 0x00, 0x02))) == -1L) // SOS before SOF
+    assert(meta(jpeg(Seq(0x00, 0xc0))) == -1L) // marker without 0xFF
+    assert(meta(jpeg(Seq(0xff, 0xe0, 0x00, 0x01))) == -1L) // len < 2
+  }
+
+  test("imageHeaderMeta rejects malformed PNG structure") {
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val c = png1x1.clone(); c(i) = v.toByte; c
+    }
+    assert(meta(mut(0, 0x00)) == -1L) // broken signature
+    assert(meta(mut(11, 14)) == -1L) // IHDR length != 13
+    assert(meta(mut(12, 'J')) == -1L) // first chunk not IHDR
+    assert(meta(mut(19, 0)) == -1L) // width 0
+    assert(meta(mut(23, 0)) == -1L) // height 0
+    assert(meta(mut(16, 0x01)) == -1L) // width 2^24: exceeds pack field
+    assert(meta(Array[Byte]()) == -1L)
+    assert(meta("not an image at all".getBytes("UTF-8")) == -1L)
+  }
+
+  test("imageHeaderMeta never throws on truncations, and any " +
+    "non-sentinel prefix parse equals the full parse") {
+    for (fix <- Seq(png1x1, jpegMin); n <- 0 until fix.length) {
+      val m = meta(java.util.Arrays.copyOfRange(fix, 0, n))
+      assert(m == -1L || m == meta(fix),
+        s"prefix $n of ${fix.length} parsed to a DIFFERENT value")
+    }
+  }
+
   test("every native's generated code COMPILES and matches interpreted " +
     "eval (Catalyst silently falls back to interpreted eval when " +
     "doGenCode output fails to compile, so DataFrame-level parity " +
@@ -315,6 +397,24 @@ class SketchExpressionsSpec extends SparkTestBase {
         else norm(out.get(0, bm.dataType), bm.dataType)
       assert(gen == interp, s"batch_merge_pairs on $in")
     }
+    // ImageHeaderMeta takes a binary input — same check on its own
+    val bin = BoundReference(0, BinaryType, nullable = true)
+    val ih = ImageHeaderMeta(bin)
+    val projB = GenerateUnsafeProjection.generate(Seq(ih))
+    for (in <- Seq(
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 2, 0, 0, 0, 3,
+          8, 6, 0, 0, 0, 1, 2, 3, 4),
+        Array[Byte](0xff.toByte, 0xd8.toByte),
+        Array[Byte](1, 2, 3), Array.empty[Byte], null)) {
+      val row = InternalRow(in)
+      val out = projB(row)
+      val interp = ih.eval(row)
+      val gen = if (out.isNullAt(0)) null else out.get(0, ih.dataType)
+      assert(gen == interp,
+        s"image_header_meta on ${String.valueOf(in)}")
+    }
+
     // HyperplaneBucket / NearestCentroid (instance-state families) —
     // double-array input; NearestCentroid also returns null on dim
     // mismatch, exercising its isNull re-check

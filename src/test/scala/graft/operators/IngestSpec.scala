@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Laws of the composed ingest path (Ingest): the composition must
+  * equal its separately-graded stages chained by hand, stage flags must
+  * be mutually consistent, and the stateless prefix must stay a pure
+  * per-row function of (text, artifacts).
+  */
+class IngestSpec extends SparkTestBase {
+
+  private lazy val docs = graft.Tables.load(spark, sfDir, "documents")
+  private lazy val corpus = docs.filter(col("doc_id") < 250)
+  private lazy val incoming = docs.filter(col("doc_id") >= 250)
+  private lazy val stop = TextAnalysis.langMarkers("en")
+  private lazy val w =
+    (0 until 256).map(j => (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+  private lazy val boiler = ChunkDedup
+    .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+    .orderBy("chunk").collect().map(_.getString(0)).toSeq
+
+  test("ingestVerdicts equals the hand-chained stages: strip, then " +
+    "near-dup against the equally-cleaned corpus, then gate on clean " +
+    "text") {
+    val got = Ingest.ingestVerdicts(corpus, incoming, "doc_id", "text",
+      4, boiler, 0.6, stop, w, -0.1)
+    // hand chain from the separately-graded operators
+    val cleanedInc = ChunkDedup
+      .applyBoilerplate(incoming, "doc_id", "text", 4, boiler)
+    val cleanedCorp = ChunkDedup
+      .applyBoilerplate(corpus, "doc_id", "text", 4, boiler)
+      .select(col("doc_id"), col("text_clean"))
+    val flagged = Dedup.minhashNearDupsAgainst(
+        cleanedCorp, cleanedInc.select(col("doc_id"), col("text_clean")),
+        "doc_id", "text_clean", 0.6)
+      .select(col("id_new")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gate = Classifier.composedGate(
+      cleanedInc.select(col("doc_id"), col("text_clean")),
+      "doc_id", "text_clean", stop, w, -0.1)
+    val want = cleanedInc.select("doc_id", "n_chunks", "n_dropped")
+      .join(gate, Seq("doc_id"))
+      .collect().map { r =>
+        val nd = flagged(r.getLong(0))
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getBoolean(4), nd,
+          r.getBoolean(5) && !nd)
+      }.sortBy(_._1)
+    val gotRows = got.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(gotRows.toSeq == want.toSeq)
+    // the verdict frame covers EVERY incoming doc exactly once
+    assert(got.count() == incoming.count())
+    assert(got.select("doc_id").distinct().count() == incoming.count())
+  }
+
+  test("flag consistency: final_keep == gate ∧ ¬neardup, and a " +
+    "near-dup reject implies a flagged pair existed") {
+    val v = Ingest.ingestVerdicts(corpus, incoming, "doc_id", "text",
+      4, boiler, 0.6, stop, w, -0.1)
+    val bad = v.filter(
+      col("final_keep") =!=
+        (col("rule_pass") && col("clf_pass") && !col("neardup_reject")))
+      .count()
+    assert(bad == 0)
+    // the composition is not vacuous on this corpus: each stage must
+    // actually cut something at sf0.001+ (fixture sanity, not a law)
+    assert(v.filter(col("neardup_reject")).count() > 0,
+      "near-dup stage cut nothing — fixture lost its cross-half dups")
+    assert(v.filter(!col("rule_pass") || !col("clf_pass")).count() > 0,
+      "gate stage cut nothing")
+    assert(v.filter(col("final_keep")).count() > 0,
+      "everything was cut — verdicts degenerate")
+  }
+
+  test("statelessPrefix is a pure per-row function: partitioning does " +
+    "not change it, and its gate equals composedGate on the cleaned " +
+    "text") {
+    val a = Ingest.statelessPrefix(incoming, "doc_id", "text", 4,
+      boiler, stop, w, -0.1).orderBy("doc_id").collect()
+    val b = Ingest.statelessPrefix(incoming.repartition(7), "doc_id",
+      "text", 4, boiler, stop, w, -0.1).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    val viaGate = Classifier.composedGate(
+      ChunkDedup.applyBoilerplate(incoming, "doc_id", "text", 4, boiler)
+        .select(col("doc_id"), col("text_clean")),
+      "doc_id", "text_clean", stop, w, -0.1)
+      .orderBy("doc_id").collect()
+    a.zip(viaGate).foreach { case (p, g) =>
+      assert(p.getLong(0) == g.getLong(0))
+      assert(p.getBoolean(4) == g.getBoolean(1)) // rule_pass
+      assert(p.getBoolean(5) == g.getBoolean(2)) // clf_pass
+      assert(p.getBoolean(6) == g.getBoolean(3)) // gate_keep == keep
+    }
+  }
+
+  test("reserved output column names are guarded") {
+    val clash = incoming.withColumn("final_keep", lit(true))
+    val e = intercept[IllegalArgumentException](
+      Ingest.ingestVerdicts(corpus, clash, "doc_id", "text",
+        4, boiler, 0.6, stop, w, -0.1))
+    assert(e.getMessage.contains("reserves column name"))
+    val clash2 = incoming.withColumn("gate_keep", lit(true))
+    val e2 = intercept[IllegalArgumentException](
+      Ingest.statelessPrefix(clash2, "doc_id", "text",
+        4, boiler, stop, w, -0.1))
+    assert(e2.getMessage.contains("reserves column name"))
+  }
+}

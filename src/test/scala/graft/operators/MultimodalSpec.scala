@@ -82,4 +82,54 @@ class MultimodalSpec extends SparkTestBase {
       .count()
     assert(bad == 0) // no byte lost or duplicated, no frame index gap
   }
+
+  test("imageHeaderDecode inverts the header constructors for every " +
+    "(w, h, depth, pad) dial, and surfaces unparseable rows as nulls") {
+    import spark.implicits._
+    val dials = (for (i <- 1L to 60L) yield i).toDF("i")
+      .select(col("i"),
+        (col("i") * 977 % 65000 + 1).cast("int").as("w"),
+        (col("i") * 131 % 50000 + 1).cast("int").as("h"),
+        when(col("i") % 3 === 0, 16).otherwise(8).as("dep"),
+        (col("i") % 13).cast("int").as("pad"))
+    val png = Multimodal.imageHeaderDecode(
+      dials.select(col("i"),
+        Multimodal.pngHeaderBytes(col("w"), col("h"), col("dep"),
+          lit(6)).as("p")), "i", "p")
+    png.collect().foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(1) == "png")
+      assert(r.getInt(2) == (i * 977 % 65000 + 1).toInt, s"w at $i")
+      assert(r.getInt(3) == (i * 131 % 50000 + 1).toInt, s"h at $i")
+      assert(r.getInt(4) == (if (i % 3 == 0) 16 else 8), s"depth at $i")
+    }
+    val jpg = Multimodal.imageHeaderDecode(
+      dials.select(col("i"),
+        Multimodal.jpegHeaderBytes(col("w"), col("h"), col("pad"))
+          .as("p")), "i", "p")
+    // JPEG dims are BE16 fields: the dial arithmetic stays under 2^16
+    jpg.collect().foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(1) == "jpeg")
+      assert(r.getInt(2) == (i * 977 % 65000 + 1).toInt, s"w at $i")
+      assert(r.getInt(3) == (i * 131 % 50000 + 1).toInt, s"h at $i")
+      assert(r.getInt(4) == 8)
+    }
+    // unparseable payloads and null payloads: all four fields null
+    val bad = Multimodal.imageHeaderDecode(
+      Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+        .toDF("i", "p"), "i", "p").collect()
+    bad.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
+        r.isNullAt(4))
+    }
+  }
+
+  test("imageHeaderDecode reserves its output column names") {
+    import spark.implicits._
+    val clash = Seq((1L, Array[Byte](0))).toDF("i", "width")
+    val e = intercept[IllegalArgumentException](
+      Multimodal.imageHeaderDecode(clash, "i", "width"))
+    assert(e.getMessage.contains("reserves column name"))
+  }
 }

@@ -126,6 +126,20 @@ class StreamingSpec extends SparkTestBase {
     assert(gotFunnel.count() == batchDocs.count())
     assert(gotFunnel.exceptAll(wantFunnel).isEmpty &&
       wantFunnel.exceptAll(gotFunnel).isEmpty)
+    // the composed INGEST prefix (x81 stages 1+3: boilerplate-strip,
+    // then rules ∧ classifier on the CLEANED text) — the stateless
+    // whole of the daily ingest job; the near-dup stage becomes a
+    // stream-static join at this cadence and its batch form is graded
+    // by x81's oracle
+    val gotIngest = StreamOps.runToMemory(spark,
+      graft.operators.Ingest.statelessPrefix(
+        streamDocs, "doc_id", "text", 4, list, stop, w, -0.1),
+      "ingest_stream")
+    val wantIngest = graft.operators.Ingest.statelessPrefix(
+      batchDocs, "doc_id", "text", 4, list, stop, w, -0.1)
+    assert(gotIngest.count() == batchDocs.count())
+    assert(gotIngest.exceptAll(wantIngest).isEmpty &&
+      wantIngest.exceptAll(gotIngest).isEmpty)
   }
 
   test("sliding windows produce overlapping coverage") {
