@@ -295,7 +295,18 @@ object ChunkDedup {
     Seq("n_chunks", "n_dropped", "text_clean", "__toks", "__ch", "__kept")
       .foreach(n => require(!docs.columns.contains(n),
         s"applyBoilerplate reserves column name '$n'; rename the input column"))
-    val boil = typedlit(boilerplate)
+    // Membership via IN over the literal list, NOT array_contains over
+    // an array literal: OptimizeIn rewrites a >=10-element In to InSet
+    // (one hash-set probe per chunk), where array_contains is a linear
+    // scan of the whole list per chunk. At the shipped-list sizes the
+    // scaladoc promises (10^3-10^5) the difference is the operator:
+    // the ingest_path x100 decade (500k docs, ~4.7k-chunk list from
+    // 100 disjoint replica shards) measured 275.5s under the linear
+    // scan and 7.1s under InSet — the linear form silently turns a
+    // map-side strip into an O(chunks x list) crawl exactly when the
+    // list is big enough to matter (SCALE.md round-17).
+    def inBoil(c: Column): Column =
+      if (boilerplate.isEmpty) lit(false) else c.isin(boilerplate: _*)
     // Each stage materializes an alias the next stage references more
     // than once — CollapseProject declines to inline expensive
     // multi-use aliases, so tokens/chunks/kept are each computed
@@ -308,7 +319,7 @@ object ChunkDedup {
       .select(col(idCol), col(textCol),
         unit.chunksOf(col("__toks")).as("__ch"))
       .select(col(idCol), col(textCol), col("__ch"),
-        filter(col("__ch"), c => !array_contains(boil, c)).as("__kept"))
+        filter(col("__ch"), c => !inBoil(c)).as("__kept"))
       // NULL text: (0, 0, "") — the same row dropSharedChunks restores
       // via its left join, so the two-phase law holds on nullable
       // corpora too (size/filter of a null array would otherwise
