@@ -105,9 +105,10 @@ object Scale10 {
     * regenerates bit-identically on any partitioning. Separation at
     * the defaults: inter-center distance ≈ sqrt(2·dim/3) ≈ 6.5 vs
     * intra-cluster radius ≈ sigma·sqrt(dim) ≈ 2.0 — clearly
-    * clusterable, not trivially collapsed. label = the cluster id:
-    * labels FOLLOW the geometric structure, the production regime the
-    * quasi-orthogonal corpus cannot represent.
+    * clusterable, not trivially collapsed. label = the cluster id (an
+    * int, the embeddings table's label schema): labels FOLLOW the
+    * geometric structure, the production regime the quasi-orthogonal
+    * corpus cannot represent.
     */
   private def genMogEmb(spark: SparkSession, outDir: String, n: Long,
       dim: Int = 64, nClusters: Int = 32, sigma: Double = 0.25): Unit = {
@@ -133,7 +134,7 @@ object Scale10 {
           math.cos(2.0 * math.Pi * u2)
         (centers(c)(i) + sigma * g).toFloat
       }
-      (id, emb, f"c$c%02d")
+      (id, emb, c)
     }.toDF("vec_id", "embedding", "label")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -1429,6 +1430,142 @@ object Scale10 {
           println(s"""{"flow":"pq256","dir":"$dir","arm":"$arm","n":$n,"sample_n":$sampleN,"k_eff_min":${kEff.min},"k_eff_max":${kEff.max},"train_sec":${f(trainSec)},"encode_sec":${f(encodeSec)},"recall_adc10":${f4(recallOf(adcRows))},"adc_sec":${f(adcSec)},"recall_rerank50":${f4(recallOf(rrRows))},"rerank_sec":${f(rrSec)}}""")
         }
         e.unpersist()
+      }
+    } else if (only("pqmaint")) {
+      // IVF-PQ index MAINTENANCE priced (VERDICT r16 #6): the search
+      // path is demonstrated (x77, PartitionFilters pin); the unpriced
+      // half is what a 10^9-vector index pays per ingest day. Shape:
+      // yesterday's index = 90% of the corpus, today's batch = 10%.
+      // Arms at x10/x100, k=256/m=8 (the pq256 production dial, 10%
+      // hash-sample training):
+      //   rebuild - retrain codebooks on the full corpus sample,
+      //     re-encode EVERYTHING (the naive daily cost);
+      //   append  - reuse yesterday's codebooks, encode ONLY the
+      //     batch, union the code tables (the amortized path).
+      // Both arms grade recall@10 (reranked-50) on 8 batch-drawn
+      // queries against exact ground truth over the full corpus. A
+      // DRIFTED variant (today's batch sign-flipped in subspaces 0-1:
+      // a real distribution shift confined to known coordinates)
+      // measures when codebook reuse stops being safe, and the
+      // monitorable signal that says so WITHOUT any recall oracle:
+      // the batch's reconstruction error under yesterday's codebooks,
+      // as a ratio to yesterday's own training-time error — the
+      // number an ingest job can compute per day for the cost of one
+      // encode pass it was already paying.
+      import org.apache.spark.sql.expressions.Window
+      val dir100 = s"$outDir-v100"
+      if (!new java.io.File(s"$dir100/embeddings.parquet").isDirectory) {
+        genEmb(spark, dir100, nReps = 100)
+        println(s"""{"generated":"$dir100/embeddings.parquet"}""")
+      }
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val v = body
+        (v, (System.nanoTime() - t0) / 1e9)
+      }
+      for (dir <- Seq(outDir, dir100)) {
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint()
+        val old = emb.filter(pmod(col("id"), lit(10)) < 9)
+          .localCheckpoint()
+        val batchRaw = emb.filter(pmod(col("id"), lit(10)) === 9)
+        // drift: TRANSLATE the first 16 coordinates by +1.5 — a shift
+        // confined to PQ subspaces 0 and 1, invisible to the other
+        // six. A translation, not a sign flip: the corpus distribution
+        // is roughly sign-symmetric, so a flip leaves yesterday's
+        // (approximately symmetric) codebooks covering the flipped
+        // batch and the recon-error probe reads ~1.0 — measured before
+        // this comment existed; a drift fixture must move the batch
+        // OUTSIDE the old codeword support, not mirror it within it
+        val drifted = batchRaw.select(col("id"),
+          transform(col("vec"),
+            (x, i) => when(i < 16, x + lit(1.5f)).otherwise(x)).as("vec"))
+        import spark.implicits._
+        for ((regime, batch) <- Seq("stable" -> batchRaw,
+            "drift" -> drifted)) {
+          val b = batch.localCheckpoint()
+          val corpus = old.unionByName(b).localCheckpoint()
+          val n = corpus.count()
+          val nOld = old.count()
+          val queries = b.orderBy("id").limit(8).collect()
+            .map(r => (r.getLong(0),
+              r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+          val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+            .toDF("qid", "qvec")
+          val qd2 = aggregate(
+            zip_with(col("vec"), col("qvec"),
+              (a, bb) => (a.cast("double") - bb) * (a.cast("double") - bb)),
+            lit(0.0), (acc, x) => acc + x)
+          val truth = corpus.crossJoin(broadcast(qdf))
+            .select(col("qid"), col("id"), qd2.as("d2"))
+            .withColumn("rn", row_number().over(Window
+              .partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+            .filter(col("rn") <= 10)
+            .collect().groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+            val got = rows.groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+            queries.map { case (qid, _) =>
+              (got.getOrElse(qid, Set.empty[Long]) & truth(qid)).size /
+                10.0 }.sum / queries.size
+          }
+          def sampleOf(d: org.apache.spark.sql.DataFrame) = {
+            val sn = math.max(512L, d.count() / 10L).toInt
+            d.orderBy(md5(col("id").cast(StringType)), col("id"))
+              .limit(sn).localCheckpoint()
+          }
+          def train(s: org.apache.spark.sql.DataFrame) = {
+            val seeds = s.limit(256).collect()
+              .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+            Pq.trainCodebooks(s, "vec", 64,
+              Pq.seedCodebooks(seeds, 64, 8), iters = 4)
+          }
+          // yesterday's index: trained and encoded on OLD only — this
+          // cost was paid yesterday; measured for the table's "what
+          // rebuild re-pays" column
+          val sampleOld = sampleOf(old)
+          val (cbsOld, trainOldSec) = timed(train(sampleOld))
+          val (codesOld, encodeOldSec) = timed {
+            val c = Pq.encode(old, "id", "vec", 64, cbsOld)
+              .localCheckpoint()
+            c.count(); c
+          }
+          val errOld =
+            Pq.reconstructionError(old, "vec", 64, cbsOld)
+          // APPEND arm: the only per-day costs are encode(batch) and
+          // the recon-error probe on the same pass's output scale
+          val (codesB, encodeBatchSec) = timed {
+            val c = Pq.encode(b, "id", "vec", 64, cbsOld)
+              .localCheckpoint()
+            c.count(); c
+          }
+          val errBatch = Pq.reconstructionError(b, "vec", 64, cbsOld)
+          val codesAppend = codesOld.unionByName(codesB)
+          def rrAppend() = Pq.adcTopKReranked(codesAppend, corpus,
+            "id", "vec", "codes", queries, cbsOld, 64, 50, 10).collect()
+          rrAppend() // warm
+          val (apRows, apSec) = timed(rrAppend())
+          // REBUILD arm: retrain on the full corpus sample, re-encode
+          // everything
+          val sampleFull = sampleOf(corpus)
+          val (cbsFull, trainFullSec) = timed(train(sampleFull))
+          val (codesFull, encodeFullSec) = timed {
+            val c = Pq.encode(corpus, "id", "vec", 64, cbsFull)
+              .localCheckpoint()
+            c.count(); c
+          }
+          def rrFull() = Pq.adcTopKReranked(codesFull, corpus,
+            "id", "vec", "codes", queries, cbsFull, 64, 50, 10).collect()
+          rrFull() // warm
+          val (fuRows, fuSec) = timed(rrFull())
+          println(s"""{"flow":"pqmaint","dir":"$dir","regime":"$regime","n":$n,"n_old":$nOld,"recall_append":${f4(recallOf(apRows))},"recall_rebuild":${f4(recallOf(fuRows))},"encode_batch_sec":${f(encodeBatchSec)},"train_full_sec":${f(trainFullSec)},"encode_full_sec":${f(encodeFullSec)},"train_old_sec":${f(trainOldSec)},"encode_old_sec":${f(encodeOldSec)},"search_append_sec":${f(apSec)},"search_rebuild_sec":${f(fuSec)},"err_old":${f4(errOld)},"err_batch":${f4(errBatch)},"err_ratio":${f4(errBatch / errOld)}}""")
+          b.unpersist(); corpus.unpersist()
+        }
+        emb.unpersist(); old.unpersist()
       }
     } else if (only("dupskew")) {
       // Duplicate-heavy skew on the dedup tier: 1,000 exact copies of
