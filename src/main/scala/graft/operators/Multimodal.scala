@@ -144,22 +144,27 @@ object Multimodal {
       lit(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte)))
 
   /** A spec-shaped JPEG file prefix: SOI, a standard 16-byte JFIF APP0,
-    * a COM segment padded to `comPad` bytes (0-12 — per-row VARIABLE
+    * a COM segment padded to `comPad` bytes (0-64 — per-row VARIABLE
     * segment lengths make the parser's marker walk load-bearing, not
     * decorative), then a 3-component SOF0 frame header with the given
-    * dimensions.
+    * dimensions. A comPad beyond 64 would silently truncate the pad
+    * while the declared segment length kept growing, desyncing the
+    * walk — the least() clamp keeps length and bytes consistent for
+    * any input instead.
     */
-  def jpegHeaderBytes(w: Column, h: Column, comPad: Column): Column =
+  def jpegHeaderBytes(w: Column, h: Column, comPad: Column): Column = {
+    val pad = least(comPad, lit(64))
     concat(
       lit(Array[Byte](0xff.toByte, 0xd8.toByte)), // SOI
       lit(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10)), // APP0 len 16
       lit("JFIF").cast("binary"),
       lit(Array[Byte](0, 1, 1, 0, 0, 0x48, 0, 0x48, 0, 0)),
-      lit(Array[Byte](0xff.toByte, 0xfe.toByte)), be16(comPad + lit(2)),
-      left(lit("xxxxxxxxxxxx"), comPad).cast("binary"),
+      lit(Array[Byte](0xff.toByte, 0xfe.toByte)), be16(pad + lit(2)),
+      left(lit("x" * 64), pad).cast("binary"),
       lit(Array[Byte](0xff.toByte, 0xc0.toByte, 0x00, 0x11, 0x08)),
       be16(h), be16(w),
       lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+  }
 
   /** Parse PNG/JPEG header metadata out of a binary column:
     * (idCol, img_fmt, width, height, bit_depth), all four null for an

@@ -1134,6 +1134,13 @@ object Scale10 {
       import org.apache.spark.sql.expressions.Window
       def f4(v: Double) = BigDecimal(v)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      // extra args restrict the dials (dev loop: re-measure one dial
+      // without repaying the others): ivf / knn / graph / contrastive
+      val dialArgs = only - "clusterann"
+      val knownDials = Set("ivf", "knn", "graph", "contrastive")
+      require(dialArgs.subsetOf(knownDials),
+        s"unknown clusterann dial(s) ${dialArgs.diff(knownDials).mkString(", ")} — valid: ${knownDials.toSeq.sorted.mkString(", ")}")
+      def wantDial(d: String) = dialArgs.isEmpty || dialArgs(d)
       val mogDirs = Seq((s"$outDir-mog", 20000L),
         (s"$outDir-mog100", 200000L))
       for ((dir, nWant) <- mogDirs)
@@ -1190,16 +1197,31 @@ object Scale10 {
         val nprobe = Similarity.nprobeForNlist(nlist)
         val qsDf = all.filter(col("id") < 8)
           .select(col("id").as("qid"), col("vec").as("qvec"))
-        for ((kind, cc) <- Seq("seeded" -> cents, "trained" -> trained)) {
-          def ivfRun() = Similarity.ivfTopK(qsDf, e, cc, nprobe, 10)
-          ivfRun().count() // warm
-          val t0i = System.nanoTime()
-          val rows = ivfRun().collect()
-          val sec = (System.nanoTime() - t0i) / 1e9
-          println(s"""{"flow":"clusterann","dir":"$dir","arm":"ivf_$kind","n":$n,"nlist":${cc.size},"nprobe":$nprobe,"recall":${f4(recallOf(rows, 1))},"sec":${f(sec)},"exact_sec":${f(exactSec)},"train_sec":${f(trainSec)}}""")
-        }
+        // third arm: nlist = the TRUE cluster count (32) — the dial the
+        // 200k trained-quantizer dip points at (sub-cell splitting when
+        // nlist follows the n/512 row rule instead of the structure)
+        val cents32 = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(32).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val (trained32, _) = Similarity.kmeans(
+          e.select(col("vec")), "vec", 64, cents32, iters = 4)
+        if (wantDial("ivf"))
+          for ((kind, cc, np) <- Seq(
+              ("seeded", cents, nprobe), ("trained", trained, nprobe),
+              ("trained_nclusters", trained32,
+                Similarity.nprobeForNlist(trained32.size)))) {
+            def ivfRun() = Similarity.ivfTopK(qsDf, e, cc, np, 10)
+            ivfRun().count() // warm
+            val t0i = System.nanoTime()
+            val rows = ivfRun().collect()
+            val sec = (System.nanoTime() - t0i) / 1e9
+            println(s"""{"flow":"clusterann","dir":"$dir","arm":"ivf_$kind","n":$n,"nlist":${cc.size},"nprobe":$np,"recall":${f4(recallOf(rows, 1))},"sec":${f(sec)},"exact_sec":${f(exactSec)},"train_sec":${f(trainSec)}}""")
+          }
         // 1-NN label fidelity (the knnfidelity dial) — label = cluster,
         // so exact agreement doubles as a fixture-separability check
+        if (wantDial("knn")) {
         val t0e = System.nanoTime()
         val exactAgree = Similarity
           .knnLabelAgreement(full, "vec_id", "embedding", "label")
@@ -1215,8 +1237,10 @@ object Scale10 {
           val sec = (System.nanoTime() - t0) / 1e9
           println(s"""{"flow":"clusterann","dir":"$dir","arm":"knn_$kind","n":$n,"nlist":${cc.size},"nprobe":$nprobe,"agree":$agree,"agree_exact":$exactAgree,"pct_of_exact":${f(100.0 * agree / exactAgree)},"sec":${f(sec)},"exact_sec":${f(exactAgreeSec)}}""")
         }
+        }
         // graph arms: ring init vs trained-cell init, hash vs probe
         // seeds — the graphann protocol verbatim, trained quantizer
+        if (wantDial("graph")) {
         def l2d(a: Array[Double], b: Array[Double]): Double = {
           var d = 0.0; var i = 0
           while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
@@ -1263,9 +1287,11 @@ object Scale10 {
             }
           }
         }
+        }
         // contrastive pair recall (x79's dial): blocked vs the exact
         // broadcast square where feasible; labels follow clusters, so
         // positives are in-cluster and negatives are hard by geometry
+        if (wantDial("contrastive")) {
         val cnlist = math.max(4L, n / 128L).toInt
         val ccells = e
           .orderBy(md5(col("id").cast(StringType)), col("id"))
@@ -1292,6 +1318,7 @@ object Scale10 {
           println(s"""{"flow":"clusterann","dir":"$dir","arm":"contrastive","n":$n,"nlist":$cnlist,"nprobe":$cnprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":${f(xSec)},"exact_rows":$xRows,"pair_recall":${f4(recall)}}""")
         } else {
           println(s"""{"flow":"clusterann","dir":"$dir","arm":"contrastive","n":$n,"nlist":$cnlist,"nprobe":$cnprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":null,"note":"exact broadcast square refused above 30k vectors (n^2 cosine)"}""")
+        }
         }
         e.unpersist()
         full.unpersist()
