@@ -1323,6 +1323,73 @@ object Scale10 {
         e.unpersist()
         full.unpersist()
       }
+    } else if (only("mogsigma")) {
+      // The bracket filled in: quasi-orthogonal (no structure) and MoG
+      // sigma=0.25 (clean structure) are endpoints; production
+      // embeddings sit somewhere between. This sweep measures the IVF
+      // dials ACROSS separability at 20k — sigma 0.25/0.5/0.75/1.0,
+      // i.e. intra-cluster radius sigma*8 against inter-center ~6.5,
+      // from well-separated through fully merged — so the round-17
+      // "the pair brackets production" sentence has a curve behind it.
+      // Two arms per point: the row-rule seeded quantizer (nlist=n/512)
+      // and the cluster-count trained one (nlist=32), both at their
+      // ln-ruled nprobe.
+      import org.apache.spark.sql.expressions.Window
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (sigma <- Seq(0.25, 0.5, 0.75, 1.0)) {
+        val dir = s"$outDir-mogs${(sigma * 100).toInt}"
+        if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+          genMogEmb(spark, dir, 20000L, sigma = sigma)
+          println(s"""{"generated":"$dir/embeddings.parquet"}""")
+        }
+        val all = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = all.filter(col("id") < 8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        val e = all.filter(col("id") >= 8).localCheckpoint()
+        val n = e.count()
+        import spark.implicits._
+        val qdf = broadcast(queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec"))
+        val truth = e.crossJoin(qdf)
+          .select(col("qid"), col("id"),
+            round(Similarity.cosine(col("vec"), col("qvec")), 6).as("sim"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("id"))))
+          .filter(col("rn") <= 10)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+          queries.map { case (qid, _) =>
+            (rows.groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+              .getOrElse(qid, Set.empty[Long]) & truth(qid)).size / 10.0 }
+            .sum / queries.size
+        val qsDf = all.filter(col("id") < 8)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        def seedCents(k: Int) = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(k).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val rowRule = seedCents(math.max(32L, n / 512L).toInt)
+        val (cluster32, _) = Similarity.kmeans(
+          e.select(col("vec")), "vec", 64, seedCents(32), iters = 4)
+        for ((kind, cc) <- Seq("rowrule_seeded" -> rowRule,
+            "ncluster_trained" -> cluster32)) {
+          val np = Similarity.nprobeForNlist(cc.size)
+          def run() = Similarity.ivfTopK(qsDf, e, cc, np, 10)
+          run().count() // warm
+          val t0 = System.nanoTime()
+          val rows = run().collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"mogsigma","sigma":$sigma,"arm":"$kind","n":$n,"nlist":${cc.size},"nprobe":$np,"recall":${f4(recallOf(rows))},"sec":${f(sec)}}""")
+        }
+        e.unpersist()
+      }
     } else if (only("contrastive")) {
       // x72's corpus-scale form measured (VERDICT r15 #5): every
       // vector an anchor. The exact arm is the broadcast square (n²
