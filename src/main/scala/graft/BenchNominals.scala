@@ -31,15 +31,20 @@ object BenchNominals {
   /** Clean-host nominal for Bench's fixed-work canary (seconds). The
     * canary burns a fixed 64M-term hash sum on 32 slices, so its cost
     * is SF-independent and depends only on effective machine
-    * throughput; every clean judge/builder series lands 0.26-0.31s
-    * (rounds 10-15), congestion windows measure 2-6x that. Bench's
-    * pre-loop gate compares the first canary against 1.5x this value
-    * and briefly waits out a busy host instead of starting a loop
-    * whose first segment is known-congested (VERDICT r15 #8: two
-    * consecutive driver runs suspect while every quiet-host run was
-    * in-band).
+    * throughput; congestion windows measure 2-6x this. Bench's gates
+    * (pre-loop and per-stride mid-loop) compare each sample against
+    * 1.5x this value and briefly wait out a busy host instead of
+    * timing a known-congested segment (VERDICT r15 #8 / r16 nit 2).
+    *
+    * Calibrated round 17 from 80 clean-run samples across five
+    * 143-query runs: median 0.313, p90 0.359, max 0.435 — the old
+    * 0.30 nominal put the 0.45 gate limit 3% above the observed
+    * clean MAX, so an ordinary tail sample (one 0.469 observed on a
+    * quiet host) armed the suspect flag as fake congestion evidence.
+    * 0.32 keeps the limit (0.48) above the clean tail while real
+    * windows (0.6-1.8s samples) still trip it instantly.
     */
-  val canaryNominal: Double = 0.30
+  val canaryNominal: Double = 0.32
 
   val sf01: Map[String, (Double, Double)] = Map(
     "r01_scan_project" -> ((0.298, 0.369)),
