@@ -59,7 +59,12 @@ import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
   * mix), `capskew` (exact-vs-approx per-group cap under the same
   * skew), `pq256` (production k=256 PQ dial vs the seed regime),
   * `contrastive` (cell-blocked miner vs the broadcast square),
-  * `graphann` (NN-descent + beam search vs IVF vs exact).
+  * `graphann` (NN-descent + beam search vs IVF vs exact),
+  * `clusterann` (the same ANN dials on the clusterable
+  * mixture-of-Gaussians fixture; extra args restrict the dials:
+  * ivf/knn/graph/contrastive), `mogsigma` (IVF recall across cluster
+  * separability, sigma 0.25-1.0), `pqmaint` (IVF-PQ
+  * append-vs-rebuild maintenance with the drift probe).
   * Extra args after a flow name restrict it to the named pipelines.
   */
 object Scale10 {

@@ -125,6 +125,48 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("imageHeaderDecode reads real files through the binaryFile " +
+    "source — the actual multimodal ingestion path, end to end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-media").toFile
+    // a REAL complete 1x1 PNG (the canonical 67-byte transparent
+    // pixel: signature, IHDR w/ its correct CRC, IDAT, IEND)
+    val png = (Seq(
+      0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".map(_.toInt) ++ Seq(
+      0, 0, 0, 1, 0, 0, 0, 1, 8, 6, 0, 0, 0, 0x1f, 0x15, 0xc4, 0x89,
+      0, 0, 0, 0x0a) ++ "IDAT".map(_.toInt) ++ Seq(
+      0x78, 0x9c, 0x63, 0x00, 0x01, 0x00, 0x00, 0x05, 0x00, 0x01,
+      0x0d, 0x0a, 0x2d, 0xb4, 0, 0, 0, 0) ++ "IEND".map(_.toInt) ++
+      Seq(0xae, 0x42, 0x60, 0x82)).map(_.toByte).toArray
+    // a minimal real-structure JPEG header (SOI, JFIF APP0, DQT, SOF0
+    // 2x3) with an EOI so the file is well-formed front to back
+    val jpg = (Seq(
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10) ++ "JFIF".map(_.toInt) ++ Seq(
+      0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xdb, 0x00, 0x43, 0x00) ++ Seq.fill(64)(0) ++ Seq(
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01,
+      0x01, 0x11, 0x00, 0xff, 0xd9)).map(_.toByte).toArray
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.png").toPath, png)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "b.jpg").toPath, jpg)
+    val files = spark.read.format("binaryFile").load(dir.getAbsolutePath)
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("content"))
+    val got = Multimodal.imageHeaderDecode(files, "name", "content")
+      .orderBy("name").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(0) == "a.png" &&
+      got(0).getString(1) == "png" && got(0).getInt(2) == 1 &&
+      got(0).getInt(3) == 1 && got(0).getInt(4) == 8)
+    assert(got(1).getString(0) == "b.jpg" &&
+      got(1).getString(1) == "jpeg" && got(1).getInt(2) == 3 &&
+      got(1).getInt(3) == 2 && got(1).getInt(4) == 8)
+  }
+
   test("imageHeaderDecode reserves its output column names") {
     import spark.implicits._
     val clash = Seq((1L, Array[Byte](0))).toDF("i", "width")
