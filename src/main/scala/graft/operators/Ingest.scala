@@ -35,7 +35,10 @@ object Ingest {
     * classifier gate on the cleaned text — no join, no aggregation, no
     * state, so it runs identically at both cadences (a readStream frame
     * takes this exact code path; the near-dup stage becomes a
-    * stream-static join there). Output: (idCol, n_chunks, n_dropped,
+    * stream-static join there — DEMONSTRATED, not asserted: StreamingSpec
+    * streams the incoming batch through this prefix, joins its banded
+    * frame against the static corpus side, and pins flagged-id parity
+    * with batch ingestVerdicts). Output: (idCol, n_chunks, n_dropped,
     * text_clean, rule_pass, clf_pass, gate_keep).
     */
   def statelessPrefix(docs: DataFrame, idCol: String, textCol: String,
