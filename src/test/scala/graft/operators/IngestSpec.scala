@@ -96,6 +96,42 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("banding recall safety net: every exact >= 0.6 cleaned pair is " +
+    "an LSH candidate at (32 hashes, 8 bands)") {
+    // x81's oracle computes EXACT pairs while the operator uses
+    // banding — the grade only stays hash-green while banding recall
+    // is 1.0 on this corpus (the x68 precedent). This pins that
+    // property in CI so a testdata regen that slips a >= 0.6 pair
+    // past the bands fails HERE, loudly, instead of as an opaque
+    // oracle mismatch in the driver's correctness gate.
+    val cleanCorp = ChunkDedup
+      .applyBoilerplate(corpus, "doc_id", "text", 4, boiler)
+      .select(col("doc_id"), col("text_clean"))
+    val cleanInc = ChunkDedup
+      .applyBoilerplate(incoming, "doc_id", "text", 4, boiler)
+      .select(col("doc_id"), col("text_clean"))
+    def sets(d: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      d.select(col("doc_id").as(a), graft.functions.SketchFunctions
+        .shingleHashSet(col("text_clean"), 3).as(b))
+    val exact = sets(cleanInc, "id_new", "sn")
+      .crossJoin(sets(cleanCorp, "id_old", "so"))
+      .filter(col("sn").isNotNull && col("so").isNotNull &&
+        Dedup.setJaccard(col("sn"), col("so")) >= 0.6)
+      .select("id_new", "id_old")
+    val cands = Dedup
+      .bandedFrame(cleanInc, "doc_id", "text_clean", 3, 32, 8)
+      .select(col("band"), col("bhash"), col("id").as("id_new"))
+      .join(Dedup.bandedFrame(cleanCorp, "doc_id", "text_clean", 3, 32, 8)
+        .select(col("band"), col("bhash"), col("id").as("id_old")),
+        Seq("band", "bhash"))
+      .select("id_new", "id_old").distinct()
+    val missed = exact.exceptAll(cands).collect()
+    assert(missed.isEmpty,
+      s"banding missed ${missed.length} exact >= 0.6 pair(s): " +
+        missed.take(5).mkString(", "))
+    assert(exact.count() > 0, "no exact pairs — the net pins nothing")
+  }
+
   test("reserved output column names are guarded") {
     val clash = incoming.withColumn("final_keep", lit(true))
     val e = intercept[IllegalArgumentException](
