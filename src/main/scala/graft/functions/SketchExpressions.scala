@@ -469,9 +469,17 @@ object Sketches {
     * width<<24 | height (fmt 1 = png, 2 = jpeg) — or -1 for anything
     * unparseable: wrong signature, truncated buffer, malformed segment
     * length, EOI/SOS before any SOF, zero or >= 2^24 dimensions (the
-    * pack's field width; real containers top out far below). A sentinel
-    * rather than SQL NULL keeps the generated code a primitive-long
-    * assignment; the Column wrapper surfaces NULL fields.
+    * pack's field width; real containers top out far below). Two
+    * SPEC-LEGAL shapes deliberately share the -1 sentinel with
+    * corruption: a JPEG SOF with lines=0 (height deferred to a DNL
+    * marker, T.81 §B.2.2 — vanishingly rare in stored files, and the
+    * height is genuinely not in the header), and a PNG dimension in
+    * [2^24, 2^31) (legal per spec, beyond the pack's field width).
+    * Callers that must distinguish out-of-representable-range from
+    * malformed should not count -1 rows as corrupt without a second
+    * look at the leading bytes. A sentinel rather than SQL NULL keeps
+    * the generated code a primitive-long assignment; the Column wrapper
+    * surfaces NULL fields.
     */
   def imageHeaderMeta(bytes: Array[Byte]): Long = {
     def be32(off: Int): Long =

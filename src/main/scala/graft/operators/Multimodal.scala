@@ -147,13 +147,15 @@ object Multimodal {
     * a COM segment padded to `comPad` bytes (0-64 — per-row VARIABLE
     * segment lengths make the parser's marker walk load-bearing, not
     * decorative), then a 3-component SOF0 frame header with the given
-    * dimensions. A comPad beyond 64 would silently truncate the pad
-    * while the declared segment length kept growing, desyncing the
-    * walk — the least() clamp keeps length and bytes consistent for
-    * any input instead.
+    * dimensions. A comPad outside [0, 64] would desync the walk: above
+    * 64 the pad bytes truncate while the declared segment length keeps
+    * growing; below 0 `left()` emits zero bytes while be16(pad+2) — the
+    * hex of a negative int lpad-truncated to 4 chars — declares a huge
+    * COM length. The two-sided clamp keeps length and bytes consistent
+    * for any input instead.
     */
   def jpegHeaderBytes(w: Column, h: Column, comPad: Column): Column = {
-    val pad = least(comPad, lit(64))
+    val pad = greatest(lit(0), least(comPad, lit(64)))
     concat(
       lit(Array[Byte](0xff.toByte, 0xd8.toByte)), // SOI
       lit(Array[Byte](0xff.toByte, 0xe0.toByte, 0x00, 0x10)), // APP0 len 16

@@ -3155,7 +3155,16 @@ object PipelineOps {
           4, boiler, 0.6, stop, w, -0.1)
         .orderBy("doc_id")
     },
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+    Some(ingestOracleSql))
+
+  /** x81's four-stage ingest replay, shared with x82: the two queries
+    * must produce IDENTICAL verdicts (same stages, same dials) — x81
+    * derives the corpus half in-plan, x82 reads it back from the
+    * persisted bucketed index. One oracle string keeps the two grades
+    * from drifting apart.
+    */
+  private lazy val ingestOracleSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
                           FROM documents),
                  flat AS (SELECT doc_id, c.ci AS chunk_idx, c.ck AS chunk
                           FROM (SELECT doc_id,
@@ -3228,7 +3237,37 @@ object PipelineOps {
               JOIN gate g USING (doc_id)
               LEFT JOIN nd USING (doc_id)
             WHERE c.doc_id >= 250
-            ORDER BY doc_id"""))
+            ORDER BY doc_id"""
+
+  /** The SAME composed ingest path as x81, but the corpus near-dup half
+    * is sourced from the PERSISTED bucketed index (Ingest.writeCorpusIndex
+    * → ingestVerdictsIndexed) instead of being re-derived in-plan — the
+    * production daily form, graded against the identical four-stage CTE
+    * oracle. A hash match here certifies the index round-trip loses
+    * nothing: banding family, shingle sets, and verdict assembly agree
+    * byte-for-byte with the self-contained path. The exchange-free
+    * corpus-side join shape is pinned in PlanSpec; per-day cost is
+    * measured in SCALE.md (read index + sign the batch vs re-sign the
+    * corpus).
+    */
+  private val x82 = Q(
+    "x82_ingest_indexed",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250)
+      val boiler = ChunkDedup
+        .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+        .orderBy("chunk").collect().map(_.getString(0)).toSeq
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+        "graft_x82_ndidx", buckets = 8)
+      Ingest.ingestVerdictsIndexed(incoming, "graft_x82_ndidx",
+          "doc_id", "text", 4, boiler, 0.6, stop, w, -0.1)
+        .orderBy("doc_id")
+    },
+    Some(ingestOracleSql))
 
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
@@ -3236,5 +3275,5 @@ object PipelineOps {
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81)
+    x78, x79, x80, x81, x82)
 }

@@ -1058,6 +1058,90 @@ class PlanSpec extends SparkTestBase {
       s"expected the checkpointed stage frames in the plan:\n$plan")
   }
 
+  test("x82: the indexed near-dup stage reads the bucketed corpus " +
+    "tables with ZERO exchange above either corpus scan — only the " +
+    "incoming batch shuffles (broadcast + AQE off to expose the " +
+    "bucketing mechanism, the x77 claim-to-mechanism pattern)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+    val boiler = operators.ChunkDedup
+      .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+      .orderBy("chunk").collect().map(_.getString(0)).toSeq
+    operators.Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4,
+      boiler, "graft_plan_ndidx", buckets = 4)
+    try withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val cleanedInc = operators.ChunkDedup
+        .applyBoilerplate(incoming, "doc_id", "text", 4, boiler)
+        .select(col("doc_id"), col("text_clean"))
+      val pairs = operators.Dedup.minhashNearDupsAgainstIndex(
+        cleanedInc, "graft_plan_ndidx", "doc_id", "text_clean", 0.6)
+      val plan = pairs.queryExecution.executedPlan
+      val planStr = plan.toString
+      // both corpus halves arrive from the persisted tables (nothing
+      // re-signs or re-bands the corpus in-plan), as BUCKETED scans
+      assert(planStr.contains("graft_plan_ndidx_bands") &&
+        planStr.contains("graft_plan_ndidx_sets"), planStr)
+      assert("Bucketed: true".r.findAllIn(planStr).size == 2,
+        s"corpus scans are not both bucketed:\n$planStr")
+      // THE mechanism pin: in each join that touches a corpus table,
+      // the corpus-scan child reaches its join with NO exchange — the
+      // bucketed output partitioning satisfies the (band, bhash)
+      // candidate join and the id_old verify join directly. (The
+      // DERIVED candidate-pair frame shuffling between the two joins is
+      // the incoming-sized cost the design intends.)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // a join side is THE corpus side for `table` when its subtree is
+      // just the (bucketed) scan of that table — one FileScan, no join
+      // below it (the other join's sides contain the table only as
+      // transitive lineage of the derived candidate-pair frame)
+      def pureScanSide(side: SparkPlan, table: String): Boolean = {
+        val s = side.toString
+        s.contains(table) && "FileScan".r.findAllIn(s).size == 1 &&
+          side.collect { case j: SortMergeJoinExec => j }.isEmpty
+      }
+      def corpusSides(table: String): Seq[SparkPlan] = plan.collect {
+        case j: SortMergeJoinExec if pureScanSide(j.left, table) ||
+            pureScanSide(j.right, table) =>
+          if (pureScanSide(j.left, table)) j.left else j.right
+      }
+      Seq("graft_plan_ndidx_bands", "graft_plan_ndidx_sets").foreach {
+        table =>
+          val sides = corpusSides(table)
+          assert(sides.nonEmpty, s"no sort-merge join reads $table " +
+            s"on exactly one side:\n$planStr")
+          sides.foreach(side => assert(side.collect {
+            case e: ShuffleExchangeExec => e
+          }.isEmpty,
+            s"$table reaches its join through a shuffle:\n$side"))
+      }
+      // and the incoming side does shuffle (the pin is not vacuous —
+      // someone pays the exchange, and it is the batch, not the corpus)
+      assert(plan.collect {
+        case e: ShuffleExchangeExec => e
+      }.nonEmpty, "no shuffle anywhere? broadcast must be off")
+      // and the joins produce the same pairs as the self-derived path
+      // (plan shape must not have cost correctness)
+      val cleanedCorp = operators.ChunkDedup
+        .applyBoilerplate(corpus, "doc_id", "text", 4, boiler)
+        .select(col("doc_id"), col("text_clean"))
+      val want = operators.Dedup.minhashNearDupsAgainst(
+          cleanedCorp, cleanedInc, "doc_id", "text_clean", 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty, s"pairs diverged: $got vs $want")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_ndidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_plan_ndidx_sets")
+    }
+  }
+
   test("x79: cell-blocked contrastive mining joins candidates EQUI ON " +
     "CELL (no cartesian) and ranks in (anchor, kind)-partitioned " +
     "windows only") {

@@ -132,6 +132,77 @@ class IngestSpec extends SparkTestBase {
     assert(exact.count() > 0, "no exact pairs — the net pins nothing")
   }
 
+  test("ingestVerdictsIndexed over the persisted bucketed corpus index " +
+    "is verdict-identical to ingestVerdicts, and the index tables are " +
+    "per-doc frames (append-refresh ≡ rebuild)") {
+    Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+      "graft_test_ndidx", buckets = 4)
+    try {
+      val viaIndex = Ingest.ingestVerdictsIndexed(incoming,
+        "graft_test_ndidx", "doc_id", "text", 4, boiler, 0.6, stop, w,
+        -0.1)
+      val direct = Ingest.ingestVerdicts(corpus, incoming, "doc_id",
+        "text", 4, boiler, 0.6, stop, w, -0.1)
+      assert(viaIndex.exceptAll(direct).isEmpty &&
+        direct.exceptAll(viaIndex).isEmpty,
+        "indexed and self-derived verdicts diverged")
+      assert(viaIndex.filter(col("neardup_reject")).count() > 0,
+        "index path flagged nothing — vacuous equality")
+      // append-refresh claim: both tables are pure per-doc frames, so
+      // appending a doc's rows ≡ rebuilding with it included — sets has
+      // exactly one row per corpus doc, bands exactly `bands` per doc
+      // whose cleaned text reaches shingle length
+      val nCorpus = corpus.count()
+      val sets = spark.table("graft_test_ndidx_sets")
+      assert(sets.count() == nCorpus)
+      assert(sets.select("id_old").distinct().count() == nCorpus)
+      val perDoc = spark.table("graft_test_ndidx_bands")
+        .groupBy("id_old").count().select("count").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(perDoc == Set(8L),
+        s"expected exactly 8 band rows per signed doc, got $perDoc")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndidx_sets")
+    }
+  }
+
+  test("applyBoilerplate is idempotent on already-clean text — the " +
+    "safety argument for re-cleaning the corpus with the same list") {
+    // Ingest.ingestVerdicts cleans the corpus even though its ingest
+    // already applied the then-current list; the scaladoc argues this is
+    // safe because re-application is a fixpoint on text_clean. Pin it on
+    // the real corpus PLUS seeded boundary-chunk docs (lengths not a
+    // multiple of k, a final short chunk equal to a list entry, empty
+    // and null text). n_chunks/n_dropped legitimately differ between
+    // passes; the TEXT column must not.
+    import spark.implicits._
+    val edges = Seq(
+      (9001L, boiler.headOption.getOrElse("x y z w")), // pure boilerplate
+      (9002L, "tail tokens then " +
+        boiler.headOption.getOrElse("x y z w")), // boundary-offset hit
+      (9003L, "one two three"), // shorter than k
+      (9004L, ""), (9005L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(edges)
+    val once = ChunkDedup.applyBoilerplate(all, "doc_id", "text", 4,
+        boiler)
+      .select(col("doc_id"), col("text_clean"))
+    val twice = ChunkDedup.applyBoilerplate(
+        once.select(col("doc_id"), col("text_clean").as("text_again")),
+        "doc_id", "text_again", 4, boiler)
+      .select(col("doc_id"), col("text_clean"))
+    val diff = twice.exceptAll(once).unionByName(once.exceptAll(twice))
+      .collect()
+    assert(diff.isEmpty,
+      s"re-cleaning changed ${diff.length} doc(s): " +
+        diff.take(3).mkString("; "))
+    // and the first pass genuinely dropped something, so the fixpoint
+    // claim is exercised, not vacuous
+    assert(ChunkDedup.applyBoilerplate(all, "doc_id", "text", 4, boiler)
+      .filter(col("n_dropped") > 0).count() > 0)
+  }
+
   test("reserved output column names are guarded") {
     val clash = incoming.withColumn("final_keep", lit(true))
     val e = intercept[IllegalArgumentException](

@@ -195,6 +195,11 @@ class StreamingSpec extends SparkTestBase {
           .as(Seq("band", "bhash")))
     val flagged = bandedNew.join(staticSide, Seq("band", "bhash"))
       .filter(Dedup.setJaccard(col("set_n"), col("set_o")) >= 0.6)
+      // stateful dedup WITHOUT a watermark — deliberate: the contract
+      // (Ingest scaladoc) is batch-per-day cadence, where state is
+      // bounded by one day's flagged ids and the checkpoint rotates
+      // with the daily restart; only an eternal query would need
+      // dropDuplicatesWithinWatermark's bounded-state tradeoff
       .select("id_new").dropDuplicates("id_new")
     val got = StreamOps.runToMemory(spark, flagged, "ingest_nd_stream")
       .collect().map(_.getLong(0)).toSet
