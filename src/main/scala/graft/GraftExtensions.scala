@@ -103,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_header_meta(bytes) - packed PNG/JPEG header metadata " +
           "(fmt<<56 | depth<<48 | width<<24 | height; -1 unparseable)"),
       (args: Seq[Expression]) => graft.functions.ImageHeaderMeta(args.head)))
+    e.injectFunction((FunctionIdentifier("media_header_meta"),
+      info("media_header_meta",
+        "media_header_meta(bytes) - packed PNG/JPEG/GIF/WAV header " +
+          "metadata (fmt<<56 | depth<<48 | a<<24 | b; a/b = " +
+          "width/height for images, sample_rate/channels for wav; " +
+          "-1 unparseable)"),
+      (args: Seq[Expression]) => graft.functions.MediaHeaderMeta(args.head)))
     e.injectFunction((FunctionIdentifier("char_split"),
       info("char_split",
         "char_split(text) - one string per code point, one pass"),

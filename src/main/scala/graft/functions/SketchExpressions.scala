@@ -526,6 +526,68 @@ object Sketches {
     }
     -1L
   }
+
+  /** media_header_meta(bytes): imageHeaderMeta extended to the other
+    * two prefix-bounded public container layouts a multimodal ingest
+    * meets — GIF (logical screen descriptor) and WAV/RIFF (fmt chunk);
+    * a media pipeline is not image-only. Same packed-long convention:
+    * fmt<<56 | depth<<48 | a<<24 | b, where for images (fmt 1 png /
+    * 2 jpeg / 3 gif) a = width, b = height, depth = bit depth (for GIF:
+    * colour-resolution bits, the LSD packed field's bits-per-primary
+    * declaration, GIF89a §18); for WAV (fmt 4) a = sample rate (Hz —
+    * the 2^24 field bound is 16.7 MHz, far above any real rate), b =
+    * channel count, depth = bits per sample. -1 for anything
+    * unparseable, same contract (and same spec-legal-shares-the-
+    * sentinel caveats) as imageHeaderMeta.
+    *
+    * GIF (GIF89a spec §17-18): "GIF87a"/"GIF89a", then the 7-byte
+    * logical screen descriptor — width and height as LITTLE-endian
+    * 16-bit (GIF is LE, unlike PNG/JPEG), then the packed byte whose
+    * bits 4-6 hold colour resolution - 1.
+    *
+    * WAV (RIFF 1991 / WAVEFORMATEX): "RIFF", LE32 riff size, "WAVE",
+    * then chunks — 4-byte id, LE32 size, payload padded to EVEN length
+    * (the RIFF word-alignment rule). Fields live in the "fmt " chunk:
+    * wFormatTag LE16, nChannels LE16, nSamplesPerSec LE32, then
+    * nAvgBytesPerSec/nBlockAlign, wBitsPerSample LE16 at offset 14
+    * (chunk size >= 16). The walk skips unknown chunks (JUNK, LIST,
+    * bext, ...) by their declared sizes, so per-row variable-length
+    * prefixes exercise it like JPEG's APPn/COM walk.
+    */
+  def mediaHeaderMeta(bytes: Array[Byte]): Long = {
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def pack(fmt: Long, depth: Long, a: Long, b: Long): Long =
+      if (a <= 0 || b <= 0 || a >= (1L << 24) || b >= (1L << 24) ||
+          depth <= 0 || depth > 255) -1L
+      else (fmt << 56) | (depth << 48) | (a << 24) | b
+    if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      val cr = ((bytes(10) >> 4) & 0x7) + 1
+      return pack(3L, cr, le16(6), le16(8))
+    }
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+        bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      var pos = 12L // Long cursor: a declared LE32 size can reach 2^32-1
+      while (pos + 8 <= bytes.length) {
+        val p = pos.toInt
+        val size = le32(p + 4)
+        if (bytes(p) == 'f' && bytes(p + 1) == 'm' &&
+            bytes(p + 2) == 't' && bytes(p + 3) == ' ') {
+          if (size < 16 || p + 8 + 16 > bytes.length) return -1L
+          return pack(4L, le16(p + 22), le32(p + 12), le16(p + 10))
+        }
+        pos += 8L + size + (size & 1L) // even-pad rule
+      }
+      return -1L
+    }
+    imageHeaderMeta(bytes)
+  }
 }
 
 /** simhash(text): LongType. Null in -> null out. */
@@ -773,6 +835,24 @@ case class ImageHeaderMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** media_header_meta(bytes): packed PNG/JPEG/GIF/WAV header metadata in
+  * one compiled pass over the payload bytes (see Sketches.mediaHeaderMeta
+  * for the layouts and the -1 unparseable sentinel). BinaryType in,
+  * LongType out; null in -> null out.
+  */
+case class MediaHeaderMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Sketches.mediaHeaderMeta(input.asInstanceOf[Array[Byte]])
+  override def prettyName: String = "media_header_meta"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.mediaHeaderMeta($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): MediaHeaderMeta =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column API: one-pass native simhash (drop-in for Dedup.simhash). */
   def simhash64(c: Column): Column =
@@ -828,4 +908,11 @@ object SketchFunctions {
     */
   def imageHeaderMeta(c: Column): Column =
     ColumnShim.toColumn(ImageHeaderMeta(ColumnShim.toExpression(c)))
+
+  /** Column API: one-pass native PNG/JPEG/GIF/WAV header parse (packed
+    * long; see Multimodal.mediaHeaderDecode for the unpacked-columns
+    * form).
+    */
+  def mediaHeaderMeta(c: Column): Column =
+    ColumnShim.toColumn(MediaHeaderMeta(ColumnShim.toExpression(c)))
 }

@@ -195,4 +195,97 @@ object Multimodal {
         field(0, 0xffffffL).as("height"),
         field(48, 0xffL).as("bit_depth"))
   }
+
+  /** One byte, little-endian building block: the low 8 bits of an int
+    * column as a 1-byte binary.
+    */
+  private def leByte(c: Column): Column =
+    unhex(lpad(hex(c.bitwiseAND(lit(255))), 2, "0"))
+
+  /** 2-byte LITTLE-endian binary of a non-negative int column (GIF and
+    * RIFF are LE containers, unlike PNG/JPEG).
+    */
+  private def le16(c: Column): Column =
+    concat(leByte(c), leByte(shiftright(c, 8)))
+
+  /** 4-byte little-endian binary of a non-negative int column. */
+  private def le32(c: Column): Column =
+    concat(leByte(c), leByte(shiftright(c, 8)),
+      leByte(shiftright(c, 16)), leByte(shiftright(c, 24)))
+
+  /** A spec-shaped GIF file prefix (GIF89a signature + logical screen
+    * descriptor) with the given dimensions and colour-resolution bits
+    * (1-8; stored as bits-1 in bits 4-6 of the packed byte, GIF89a
+    * §18). Same fixture-constructor role as pngHeaderBytes.
+    */
+  def gifHeaderBytes(w: Column, h: Column, colorResBits: Column): Column = {
+    val cr = greatest(lit(1), least(colorResBits, lit(8)))
+    concat(
+      lit("GIF89a").cast("binary"),
+      le16(w), le16(h),
+      leByte(shiftleft(cr - 1, 4)), // no GCT, no sort, GCT size 0
+      lit(Array[Byte](0, 0))) // background colour index, aspect ratio
+  }
+
+  /** A spec-shaped WAV file prefix: RIFF/WAVE header, a JUNK chunk
+    * padded to `junkPad` bytes (0-64, clamped two-sided like
+    * jpegHeaderBytes' comPad; ODD pads exercise the RIFF even-alignment
+    * rule — the declared size stays odd, the walk must skip the pad
+    * byte), then a 16-byte PCM "fmt " chunk with the given rate,
+    * channel count, and bit depth, and an empty data chunk.
+    */
+  def wavHeaderBytes(sampleRate: Column, channels: Column,
+      bits: Column, junkPad: Column): Column = {
+    val pad = greatest(lit(0), least(junkPad, lit(64)))
+    val parity = pad.bitwiseAND(lit(1))
+    val blockAlign = channels * shiftright(bits, 3)
+    // riff size = everything after the 8-byte RIFF header: "WAVE"(4) +
+    // junk chunk (8 + pad + parity) + fmt chunk (8 + 16) + data (8)
+    val riffSize = lit(4) + lit(8) + pad + parity + lit(24) + lit(8)
+    concat(
+      lit("RIFF").cast("binary"), le32(riffSize),
+      lit("WAVE").cast("binary"),
+      lit("JUNK").cast("binary"), le32(pad),
+      left(lit("j" * 64), pad).cast("binary"),
+      // the alignment byte is NOT part of the declared size
+      substring(lit(Array[Byte](0)), lit(1), parity),
+      lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate),
+      le32(sampleRate * blockAlign), le16(blockAlign), le16(bits),
+      lit("data").cast("binary"), le32(lit(0)))
+  }
+
+  /** Parse PNG/JPEG/GIF/WAV header metadata out of a binary column:
+    * (idCol, media_fmt, width, height, bit_depth, sample_rate,
+    * channels). Image rows carry width/height and null audio fields;
+    * wav rows carry sample_rate/channels and null dimensions; bit_depth
+    * is populated for every parseable format (bits per channel for
+    * images, bits per sample for wav); a fully unparseable payload is
+    * all-null. Same one-compiled-parse-per-row shape as
+    * imageHeaderDecode (PlanSpec pins the single staged parse).
+    */
+  def mediaHeaderDecode(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    Seq("__mmeta", "media_fmt", "width", "height", "bit_depth",
+        "sample_rate", "channels").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Multimodal.mediaHeaderDecode reserves column name '$c'; " +
+          "rename the input"))
+    val m = col("__mmeta")
+    val fmt = shiftright(m, 56)
+    def field(shift: Int, mask: Long): Column =
+      shiftright(m, shift).bitwiseAND(lit(mask)).cast("int")
+    df.select(col(idCol),
+        graft.functions.SketchFunctions.mediaHeaderMeta(col(binCol))
+          .as("__mmeta"))
+      .select(col(idCol),
+        when(m >= 0,
+          when(fmt === 1, "png").when(fmt === 2, "jpeg")
+            .when(fmt === 3, "gif").otherwise("wav")).as("media_fmt"),
+        when(m >= 0 && fmt =!= 4, field(24, 0xffffffL)).as("width"),
+        when(m >= 0 && fmt =!= 4, field(0, 0xffffffL)).as("height"),
+        when(m >= 0, field(48, 0xffL)).as("bit_depth"),
+        when(m >= 0 && fmt === 4, field(24, 0xffffffL)).as("sample_rate"),
+        when(m >= 0 && fmt === 4, field(0, 0xffffffL)).as("channels"))
+  }
 }

@@ -379,25 +379,100 @@ object Pq {
     exactRerank(cand, corpus, idCol, vecCol, queries, k)
   }
 
+  /** Per-row squared reconstruction error under a codebook: sum over
+    * subspaces of the argmin-L2 codeword distance (ascending-j
+    * summation inside each native, ascending-subspace left-associated
+    * sum across them — the replayable arithmetic x69/x70 pinned, so a
+    * DuckDB oracle reproduces it bit-for-bit; x83 grades exactly this
+    * column per row).
+    */
+  def reconstructionErrCol(vecCol: Column, dim: Int,
+      codebooks: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val m = codebooks.size
+    require(m >= 1 && dim % m == 0, s"m must divide dim, got $dim/$m")
+    val sub = dim / m
+    (0 until m).map { i =>
+      graft.functions.VectorFunctions
+        .nearestCentroidDist(slice(vecCol, i * sub + 1, sub),
+          codebooks(i))
+        .getField("dist")
+    }.reduce(_ + _)
+  }
+
   /** Mean squared reconstruction error of a codebook over the corpus —
     * the training objective, used by PqSpec to assert Lloyd refinement
     * actually improves on the seed codebook (and by extension that
     * encode/codebook wiring is consistent: a code permutation bug would
-    * show as a huge error).
+    * show as a huge error). Record this number AT TRAINING TIME: it is
+    * the denominator reconstructionErrRatio monitors against.
     */
   def reconstructionError(
       corpus: DataFrame, vecCol: String, dim: Int,
-      codebooks: Seq[Seq[(Int, Array[Double])]]): Double = {
+      codebooks: Seq[Seq[(Int, Array[Double])]]): Double =
+    corpus.select(reconstructionErrCol(col(vecCol), dim, codebooks)
+        .as("__d2"))
+      .agg(avg(col("__d2"))).head().getDouble(0)
+
+  /** Encode + drift-probe column in ONE map pass: (idCol, codes,
+    * recon_err) where codes is exactly encode's output and recon_err is
+    * the row's squared reconstruction error under the same codebooks.
+    * The per-subspace struct(cell, dist) natives are staged ONCE as a
+    * multi-use alias (CollapseProject keeps non-trivial multi-use
+    * aliases staged), so the probe costs the daily ingest job ZERO
+    * extra distance computations over the encode it already pays —
+    * codes read the cell fields, the error sums the dist fields.
+    * `avg(recon_err) / trainErr` on this frame is
+    * reconstructionErrRatio without a second scan.
+    */
+  def encodeWithErr(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     val m = codebooks.size
     require(m >= 1 && dim % m == 0, s"m must divide dim, got $dim/$m")
+    requireContiguous(codebooks)
+    Seq("codes", "recon_err", "__ncd").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"Pq.encodeWithErr reserves column name '$c'; rename the input " +
+          "column"))
     val sub = dim / m
-    val perSub = (0 until m).map { i =>
-      graft.functions.VectorFunctions
-        .nearestCentroidDist(slice(col(vecCol), i * sub + 1, sub),
-          codebooks(i))
-        .getField("dist")
-    }
-    corpus.select(perSub.reduce(_ + _).as("__d2"))
-      .agg(avg(col("__d2"))).head().getDouble(0)
+    val ncd = array((0 until m).map(i =>
+      graft.functions.VectorFunctions.nearestCentroidDist(
+        slice(col(vecCol), i * sub + 1, sub), codebooks(i))): _*)
+    corpus.select(col(idCol), ncd.as("__ncd"))
+      .select(col(idCol),
+        transform(col("__ncd"), s => s.getField("cell")).as("codes"),
+        (0 until m).map(i =>
+            element_at(col("__ncd"), i + 1).getField("dist"))
+          .reduce(_ + _).as("recon_err"))
+  }
+
+  /** THE QUANTIZER DRIFT PROBE — the decision a real ingest job must
+    * make daily, as one number it can compute for the cost of the
+    * encode pass it already pays: mean squared reconstruction error of
+    * TODAY'S batch under YESTERDAY'S codebooks, relative to the error
+    * those codebooks had on their own training data (`trainErr`,
+    * recorded by reconstructionError at train time).
+    *
+    * SHIPPED RULE (measured, SCALE.md pqmaint ×10/×100): **retrain when
+    * the ratio exceeds 2; append otherwise.**
+    * - ratio ≈ 1: the quantizer still covers the batch — APPEND (encode
+    *   the batch, union the code tables): 20-50× cheaper than rebuild
+    *   and recall-EQUAL in the stable regime.
+    * - ratio > 2: the batch left the codeword support — RETRAIN +
+    *   re-encode before search recall silently decays (the measured
+    *   drift regime cost 11-25 recall points under append; rebuild
+    *   recovered them).
+    * The measured separation is two orders of magnitude (stable
+    * 1.03-1.05 vs drifted 93-100), so the threshold is far from both
+    * operating points; no recall oracle, ground truth, or query set is
+    * needed at decision time.
+    */
+  def reconstructionErrRatio(
+      batch: DataFrame, vecCol: String, dim: Int,
+      codebooks: Seq[Seq[(Int, Array[Double])]],
+      trainErr: Double): Double = {
+    require(trainErr > 0,
+      s"trainErr must be > 0 (got $trainErr) — record it at training " +
+        "time via reconstructionError on the training sample")
+    reconstructionError(batch, vecCol, dim, codebooks) / trainErr
   }
 }

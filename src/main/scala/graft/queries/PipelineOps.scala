@@ -3269,11 +3269,144 @@ object PipelineOps {
     },
     Some(ingestOracleSql))
 
+  /** The quantizer drift probe's input column, graded PER ROW
+    * (Pq.encodeWithErr): each vector's squared reconstruction error
+    * under the deterministic seed codebooks, over three splits — the
+    * training corpus (vec_id%10<9), a stable incoming batch (=9), and
+    * the same batch TRANSLATED by +1.5 in PQ subspaces 0-1 (the SCALE.md
+    * pqmaint drift fixture). The oracle replays the per-subspace argmin
+    * distance verbatim (ascending-j summation, ties to the smaller
+    * code — x69's pinned contract) and sums subspaces in ascending
+    * order (x70's list_sum pattern), so recon_err is bit-identical
+    * before the display rounding. Pq.reconstructionErrRatio is avg() of
+    * this column per split over the train avg — the >2-retrain rule is
+    * documented at that API and its separation law pinned in PqSpec;
+    * grading the per-row column avoids hashing an order-dependent avg.
+    */
+  private val x83 = Q(
+    "x83_pq_drift_probe",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val cbs = Pq.seedCodebooks(ivfCentroids(s, d).map(_._2), 64, 8)
+      val train = e.filter(pmod(col("vec_id"), lit(10)) < 9)
+      val batch = e.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val drifted = batch.select(col("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i < 16, x + lit(1.5f)).otherwise(x))
+          .as("embedding"))
+      def errs(df: org.apache.spark.sql.DataFrame, split: String) =
+        Pq.encodeWithErr(df, "vec_id", "embedding", 64, cbs)
+          .select(lit(split).as("split"), col("vec_id"),
+            round(col("recon_err"), 6).as("recon_err"))
+      errs(train, "train")
+        .unionByName(errs(batch, "batch"))
+        .unionByName(errs(drifted, "batch_drifted"))
+        .orderBy("split", "vec_id")
+    },
+    Some("""WITH seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id)
+                     - 1 AS INT) AS cid, embedding AS cvec
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16)),
+                 base AS (
+                   SELECT 'train' AS split, vec_id, embedding
+                   FROM embeddings WHERE vec_id % 10 < 9
+                   UNION ALL
+                   SELECT 'batch' AS split, vec_id, embedding
+                   FROM embeddings WHERE vec_id % 10 = 9
+                   UNION ALL
+                   SELECT 'batch_drifted' AS split, vec_id,
+                          list_transform(embedding,
+                            (x, i) -> CASE WHEN i <= 16
+                              THEN CAST(CAST(x AS DOUBLE) + 1.5 AS FLOAT)
+                              ELSE x END) AS embedding
+                   FROM embeddings WHERE vec_id % 10 = 9),
+                 d AS (SELECT b.split, b.vec_id, u.m, s.cid,
+                     list_sum(list_transform(range(1, 9),
+                       j -> (CAST(b.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE))
+                          * (CAST(b.embedding[u.m*8 + j] AS DOUBLE)
+                               - CAST(s.cvec[u.m*8 + j] AS DOUBLE)))) AS d2
+                   FROM base b
+                     CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS m) u
+                     CROSS JOIN seeds s),
+                 best AS (SELECT split, vec_id, m, d2 FROM
+                     (SELECT *, row_number() OVER (PARTITION BY split,
+                        vec_id, m ORDER BY d2, cid) AS rn FROM d)
+                   WHERE rn = 1)
+            SELECT split, vec_id,
+                   round(list_sum(list(d2 ORDER BY m)), 6) AS recon_err
+            FROM best GROUP BY split, vec_id ORDER BY split, vec_id"""))
+
+  /** x80's container-header decode extended beyond images
+    * (Multimodal.mediaHeaderDecode / functions.MediaHeaderMeta): one
+    * compiled parse per row over four public container layouts — PNG
+    * IHDR, JPEG SOFn, GIF logical screen descriptor (LE dims,
+    * colour-resolution bits), WAV RIFF fmt chunk (LE rate/channels/
+    * bits, even-pad chunk walk exercised by per-row odd JUNK sizes).
+    * Same construct-and-invert oracle pattern as x80: payloads are
+    * built from dial arithmetic by the spec-shaped constructors, and
+    * the oracle recomputes every expected field from the same dials, so
+    * a hash match certifies the parser inverts all four published
+    * layouts on every row.
+    */
+  private val x84 = Q(
+    "x84_media_headers",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val w = (pmod(col("doc_id") * 37, lit(1900)) + 1).cast(IntegerType)
+      val h = (pmod(col("doc_id") * 59, lit(1060)) + 1).cast(IntegerType)
+      val depth = when(pmod(col("doc_id"), lit(8)) === 0, 16).otherwise(8)
+      val pad = pmod(col("doc_id"), lit(13)).cast(IntegerType)
+      val crbits = (pmod(col("doc_id"), lit(8)) + 1).cast(IntegerType)
+      val rate = (pmod(col("doc_id") * 441, lit(48000)) + 8000)
+        .cast(IntegerType)
+      val ch = (pmod(col("doc_id"), lit(6)) + 1).cast(IntegerType)
+      val bits = ((pmod(col("doc_id"), lit(3)) + 1) * 8).cast(IntegerType)
+      val jpad = pmod(col("doc_id"), lit(11)).cast(IntegerType)
+      val sel = pmod(col("doc_id"), lit(4))
+      val payload = when(pmod(col("doc_id"), lit(17)) === 0,
+          lit(Array[Byte](0, 0)))
+        .when(sel === 0, Multimodal.pngHeaderBytes(w, h, depth, lit(6)))
+        .when(sel === 1, Multimodal.jpegHeaderBytes(w, h, pad))
+        .when(sel === 2, Multimodal.gifHeaderBytes(w, h, crbits))
+        .otherwise(Multimodal.wavHeaderBytes(rate, ch, bits, jpad))
+      Multimodal.mediaHeaderDecode(
+        docs.select(col("doc_id").as("media_id"), payload.as("payload")),
+        "media_id", "payload")
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 'png'
+                        WHEN doc_id % 4 = 1 THEN 'jpeg'
+                        WHEN doc_id % 4 = 2 THEN 'gif'
+                        ELSE 'wav' END AS media_fmt,
+                   CASE WHEN doc_id % 17 = 0 OR doc_id % 4 = 3 THEN NULL
+                        ELSE CAST((doc_id * 37) % 1900 + 1 AS INT)
+                     END AS width,
+                   CASE WHEN doc_id % 17 = 0 OR doc_id % 4 = 3 THEN NULL
+                        ELSE CAST((doc_id * 59) % 1060 + 1 AS INT)
+                     END AS height,
+                   CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN
+                          CASE WHEN doc_id % 8 = 0 THEN 16 ELSE 8 END
+                        WHEN doc_id % 4 = 1 THEN 8
+                        WHEN doc_id % 4 = 2 THEN doc_id % 8 + 1
+                        ELSE (doc_id % 3 + 1) * 8 END AS INT)
+                     AS bit_depth,
+                   CASE WHEN doc_id % 17 = 0 OR doc_id % 4 <> 3 THEN NULL
+                        ELSE CAST((doc_id * 441) % 48000 + 8000 AS INT)
+                     END AS sample_rate,
+                   CASE WHEN doc_id % 17 = 0 OR doc_id % 4 <> 3 THEN NULL
+                        ELSE CAST(doc_id % 6 + 1 AS INT)
+                     END AS channels
+            FROM documents ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82)
+    x78, x79, x80, x81, x82, x83, x84)
 }

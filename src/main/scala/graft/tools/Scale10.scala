@@ -1190,28 +1190,35 @@ object Scale10 {
         // IVF arm: hash-row seeds vs 4 Lloyd rounds, ln-ruled nprobe
         // (the knnfidelity/graphann sizing: cells ~512 vectors)
         val nlist = math.max(32L, n / 512L).toInt
-        val cents = e
+        lazy val cents = e
           .orderBy(md5(col("id").cast(StringType)), col("id"))
           .limit(nlist).collect().zipWithIndex
           .map { case (r, i) =>
             (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
-        val t0k = System.nanoTime()
-        val (trained, _) = Similarity.kmeans(
-          e.select(col("vec")), "vec", 64, cents, iters = 4)
-        val trainSec = (System.nanoTime() - t0k) / 1e9
+        // LAZY: a dial-restricted run (e.g. only contrastive) must not
+        // pay the two Lloyd trainings it never consumes — that would
+        // defeat the dial args' documented purpose
+        lazy val (trained, trainSec) = {
+          val t0k = System.nanoTime()
+          val (tr, _) = Similarity.kmeans(
+            e.select(col("vec")), "vec", 64, cents, iters = 4)
+          (tr, (System.nanoTime() - t0k) / 1e9)
+        }
         val nprobe = Similarity.nprobeForNlist(nlist)
         val qsDf = all.filter(col("id") < 8)
           .select(col("id").as("qid"), col("vec").as("qvec"))
         // third arm: nlist = the TRUE cluster count (32) — the dial the
         // 200k trained-quantizer dip points at (sub-cell splitting when
         // nlist follows the n/512 row rule instead of the structure)
-        val cents32 = e
-          .orderBy(md5(col("id").cast(StringType)), col("id"))
-          .limit(32).collect().zipWithIndex
-          .map { case (r, i) =>
-            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
-        val (trained32, _) = Similarity.kmeans(
-          e.select(col("vec")), "vec", 64, cents32, iters = 4)
+        lazy val trained32 = {
+          val cents32 = e
+            .orderBy(md5(col("id").cast(StringType)), col("id"))
+            .limit(32).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          Similarity.kmeans(
+            e.select(col("vec")), "vec", 64, cents32, iters = 4)._1
+        }
         if (wantDial("ivf"))
           for ((kind, cc, np) <- Seq(
               ("seeded", cents, nprobe), ("trained", trained, nprobe),
@@ -1635,15 +1642,24 @@ object Scale10 {
           }
           val errOld =
             Pq.reconstructionError(old, "vec", 64, cbsOld)
-          // APPEND arm: the only per-day costs are encode(batch) and
-          // the recon-error probe on the same pass's output scale
-          val (codesB, encodeBatchSec) = timed {
-            val c = Pq.encode(b, "id", "vec", 64, cbsOld)
+          // APPEND arm: the only per-day cost is ONE encode-with-probe
+          // pass over the batch (Pq.encodeWithErr): codes for the
+          // union, recon_err for the drift probe, same scan — the
+          // production shape the operator exists for
+          val (encB, encodeBatchSec) = timed {
+            val c = Pq.encodeWithErr(b, "id", "vec", 64, cbsOld)
               .localCheckpoint()
             c.count(); c
           }
-          val errBatch = Pq.reconstructionError(b, "vec", 64, cbsOld)
-          val codesAppend = codesOld.unionByName(codesB)
+          val errBatch = encB.agg(avg(col("recon_err")))
+            .head().getDouble(0)
+          // the shipped rule-number through the shipped API (equals
+          // errBatch / errOld by construction; called for real so the
+          // flow exercises Pq.reconstructionErrRatio end-to-end)
+          val errRatio =
+            Pq.reconstructionErrRatio(b, "vec", 64, cbsOld, errOld)
+          val codesAppend = codesOld
+            .unionByName(encB.select(col("id"), col("codes")))
           def rrAppend() = Pq.adcTopKReranked(codesAppend, corpus,
             "id", "vec", "codes", queries, cbsOld, 64, 50, 10).collect()
           rrAppend() // warm
@@ -1661,7 +1677,7 @@ object Scale10 {
             "id", "vec", "codes", queries, cbsFull, 64, 50, 10).collect()
           rrFull() // warm
           val (fuRows, fuSec) = timed(rrFull())
-          println(s"""{"flow":"pqmaint","dir":"$dir","regime":"$regime","n":$n,"n_old":$nOld,"recall_append":${f4(recallOf(apRows))},"recall_rebuild":${f4(recallOf(fuRows))},"encode_batch_sec":${f(encodeBatchSec)},"train_full_sec":${f(trainFullSec)},"encode_full_sec":${f(encodeFullSec)},"train_old_sec":${f(trainOldSec)},"encode_old_sec":${f(encodeOldSec)},"search_append_sec":${f(apSec)},"search_rebuild_sec":${f(fuSec)},"err_old":${f4(errOld)},"err_batch":${f4(errBatch)},"err_ratio":${f4(errBatch / errOld)}}""")
+          println(s"""{"flow":"pqmaint","dir":"$dir","regime":"$regime","n":$n,"n_old":$nOld,"recall_append":${f4(recallOf(apRows))},"recall_rebuild":${f4(recallOf(fuRows))},"encode_batch_sec":${f(encodeBatchSec)},"train_full_sec":${f(trainFullSec)},"encode_full_sec":${f(encodeFullSec)},"train_old_sec":${f(trainOldSec)},"encode_old_sec":${f(encodeOldSec)},"search_append_sec":${f(apSec)},"search_rebuild_sec":${f(fuSec)},"err_old":${f4(errOld)},"err_batch":${f4(errBatch)},"err_ratio":${f4(errRatio)}}""")
           b.unpersist(); corpus.unpersist()
         }
         emb.unpersist(); old.unpersist()

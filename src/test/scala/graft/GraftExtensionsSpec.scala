@@ -174,6 +174,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(1))
   }
 
+  test("media_header_meta resolves in SQL and agrees with the Column " +
+    "API across all four formats and malformed payloads") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "media_header_meta"))
+    assume(hasExt, "extensions not active on the shared session")
+    val gif = ("GIF89a".map(_.toInt) ++ Seq(
+      0x07, 0x00, 0x05, 0x00, 0x70, 0x00, 0x00)).map(_.toByte).toArray
+    val wav = ("RIFF".map(_.toInt) ++ Seq(0x24, 0, 0, 0) ++
+      "WAVE".map(_.toInt) ++ "fmt ".map(_.toInt) ++ Seq(
+      0x10, 0, 0, 0, 0x01, 0, 0x02, 0, 0x44, 0xac, 0, 0,
+      0x10, 0xb1, 0x02, 0, 0x04, 0, 0x10, 0) ++
+      "data".map(_.toInt) ++ Seq(0, 0, 0, 0)).map(_.toByte).toArray
+    val png = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a,
+      0x1a, 0x0a, 0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt,
+      'R'.toInt, 0, 0, 0, 7, 0, 0, 0, 5, 8, 6, 0, 0, 0, 1, 2, 3, 4)
+      .map(_.toByte)
+    Seq((1L, gif), (2L, wav), (3L, png), (4L, Array[Byte](9, 9)),
+      (5L, null))
+      .toDF("i", "p").createOrReplaceTempView("ext_mediahdr_t")
+    val got = spark.sql(
+      "SELECT i, media_header_meta(p) AS m FROM ext_mediahdr_t ORDER BY i")
+      .collect()
+    val want = spark.table("ext_mediahdr_t")
+      .select($"i", graft.functions.SketchFunctions
+        .mediaHeaderMeta($"p").as("m"))
+      .orderBy("i").collect()
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) assert(a.getLong(1) == b.getLong(1))
+    }
+    assert(got(0).getLong(1) ==
+      ((3L << 56) | (8L << 48) | (7L << 24) | 5L))
+    assert(got(1).getLong(1) ==
+      ((4L << 56) | (16L << 48) | (44100L << 24) | 2L))
+    assert(got(2).getLong(1) ==
+      ((1L << 56) | (8L << 48) | (7L << 24) | 5L))
+    assert(got(3).getLong(1) == -1L)
+    assert(got(4).isNullAt(1))
+  }
+
   test("hyperplane_bucket / nearest_centroid / nearest_centroid_dist " +
     "resolve in SQL with literal plane/centroid families and agree " +
     "with the Column API") {

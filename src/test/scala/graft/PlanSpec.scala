@@ -1036,6 +1036,34 @@ class PlanSpec extends SparkTestBase {
         inner)
   }
 
+  test("x84: the four-format media-header decode keeps x80's shape — " +
+    "one joinless projection, EXACTLY ONE compiled parse per row " +
+    "across seven derived fields, no window, no exchange before the " +
+    "presentation sort") {
+    val df = q("x84_media_headers")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "media decode grew a join")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"media decode shuffled the corpus:\n$inner")
+    // seven output columns read the ONE staged packed long — with more
+    // consumers than x80's four, a CollapseProject re-inline would cost
+    // 7 parses per row instead of 1
+    val parses = "media_header_meta".r.findAllIn(inner).size
+    assert(parses == 1,
+      s"expected exactly one media_header_meta in the plan, got " +
+        s"$parses (CollapseProject re-inlined the parse per field?):\n" +
+        inner)
+  }
+
   test("x81: the composed ingest path reads ONLY checkpointed stage " +
     "frames (zero re-scans of documents), keeps the classifier inside " +
     "the prefix checkpoint, and plans no cartesian and no window") {
@@ -1140,6 +1168,33 @@ class PlanSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_plan_ndidx_bands")
       spark.sql("DROP TABLE IF EXISTS graft_plan_ndidx_sets")
     }
+  }
+
+  test("x83: the fused encode+probe is a joinless union of per-split " +
+    "projections — no window, no exchange before the presentation " +
+    "sort, and the 8 per-subspace natives are staged ONCE per split " +
+    "(codes and recon_err must read the staged array, not re-evaluate)") {
+    val df = q("x83_pq_drift_probe")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "the probe grew a join — codebooks must ride as literals")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"the probe shuffled the corpus:\n$inner")
+    // 3 splits x 8 subspaces, each native exactly once: a CollapseProject
+    // re-inline would evaluate the staged array per consuming column
+    // (16+ per split) and double the probe's distance arithmetic
+    val natives = "nearest_centroid_dist".r.findAllIn(inner).size
+    assert(natives == 24,
+      s"expected 24 staged natives (3 splits x 8 subspaces), got " +
+        s"$natives:\n$inner")
   }
 
   test("x79: cell-blocked contrastive mining joins candidates EQUI ON " +

@@ -336,6 +336,79 @@ class SketchExpressionsSpec extends SparkTestBase {
     }
   }
 
+  // ---- media_header_meta: GIF + WAV on top of the image layouts -----
+
+  /** GIF89a signature + 7-byte logical screen descriptor: 7x5,
+    * colour resolution 8 bits ((8-1)<<4 = 0x70).
+    */
+  private val gifMin: Array[Byte] = ("GIF89a".map(_.toInt) ++ Seq(
+    0x07, 0x00, 0x05, 0x00, 0x70, 0x00, 0x00)).map(_.toByte).toArray
+
+  /** RIFF/WAVE with a 5-byte (ODD) LIST chunk before the 16-byte PCM
+    * fmt chunk — stereo 44.1 kHz 16-bit; the odd size forces the
+    * even-alignment skip.
+    */
+  private val wavMin: Array[Byte] = ("RIFF".map(_.toInt) ++
+    Seq(0x33, 0x00, 0x00, 0x00) ++ "WAVE".map(_.toInt) ++
+    "LIST".map(_.toInt) ++ Seq(0x05, 0x00, 0x00, 0x00) ++
+    Seq(0x69, 0x69, 0x69, 0x69, 0x69, 0x00) ++ // 5 bytes + align pad
+    "fmt ".map(_.toInt) ++ Seq(
+    0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x02, 0x00,
+    0x44, 0xac, 0x00, 0x00, 0x10, 0xb1, 0x02, 0x00,
+    0x04, 0x00, 0x10, 0x00) ++
+    "data".map(_.toInt) ++ Seq(0x00, 0x00, 0x00, 0x00))
+    .map(_.toByte).toArray
+
+  private def mmeta(b: Array[Byte]): Long = Sketches.mediaHeaderMeta(b)
+
+  test("mediaHeaderMeta reads GIF LSD and WAV fmt bytes (little-endian, " +
+    "odd-chunk alignment), delegates images, rejects malformed " +
+    "structure") {
+    assert(unpack(mmeta(gifMin)) == ((3L, 8L, 7L, 5L)))
+    assert(unpack(mmeta(wavMin)) == ((4L, 16L, 44100L, 2L)))
+    // GIF87a is equally valid; any other version byte is not GIF
+    assert(mmeta(gifMin.updated(4, '7'.toByte)) == mmeta(gifMin))
+    assert(mmeta(gifMin.updated(4, '8'.toByte)) == -1L)
+    // zero dimensions reject (LE: byte 6 is width's low byte)
+    assert(mmeta(gifMin.updated(6, 0.toByte)) == -1L)
+    assert(mmeta(gifMin.updated(8, 0.toByte)) == -1L)
+    // WAV: no fmt chunk before the buffer ends
+    assert(mmeta(("RIFF".map(_.toInt) ++ Seq(4, 0, 0, 0) ++
+      "WAVE".map(_.toInt)).map(_.toByte).toArray) == -1L)
+    // fmt chunk size below WAVEFORMAT's 16 bytes
+    val shortFmt = wavMin.clone()
+    shortFmt(wavMin.indexOfSlice("fmt ".getBytes) + 4) = 14.toByte
+    assert(mmeta(shortFmt) == -1L)
+    // zero channels / zero rate / zero bits all reject via the pack
+    val fmtOff = wavMin.indexOfSlice("fmt ".getBytes)
+    def zeroed(off: Int, n: Int): Array[Byte] = {
+      val c = wavMin.clone()
+      (0 until n).foreach(j => c(fmtOff + 8 + off + j) = 0)
+      c
+    }
+    assert(mmeta(zeroed(2, 2)) == -1L) // nChannels
+    assert(mmeta(zeroed(4, 4)) == -1L) // nSamplesPerSec
+    assert(mmeta(zeroed(14, 2)) == -1L) // wBitsPerSample
+    // images delegate to imageHeaderMeta bit-for-bit
+    assert(mmeta(png1x1) == meta(png1x1))
+    assert(mmeta(jpegMin) == meta(jpegMin))
+    assert(mmeta("junk".getBytes("UTF-8")) == -1L)
+    assert(mmeta(Array[Byte]()) == -1L)
+    // trailing garbage after a complete header parses identically
+    assert(mmeta(gifMin ++ Array[Byte](1, 2)) == mmeta(gifMin))
+    assert(mmeta(wavMin ++ Array[Byte](1, 2)) == mmeta(wavMin))
+  }
+
+  test("mediaHeaderMeta never throws on truncations, and any " +
+    "non-sentinel prefix parse equals the full parse") {
+    for (fix <- Seq(gifMin, wavMin, png1x1, jpegMin);
+         n <- 0 until fix.length) {
+      val m = mmeta(java.util.Arrays.copyOfRange(fix, 0, n))
+      assert(m == -1L || m == mmeta(fix),
+        s"prefix $n of ${fix.length} parsed to a DIFFERENT value")
+    }
+  }
+
   test("every native's generated code COMPILES and matches interpreted " +
     "eval (Catalyst silently falls back to interpreted eval when " +
     "doGenCode output fails to compile, so DataFrame-level parity " +
@@ -397,22 +470,26 @@ class SketchExpressionsSpec extends SparkTestBase {
         else norm(out.get(0, bm.dataType), bm.dataType)
       assert(gen == interp, s"batch_merge_pairs on $in")
     }
-    // ImageHeaderMeta takes a binary input — same check on its own
+    // ImageHeaderMeta / MediaHeaderMeta take binary input — same check
     val bin = BoundReference(0, BinaryType, nullable = true)
     val ih = ImageHeaderMeta(bin)
-    val projB = GenerateUnsafeProjection.generate(Seq(ih))
+    val mh = MediaHeaderMeta(bin)
+    val projB = GenerateUnsafeProjection.generate(Seq(ih, mh))
     for (in <- Seq(
         Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
           0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 2, 0, 0, 0, 3,
           8, 6, 0, 0, 0, 1, 2, 3, 4),
         Array[Byte](0xff.toByte, 0xd8.toByte),
+        gifMin, wavMin,
         Array[Byte](1, 2, 3), Array.empty[Byte], null)) {
       val row = InternalRow(in)
       val out = projB(row)
-      val interp = ih.eval(row)
-      val gen = if (out.isNullAt(0)) null else out.get(0, ih.dataType)
-      assert(gen == interp,
-        s"image_header_meta on ${String.valueOf(in)}")
+      Seq(ih, mh).zipWithIndex.foreach { case (e, i) =>
+        val interp = e.eval(row)
+        val gen = if (out.isNullAt(i)) null else out.get(i, e.dataType)
+        assert(gen == interp,
+          s"${e.prettyName} on ${String.valueOf(in)}")
+      }
     }
 
     // HyperplaneBucket / NearestCentroid (instance-state families) —

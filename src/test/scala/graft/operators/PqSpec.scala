@@ -39,6 +39,54 @@ class PqSpec extends SparkTestBase {
     assert(e3 <= e1 + 1e-9, s"more rounds got worse: $e1 -> $e3")
   }
 
+  test("encodeWithErr: codes equal encode's exactly, recon_err is the " +
+    "per-row reconstructionErrCol value, and the frame's avg matches " +
+    "reconstructionError — one pass yields both outputs consistently") {
+    val fused = Pq.encodeWithErr(emb, "id", "vec", 64, seedCbs)
+    val plain = Pq.encode(emb, "id", "vec", 64, seedCbs)
+    assert(fused.select("id", "codes").exceptAll(plain).isEmpty &&
+      plain.exceptAll(fused.select("id", "codes")).isEmpty,
+      "fused codes diverged from encode")
+    val viaCol = emb.select(col("id"),
+      Pq.reconstructionErrCol(col("vec"), 64, seedCbs).as("recon_err"))
+    assert(fused.select("id", "recon_err").exceptAll(viaCol).isEmpty,
+      "fused recon_err diverged from reconstructionErrCol")
+    val avgFused = fused.agg(avg(col("recon_err"))).head().getDouble(0)
+    val scalar = Pq.reconstructionError(emb, "vec", 64, seedCbs)
+    assert(math.abs(avgFused - scalar) < 1e-9, s"$avgFused vs $scalar")
+    assert(fused.filter(col("recon_err") < 0).count() == 0)
+  }
+
+  test("drift probe separation: reconstructionErrRatio reads ~1 on a " +
+    "same-distribution batch and far above the retrain-when->2 rule " +
+    "on a translated batch (the SCALE.md pqmaint drift fixture)") {
+    // yesterday: train on the 90% split, record the training error
+    val old = emb.filter(pmod(col("id"), lit(10)) < 9)
+    val batch = emb.filter(pmod(col("id"), lit(10)) === 9)
+    val cbs = Pq.trainCodebooks(old, "vec", 64, seedCbs, iters = 2)
+    val trainErr = Pq.reconstructionError(old, "vec", 64, cbs)
+    assert(trainErr > 0)
+    val stable = Pq.reconstructionErrRatio(batch, "vec", 64, cbs,
+      trainErr)
+    assert(stable < 2.0,
+      s"stable batch tripped the retrain rule: ratio $stable")
+    // drift: translate PQ subspaces 0-1 out of the codeword support
+    val drifted = batch.select(col("id"),
+      transform(col("vec"),
+        (x, i) => when(i < 16, x + lit(1.5f)).otherwise(x)).as("vec"))
+    val driftRatio = Pq.reconstructionErrRatio(drifted, "vec", 64, cbs,
+      trainErr)
+    assert(driftRatio > 2.0,
+      s"drifted batch did not trip the retrain rule: ratio $driftRatio")
+    // the two regimes are far from the threshold in BOTH directions —
+    // the rule is robust, not a knife-edge (measured 100x in SCALE.md)
+    assert(driftRatio / stable > 10.0,
+      s"probe separation collapsed: $stable vs $driftRatio")
+    val e = intercept[IllegalArgumentException](
+      Pq.reconstructionErrRatio(batch, "vec", 64, cbs, 0.0))
+    assert(e.getMessage.contains("trainErr"))
+  }
+
   /** Exact squared-L2 top-k via a brute-force crossJoin — the ground
     * truth ADC approximates.
     */
