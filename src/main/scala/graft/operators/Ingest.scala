@@ -55,7 +55,10 @@ object Ingest {
     * stream-static join there — DEMONSTRATED, not asserted: StreamingSpec
     * streams the incoming batch through this prefix, joins its banded
     * frame against the static corpus side, and pins flagged-id parity
-    * with batch ingestVerdicts). Output: (idCol, n_chunks, n_dropped,
+    * with batch ingestVerdicts — and a second pin runs the static side
+    * from the PERSISTED writeCorpusIndex tables, the refresh-once /
+    * stream-all-day production shape, with parity against
+    * ingestVerdictsIndexed). Output: (idCol, n_chunks, n_dropped,
     * text_clean, rule_pass, clf_pass, gate_keep).
     */
   def statelessPrefix(docs: DataFrame, idCol: String, textCol: String,
