@@ -64,7 +64,11 @@ import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
   * mixture-of-Gaussians fixture; extra args restrict the dials:
   * ivf/knn/graph/contrastive), `mogsigma` (IVF recall across cluster
   * separability, sigma 0.25-1.0), `pqmaint` (IVF-PQ
-  * append-vs-rebuild maintenance with the drift probe).
+  * append-vs-rebuild maintenance with the drift probe), `textemb`
+  * (the ANN dials on hashed-TF-IDF vectors derived from the REAL
+  * documents corpus — locates production-like text embeddings on the
+  * quasi/MoG curve), `ndindex` (persisted bucketed near-dup corpus
+  * index vs per-batch re-derivation).
   * Extra args after a flow name restrict it to the named pipelines.
   */
 object Scale10 {
@@ -449,6 +453,36 @@ object Scale10 {
           docs.select(col("doc_id").as("media_id"),
             payload.as("payload")), "media_id", "payload")
           .filter(col("width").isNull || col("width") >= 1).count()
+      }),
+      // x84: the four-format extension of image_headers — same
+      // joinless one-parse shape, now with the GIF LE fields and the
+      // WAV RIFF chunk walk (odd JUNK pads force the even-align skip)
+      // in the per-row mix. The filter touches a parsed field from
+      // each family so no branch prunes.
+      "media_headers" -> (() => {
+        val w = (pmod(col("doc_id") * 37, lit(1900)) + 1).cast("int")
+        val h = (pmod(col("doc_id") * 59, lit(1060)) + 1).cast("int")
+        val pad = pmod(col("doc_id"), lit(13)).cast("int")
+        val depth = when(pmod(col("doc_id"), lit(8)) === 0, 16)
+          .otherwise(8)
+        val crbits = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+        val rate = (pmod(col("doc_id") * 441, lit(48000)) + 8000)
+          .cast("int")
+        val ch = (pmod(col("doc_id"), lit(6)) + 1).cast("int")
+        val bits = ((pmod(col("doc_id"), lit(3)) + 1) * 8).cast("int")
+        val jpad = pmod(col("doc_id"), lit(11)).cast("int")
+        val sel = pmod(col("doc_id"), lit(4))
+        val payload = when(pmod(col("doc_id"), lit(17)) === 0,
+            lit(Array[Byte](0, 0)))
+          .when(sel === 0, Multimodal.pngHeaderBytes(w, h, depth, lit(6)))
+          .when(sel === 1, Multimodal.jpegHeaderBytes(w, h, pad))
+          .when(sel === 2, Multimodal.gifHeaderBytes(w, h, crbits))
+          .otherwise(Multimodal.wavHeaderBytes(rate, ch, bits, jpad))
+        Multimodal.mediaHeaderDecode(
+          docs.select(col("doc_id").as("media_id"),
+            payload.as("payload")), "media_id", "payload")
+          .filter(col("width").isNull || col("width") >= 1 ||
+            col("sample_rate") >= 1).count()
       }),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
@@ -1331,6 +1365,291 @@ object Scale10 {
         } else {
           println(s"""{"flow":"clusterann","dir":"$dir","arm":"contrastive","n":$n,"nlist":$cnlist,"nprobe":$cnprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":null,"note":"exact broadcast square refused above 30k vectors (n^2 cosine)"}""")
         }
+        }
+        e.unpersist()
+        full.unpersist()
+      }
+    } else if (only("ndindex")) {
+      // VERDICT r18 #1's cost side: the standing near-dup corpus index
+      // as a persisted bucketed table (Ingest.writeCorpusIndex →
+      // ingestVerdictsIndexed) vs re-deriving the corpus half per batch
+      // (ingestVerdicts), at the x10 and x100 document decades with the
+      // pqmaint-style 90/10 corpus/batch split. Three numbers per
+      // decade: the index REFRESH cost (paid once per corpus refresh),
+      // the per-day verdict wall on the index path, and the per-day
+      // wall when the corpus half is re-derived in-plan — the
+      // difference is what the bucketed table buys every single day.
+      val dirD100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dirD100/documents.parquet").isDirectory) {
+        genDocs(spark, dirD100, nReps = 100)
+        println(s"""{"generated":"$dirD100/documents.parquet"}""")
+      }
+      for (dir <- Seq(outDir, dirD100)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
+          .localCheckpoint()
+        val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+          .localCheckpoint()
+        val nCorpus = corpus.count()
+        val nBatch = batch.count()
+        val boiler = ChunkDedup
+          .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+          .orderBy("chunk").collect().map(_.getString(0)).toSeq
+        val w = (0 until 256).map(j =>
+          (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+        val stop = TextAnalysis.langMarkers("en")
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val v = body
+          (v, (System.nanoTime() - t0) / 1e9)
+        }
+        // refresh cost: clean + sign + band + write, bucketed (warm
+        // the plan/codegen with the first write, measure the second —
+        // the same second-of-two protocol as every other flow)
+        val buckets = 32
+        Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+          "graft_ndindex_bench", buckets)
+        val (_, refreshSec) = timed(
+          Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+            "graft_ndindex_bench", buckets))
+        def viaIndex() = Ingest.ingestVerdictsIndexed(batch,
+          "graft_ndindex_bench", "doc_id", "text", 4, boiler, 0.6,
+          stop, w, -0.1).count()
+        viaIndex() // warm
+        val (rowsIdx, idxSec) = timed(viaIndex())
+        def selfDerived() = Ingest.ingestVerdicts(corpus, batch,
+          "doc_id", "text", 4, boiler, 0.6, stop, w, -0.1).count()
+        selfDerived() // warm
+        val (rowsSelf, selfSec) = timed(selfDerived())
+        require(rowsIdx == rowsSelf, s"verdict counts diverged: " +
+          s"$rowsIdx vs $rowsSelf")
+        println(s"""{"flow":"ndindex","dir":"$dir","n_corpus":$nCorpus,"n_batch":$nBatch,"buckets":$buckets,"refresh_sec":${f(refreshSec)},"verdicts_indexed_sec":${f(idxSec)},"verdicts_rederived_sec":${f(selfSec)},"rows":$rowsIdx}""")
+        spark.sql("DROP TABLE IF EXISTS graft_ndindex_bench_bands")
+        spark.sql("DROP TABLE IF EXISTS graft_ndindex_bench_sets")
+        docs.unpersist(); corpus.unpersist(); batch.unpersist()
+      }
+    } else if (only("textemb")) {
+      // VERDICT r18 #3 + #8: locate REAL text-derived embeddings on the
+      // measured quasi <-> MoG separability curve, then let the numbers
+      // decide graph-ANN's disposition. Vectors are hashed TF-IDF of
+      // the actual documents corpus: token -> xxhash64 bucket mod 64,
+      // weight tf * ln((N+1)/(df+1)), L2-normalized — the repo's
+      // hashing-trick featurization over real text, not a synthetic
+      // distribution. label = the document's language (the natural
+      // cluster candidate: languages share almost no tokens, so
+      // cross-language cosines collapse while same-language docs share
+      // stopword/topic buckets). Decades match the MoG table exactly
+      // (20k and 200k vectors, deterministically hash-sampled from the
+      // x10/x100 shard corpora) so every row is comparable to the
+      // SCALE.md clusterann rows. Dials: IVF ln-rule recall (seeded
+      // row-rule + Lloyd-trained), blocked 1-NN label fidelity, x79
+      // blocked contrastive pair recall (exact arm at 20k; refused
+      // above 30k like every other flow), and the graph-ANN arm at 20k
+      // for the disposition call.
+      import org.apache.spark.sql.expressions.Window
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      val dirD100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dirD100/documents.parquet").isDirectory) {
+        genDocs(spark, dirD100, nReps = 100)
+        println(s"""{"generated":"$dirD100/documents.parquet"}""")
+      }
+      def genTextEmb(srcDocs: String, dst: String, nWant: Int): Unit = {
+        val sel = spark.read.parquet(srcDocs)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+          .limit(nWant).localCheckpoint()
+        val nDocs = sel.count()
+        // label = dense int code of the language (the label-carrying
+        // operators pack Int labels into expression instance data)
+        val langs = sel.select("lang").distinct().orderBy("lang")
+          .collect().map(_.getString(0))
+        val langCode = langs.zipWithIndex
+          .foldLeft(lit(-1)) { case (acc, (l, i)) =>
+            when(col("lang") === l, lit(i)).otherwise(acc) }
+        val toks = sel
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .select(col("doc_id"),
+            pmod(xxhash64(col("tok")), lit(64)).cast("int").as("b"))
+        val tf = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.distinct().groupBy("b")
+          .agg(count(lit(1)).as("df"))
+        val weights = tf.join(broadcast(dfreq), Seq("b"))
+          .select(col("doc_id"), col("b"),
+            (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+              .as("w"))
+        weights.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
+            .as("m"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(63)),
+              i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+          .select(col("doc_id"), col("raw"),
+            aggregate(col("raw"), lit(0.0), (a, x) => a + x * x).as("n2"))
+          .filter(col("n2") > 0)
+          .select(col("doc_id"),
+            transform(col("raw"), x => (x / sqrt(col("n2"))).cast("float"))
+              .as("embedding"))
+          .join(sel.select(col("doc_id"), langCode.as("label")),
+            Seq("doc_id"))
+          .select(col("doc_id").as("vec_id"), col("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      }
+      val tdirs = Seq(
+        (s"$outDir-textemb", s"$outDir/documents.parquet", 20000),
+        (s"$outDir-textemb100", s"$dirD100/documents.parquet", 200000))
+      for ((dst, srcDocs, nWant) <- tdirs)
+        if (!new java.io.File(s"$dst/embeddings.parquet").isDirectory) {
+          genTextEmb(srcDocs, dst, nWant)
+          println(s"""{"generated":"$dst/embeddings.parquet"}""")
+        }
+      for ((dir, _, _) <- tdirs) {
+        val full = spark.read.parquet(s"$dir/embeddings.parquet")
+          .localCheckpoint()
+        val all = full
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // 8 held-out queries = the smallest ids (doc_ids are sparse
+        // here, unlike the dense MoG ids)
+        val queries = all.orderBy("id").limit(8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        val qIds = queries.map(_._1)
+        val e = all.filter(!col("id").isin(qIds: _*)).localCheckpoint()
+        val n = e.count()
+        import spark.implicits._
+        val qdf = broadcast(queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec"))
+        def exactRun() = e.crossJoin(qdf)
+          .select(col("qid"), col("id"),
+            round(Similarity.cosine(col("vec"), col("qvec")), 6).as("sim"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("id"))))
+          .filter(col("rn") <= 10)
+        exactRun().count() // warm
+        val t0x = System.nanoTime()
+        val truthRows = exactRun().collect()
+        val exactSec = (System.nanoTime() - t0x) / 1e9
+        val truth = truthRows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row],
+            idIdx: Int): Double = {
+          val got = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(idIdx)).toSet }
+          queries.map { case (qid, _) =>
+            (got.getOrElse(qid, Set.empty[Long]) & truth(qid)).size / 10.0 }
+            .sum / queries.size
+        }
+        val nlist = math.max(32L, n / 512L).toInt
+        val cents = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(nlist).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val t0k = System.nanoTime()
+        val (trained, _) = Similarity.kmeans(
+          e.select(col("vec")), "vec", 64, cents, iters = 4)
+        val trainSec = (System.nanoTime() - t0k) / 1e9
+        val nprobe = Similarity.nprobeForNlist(nlist)
+        val qsDf = all.filter(col("id").isin(qIds: _*))
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        for ((kind, cc, np) <- Seq(
+            ("seeded", cents, nprobe),
+            ("trained", trained, Similarity.nprobeForNlist(trained.size)))) {
+          def ivfRun() = Similarity.ivfTopK(qsDf, e, cc, np, 10)
+          ivfRun().count() // warm
+          val t0i = System.nanoTime()
+          val rows = ivfRun().collect()
+          val sec = (System.nanoTime() - t0i) / 1e9
+          println(s"""{"flow":"textemb","dir":"$dir","arm":"ivf_$kind","n":$n,"nlist":${cc.size},"nprobe":$np,"recall":${f4(recallOf(rows, 1))},"sec":${f(sec)},"exact_sec":${f(exactSec)},"train_sec":${f(trainSec)}}""")
+        }
+        // blocked 1-NN label fidelity, label = language
+        val t0e = System.nanoTime()
+        val exactAgree = Similarity
+          .knnLabelAgreement(full, "vec_id", "embedding", "label")
+          .filter(col("agree")).count()
+        val exactAgreeSec = (System.nanoTime() - t0e) / 1e9
+        for ((kind, cc) <- Seq("seeded" -> cents, "trained" -> trained)) {
+          def run() = Similarity.selfKnnLabelAgreementByCell(
+              full, "vec_id", "embedding", "label", cc, nprobe)
+            .filter(col("agree")).count()
+          run() // warm
+          val t0 = System.nanoTime()
+          val agree = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"flow":"textemb","dir":"$dir","arm":"knn_$kind","n":$n,"nlist":${cc.size},"nprobe":$nprobe,"agree":$agree,"agree_exact":$exactAgree,"pct_of_exact":${f(100.0 * agree / exactAgree)},"sec":${f(sec)},"exact_sec":${f(exactAgreeSec)}}""")
+        }
+        // x79 contrastive pair recall (exact square refused above 30k)
+        val cnlist = math.max(4L, n / 128L).toInt
+        val ccells = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(cnlist).collect().zipWithIndex
+          .map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+        val cnprobe = Similarity.nprobeForNlist(cnlist)
+        def blocked() = Similarity.contrastivePairsByCell(
+          full, "vec_id", "embedding", "label", ccells, cnprobe, 4)
+        blocked().count() // warm
+        val t0b = System.nanoTime()
+        val bRows = blocked().count()
+        val bSec = (System.nanoTime() - t0b) / 1e9
+        if (n <= 30000) {
+          def exact() = Similarity.contrastivePairs(
+            full, full, "vec_id", "embedding", "label", 4)
+          exact().count() // warm
+          val t0c = System.nanoTime()
+          val xRows = exact().count()
+          val xSec = (System.nanoTime() - t0c) / 1e9
+          val ex = exact().select("qid", "kind", "vec_id")
+          val recall = blocked().select("qid", "kind", "vec_id")
+            .intersect(ex).count().toDouble / xRows
+          println(s"""{"flow":"textemb","dir":"$dir","arm":"contrastive","n":$n,"nlist":$cnlist,"nprobe":$cnprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":${f(xSec)},"exact_rows":$xRows,"pair_recall":${f4(recall)}}""")
+        } else {
+          println(s"""{"flow":"textemb","dir":"$dir","arm":"contrastive","n":$n,"nlist":$cnlist,"nprobe":$cnprobe,"blocked_sec":${f(bSec)},"blocked_rows":$bRows,"exact_sec":null,"note":"exact broadcast square refused above 30k vectors (n^2 cosine)"}""")
+        }
+        // graph-ANN at the 20k decade only — the disposition arm
+        if (n <= 30000) {
+          def l2d(a: Array[Double], b: Array[Double]): Double = {
+            var d = 0.0; var i = 0
+            while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+            d
+          }
+          val probeDf = broadcast(queries.flatMap { case (qid, q) =>
+            trained.map { case (cid, cv) => (l2d(q, cv), cid) }
+              .sorted.take(nprobe).map { case (_, cid) => (qid, cid) } }
+            .toDF("query_id", "cell"))
+          val assigned = Similarity.ivfAssign(e, "vec", trained)
+            .select(col("id"), col("cell")).localCheckpoint()
+          val probeSeeds = assigned.join(probeDf, Seq("cell"))
+            .select(col("query_id"), col("id")).localCheckpoint()
+          var g = GraphAnn.cellRingInit(e, "id", "vec", trained, 8)
+          var buildSec = 0.0
+          for (iter <- 1 to 4) {
+            val t0 = System.nanoTime()
+            val s = GraphAnn.nnDescentStep(g, e, "id", "vec", 8)
+              .localCheckpoint()
+            s.count()
+            buildSec += (System.nanoTime() - t0) / 1e9
+            g = s.select("id", "nbr")
+            if (iter == 4) {
+              for ((seedName, sd) <- Seq(
+                  "hash" -> Option.empty[org.apache.spark.sql.DataFrame],
+                  "probe" -> Some(probeSeeds))) {
+                def gRun() = GraphAnn.graphTopK(s, e, "id", "vec",
+                  queries, k = 10, beam = 32, hops = 5, seeds = sd)
+                gRun().count() // warm
+                val t0g = System.nanoTime()
+                val gRows = gRun().collect()
+                val gSec = (System.nanoTime() - t0g) / 1e9
+                println(s"""{"flow":"textemb","dir":"$dir","arm":"graph_cellinit_${seedName}_b32h5","n":$n,"iters":$iter,"build_sec":${f(buildSec)},"recall":${f4(recallOf(gRows, 2))},"search_sec":${f(gSec)}}""")
+              }
+            }
+          }
         }
         e.unpersist()
         full.unpersist()
@@ -2528,7 +2847,7 @@ object Scale10 {
         "winnow_coverage", "token_budget", "neardup_ingest",
         "sliding_chunks", "classifier_gate",
         "classifier_gate_fast", "composed_gate",
-        "image_headers", "ingest_path"), "docs100")
+        "image_headers", "media_headers", "ingest_path"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }
