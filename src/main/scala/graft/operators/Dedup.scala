@@ -372,6 +372,58 @@ object Dedup {
       .format("parquet").saveAsTable(s"${tablePrefix}_sets")
   }
 
+  /** The daily-cadence half of writeNearDupIndex's refresh contract:
+    * APPEND one batch's accepted docs to the standing index instead of
+    * rebuilding it. Both tables are pure per-doc frames (one sets row
+    * per doc, `bands` band rows per signed doc — no cross-doc state,
+    * no aggregate to merge), so append ≡ rebuild on corpus ∪ batch by
+    * construction; IngestSpec pins the equivalence through the full
+    * verdict path. Cost is O(batch): sign + band the accepted docs and
+    * write them into the existing bucket layout (Spark bucketing is
+    * per-file, so appended files extend each bucket; the bucketed-scan
+    * join shape is unchanged — IngestSpec re-checks the Bucketed scan
+    * flag on the GROWN tables). The bucket counts are READ from the
+    * table metadata, so an append can never silently diverge from the
+    * layout the index was written with; the (shingleK, numHashes,
+    * bands) dials must still match the original write, same contract
+    * as minhashNearDupsAgainstIndex. Callers pass the CLEANED text.
+    *
+    * Caller contract: the appended ids must be NEW (an id present in
+    * the index would after append hold two generations of rows; the
+    * candidate join would then verify against both). The ingest path
+    * satisfies this for free — accepted docs passed its near-dup
+    * reject, so their ids are not in the index.
+    */
+  def appendToNearDupIndex(accepted: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String, shingleK: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): Unit = {
+    require(bands * (numHashes / bands) == numHashes,
+      "bands must divide numHashes")
+    val spark = accepted.sparkSession
+    def bucketsOf(tbl: String): Int = {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .bucketSpec
+      require(spec.nonEmpty, s"$tbl is not bucketed — was the index " +
+        "written by writeNearDupIndex?")
+      spec.get.numBuckets
+    }
+    bandedFrame(accepted, idCol, textCol, shingleK, numHashes, bands)
+      .select(col("band"), col("bhash"), col("id").as("id_old"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(bucketsOf(s"${tablePrefix}_bands"), "band", "bhash")
+      .sortBy("band", "bhash")
+      .format("parquet").saveAsTable(s"${tablePrefix}_bands")
+    accepted.select(col(idCol).as("id_old"),
+        graft.functions.SketchFunctions
+          .shingleHashSet(col(textCol), shingleK).as("set_o"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(bucketsOf(s"${tablePrefix}_sets"), "id_old")
+      .sortBy("id_old")
+      .format("parquet").saveAsTable(s"${tablePrefix}_sets")
+  }
+
   /** minhashNearDupsAgainst sourced from a writeNearDupIndex table pair
     * instead of re-deriving the corpus half per batch: signatures,
     * banding, and shingle sets for the corpus are READ, not recomputed

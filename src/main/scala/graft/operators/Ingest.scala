@@ -157,6 +157,28 @@ object Ingest {
       tablePrefix, buckets, shingleK, numHashes, bands)
   }
 
+  /** The daily close-of-batch step: append the day's ACCEPTED docs to
+    * the standing corpus index (Dedup.appendToNearDupIndex) so
+    * tomorrow's batch near-dup-checks against today's survivors without
+    * an index rebuild. Cleans with the same shipped list first
+    * (idempotent on already-clean text, and the accepted docs' cleaned
+    * form is what the index must hold — the near-dup family is defined
+    * over text_clean). Cost is O(batch); the O(corpus) rebuild
+    * (writeCorpusIndex) becomes an event — e.g. when the boilerplate
+    * list itself rotates — not a schedule. IngestSpec pins
+    * append-then-verdict ≡ rebuild-then-verdict.
+    */
+  def appendAcceptedToCorpusIndex(accepted: DataFrame, idCol: String,
+      textCol: String, k: Int, boilerplate: Seq[String],
+      tablePrefix: String, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): Unit = {
+    val acceptedClean =
+      ChunkDedup.applyBoilerplate(accepted, idCol, textCol, k, boilerplate)
+        .select(col(idCol), col("text_clean"))
+    Dedup.appendToNearDupIndex(acceptedClean, idCol, "text_clean",
+      tablePrefix, shingleK, numHashes, bands)
+  }
+
   /** ingestVerdicts sourced from a writeCorpusIndex table pair: the
     * production daily form. The corpus is never re-cleaned, re-signed,
     * or re-banded — its half of the near-dup join is two bucketed scans

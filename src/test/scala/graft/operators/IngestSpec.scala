@@ -167,6 +167,82 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("append-refresh ≡ rebuild through the verdict path: appending " +
+    "day 1's accepted docs to the index gives day 2 the same verdicts " +
+    "as rebuilding the index over corpus ∪ accepted") {
+    // The daily cycle the index exists for: refresh once (day 0),
+    // verdict day 1's batch, APPEND its survivors
+    // (appendAcceptedToCorpusIndex — O(batch)), verdict day 2's batch
+    // against the grown index. The pin: day 2's verdicts equal the
+    // self-derived path over (corpus ∪ day-1 accepted) — i.e. append
+    // lost nothing and duplicated nothing vs a full rebuild.
+    val batch1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    val batch2base = docs.filter(col("doc_id") >= 375)
+    Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+      "graft_test_ndappend", buckets = 4)
+    try {
+      val verdicts1 = Ingest.ingestVerdictsIndexed(batch1,
+        "graft_test_ndappend", "doc_id", "text", 4, boiler, 0.6, stop,
+        w, -0.1)
+      val acceptedIds = verdicts1.filter(col("final_keep"))
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(acceptedIds.nonEmpty, "day 1 accepted nothing — the " +
+        "append pin would be vacuous")
+      val accepted = batch1.filter(col("doc_id").isin(acceptedIds: _*))
+      Ingest.appendAcceptedToCorpusIndex(accepted, "doc_id", "text", 4,
+        boiler, "graft_test_ndappend")
+      // seed one GUARANTEED cross-generation near-dup: a day-2 doc
+      // whose text is a day-1 survivor's with one token changed — the
+      // append must be what flags it (its partner is not in day 0's
+      // corpus, which held doc_id < 250 only)
+      val donor = accepted.orderBy("doc_id").limit(1)
+        .select("text").collect()(0).getString(0)
+      val seeded = spark.range(1).select(lit(900000L).as("doc_id"),
+        concat(lit(donor), lit(" perturbed")).as("text"),
+        lit("en").as("lang"), lit("seed").as("source"),
+        (length(lit(donor)) + 10).cast("long").as("n_chars"))
+      val batch2 = batch2base.unionByName(
+        seeded.select(batch2base.columns.map(col): _*))
+      val viaAppended = Ingest.ingestVerdictsIndexed(batch2,
+        "graft_test_ndappend", "doc_id", "text", 4, boiler, 0.6, stop,
+        w, -0.1)
+      val viaRebuilt = Ingest.ingestVerdicts(
+        corpus.unionByName(accepted), batch2, "doc_id", "text", 4,
+        boiler, 0.6, stop, w, -0.1)
+      assert(viaAppended.exceptAll(viaRebuilt).isEmpty &&
+        viaRebuilt.exceptAll(viaAppended).isEmpty,
+        "append-refresh and rebuild verdicts diverged")
+      assert(viaAppended.filter(col("neardup_reject") &&
+          col("doc_id") === 900000L).count() == 1,
+        "the seeded cross-generation near-dup was not flagged — the " +
+          "append did not reach the candidate join")
+      // the grown tables keep the per-doc frame shape (one sets row
+      // per doc across BOTH generations — no duplicate ids appeared)
+      val sets = spark.table("graft_test_ndappend_sets")
+      assert(sets.count() == corpus.count() + accepted.count())
+      assert(sets.select("id_old").distinct().count() == sets.count())
+      // and the appended files EXTEND the bucket layout: both grown
+      // corpus scans still read as bucketed (the exchange-free join
+      // shape itself is x82's PlanSpec pin; this re-checks the flag
+      // the pin relies on survives an append)
+      withSQLConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false") {
+        val cleanedB2 = ChunkDedup
+          .applyBoilerplate(batch2, "doc_id", "text", 4, boiler)
+          .select(col("doc_id"), col("text_clean"))
+        val planStr = Dedup.minhashNearDupsAgainstIndex(cleanedB2,
+            "graft_test_ndappend", "doc_id", "text_clean", 0.6)
+          .queryExecution.executedPlan.toString
+        assert("Bucketed: true".r.findAllIn(planStr).size == 2,
+          s"post-append corpus scans are not both bucketed:\n$planStr")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndappend_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndappend_sets")
+    }
+  }
+
   test("applyBoilerplate is idempotent on already-clean text — the " +
     "safety argument for re-cleaning the corpus with the same list") {
     // Ingest.ingestVerdicts cleans the corpus even though its ingest
