@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -59,5 +59,83 @@ object TfIdf {
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score"), col("rn"))
+  }
+
+  /** Hashing-trick TF-IDF featurization: one L2-normalized
+    * `Array[Float]` embedding per document — the model-free text
+    * vectorizer that feeds the ENTIRE similarity stack (IVF / kNN /
+    * PQ / semantic dedup / contrastive mining) when no neural encoder
+    * is in the pipeline. This is the featurization that located real
+    * text at the CLUSTERABLE end of the measured ANN separability
+    * curve (SCALE.md round 19 textemb): token → hash bucket mod `dim`,
+    * weight tf · idf, L2-normalize.
+    *
+    * Cross-engine determinism (the x46 micro-nat pattern): idf is
+    * QUANTIZED at the source — `round(ln((N+1)/(df+1)) · 1e6)` as a
+    * BIGINT — so per-bucket weights are exact integers in any engine;
+    * the norm is a fold over the dense vector in index order (both
+    * sides replay the same IEEE sum), and the final divide + float
+    * cast are single IEEE operations. The whole output vector is
+    * bit-replayable with NO display rounding (x85 grades it
+    * element-wise). The 1e-6 nat grid costs nothing semantically: idf
+    * only ranks buckets, and adjacent df values differ by >> 1e-6
+    * nats until N passes e^6 ≈ 10^260 documents.
+    *
+    * `fastHash` picks the bucket hash: xxhash64 (compiled, the hot
+    * path) or the first 15 md5 hex chars as a 60-bit int (bit-equal
+    * in any engine with md5 — the oracle-replayable twin, same dial
+    * contract as SimHash's simhash64/simhashMd5 pair). Docs with no
+    * tokens, or whose every token hits df = N buckets (idf exactly 0),
+    * have no direction and are DROPPED (zero vectors cannot be
+    * L2-normalized).
+    *
+    * 100 TB shape: tf is one hash-aggregate on (doc, bucket) with
+    * map-side partials over the exploded tokens; df aggregates the
+    * distinct (doc, bucket) pairs to AT MOST `dim` rows — always
+    * broadcast; N is a one-row aggregate broadcast by crossJoin (the
+    * Mix totals pattern). The dense assembly is a per-doc map of
+    * <= dim entries built by one more hash-aggregate on the doc key —
+    * no window, no sort, nothing corpus-sized on the driver.
+    */
+  def hashedVec(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, fastHash: Boolean = true): DataFrame = {
+    require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    Seq("embedding", "__b", "__tf", "__df", "__nd", "__w", "__m",
+        "__raw", "__n2").foreach(c =>
+      require(idCol != c && textCol != c,
+        s"TfIdf.hashedVec reserves column name '$c'; rename the input"))
+    val tokHash: Column => Column =
+      if (fastHash) xxhash64(_)
+      else t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol),
+        pmod(tokHash(col("__t")), lit(dim.toLong)).cast(IntegerType)
+          .as("__b"))
+    val tf = toks.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = toks.distinct().groupBy("__b")
+      .agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("__nd"))
+    val weights = tf.join(broadcast(dfreq), Seq("__b"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("__b"),
+        (col("__tf") *
+          round(log((col("__nd") + 1.0) / (col("__df") + 1.0)) * 1e6, 0)
+            .cast(LongType)).as("__w"))
+    weights.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w"))))
+        .as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))
+            .cast(DoubleType)).as("__raw"))
+      .select(col(idCol), col("__raw"),
+        aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x).as("__n2"))
+      .filter(col("__n2") > 0)
+      .select(col(idCol),
+        transform(col("__raw"), x => (x / sqrt(col("__n2")))
+          .cast(FloatType)).as("embedding"))
   }
 }

@@ -3402,11 +3402,67 @@ object PipelineOps {
                      END AS channels
             FROM documents ORDER BY media_id"""))
 
+  /** Hashing-trick TF-IDF featurization (TfIdf.hashedVec): the
+    * model-free text → embedding vectorizer behind the round-19
+    * textemb measurement, graded ELEMENT-WISE over the real documents
+    * corpus (md5-hash dial, dim = 64). The whole vector is
+    * bit-replayable with NO display rounding: idf is quantized to
+    * integer micro-nats at the source (the x46 pattern), so per-bucket
+    * weights are exact BIGINTs in both engines; the norm is a fold
+    * over the dense vector in index order (DuckDB replays it with
+    * list_sum(list(...) ORDER BY i), the x70 pattern); the divide and
+    * the float cast are single IEEE ops. A hash match certifies the
+    * full pipeline — tokenize, hash-bucket, tf, df, quantized idf,
+    * dense assembly, L2 norm — agrees bit-for-bit.
+    */
+  private val x85 = Q(
+    "x85_hashed_tfidf",
+    (s, d) => {
+      TfIdf.hashedVec(t(s, d, "documents"), "doc_id", "text", 64,
+          fastHash = false)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("doc_id"), col("i"), col("v").cast(DoubleType).as("v"))
+        .orderBy("doc_id", "i")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents),
+                 tk AS (SELECT doc_id,
+                          CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                            % 64 AS INT) AS b
+                        FROM toks WHERE len(t) > 0),
+                 tf AS (SELECT doc_id, b, count(*) AS tf
+                        FROM tk GROUP BY doc_id, b),
+                 df AS (SELECT b, count(*) AS df
+                        FROM (SELECT DISTINCT doc_id, b FROM tk)
+                        GROUP BY b),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                       FROM documents),
+                 w AS (SELECT doc_id, b,
+                         tf * CAST(round(ln((n + 1.0) / (df + 1.0))
+                             * 1000000.0, 0) AS BIGINT) AS w
+                       FROM tf JOIN df USING (b) CROSS JOIN n),
+                 cells AS (SELECT d.doc_id, i.i
+                           FROM (SELECT DISTINCT doc_id FROM tk) d
+                           CROSS JOIN (SELECT CAST(unnest(range(0, 64))
+                             AS INT) AS i) i),
+                 dense AS (SELECT c.doc_id, c.i,
+                             CAST(coalesce(w.w, 0) AS DOUBLE) AS v
+                           FROM cells c LEFT JOIN w
+                             ON c.doc_id = w.doc_id AND c.i = w.b),
+                 n2 AS (SELECT doc_id,
+                          list_sum(list(v * v ORDER BY i)) AS n2
+                        FROM dense GROUP BY doc_id)
+            SELECT d.doc_id, d.i,
+                   CAST(CAST(d.v / sqrt(n2.n2) AS FLOAT) AS DOUBLE) AS v
+            FROM dense d JOIN n2 USING (doc_id)
+            WHERE n2.n2 > 0
+            ORDER BY doc_id, i"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84)
+    x78, x79, x80, x81, x82, x83, x84, x85)
 }

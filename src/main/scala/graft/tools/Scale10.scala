@@ -484,6 +484,15 @@ object Scale10 {
           .filter(col("width").isNull || col("width") >= 1 ||
             col("sample_rate") >= 1).count()
       }),
+      // x85: the hashing-trick featurizer (fast xxhash64 dial, dim 64)
+      // — aggregates + bounded broadcasts only; the decade claim is
+      // that cost tracks TOKENS (the tf aggregate), not documents². The
+      // element_at filter reads the computed vector (count-honesty).
+      "hashed_tfidf" -> (() => {
+        TfIdf.hashedVec(docs.select(col("doc_id"), col("text")),
+            "doc_id", "text", 64)
+          .filter(element_at(col("embedding"), 1) >= -1.0f).count()
+      }),
       // x50/x51's shape: one stateless map over the scan — the claim
       // to verify across decades is pure linearity (no shuffle should
       // ever appear). The filters force the md5 assignment to compute.
@@ -2854,7 +2863,8 @@ object Scale10 {
         "winnow_coverage", "token_budget", "neardup_ingest",
         "sliding_chunks", "classifier_gate",
         "classifier_gate_fast", "composed_gate",
-        "image_headers", "media_headers", "ingest_path"), "docs100")
+        "image_headers", "media_headers", "ingest_path",
+        "hashed_tfidf"), "docs100")
       time(SRC, docNames)
       time(dir100, docNames)
     } else { time(SRC, only); time(outDir, only) }

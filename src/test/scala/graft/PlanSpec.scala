@@ -1064,6 +1064,25 @@ class PlanSpec extends SparkTestBase {
         inner)
   }
 
+  test("x85: hashed TF-IDF featurization never shuffle-joins the token " +
+    "stream — df is a <= dim-row broadcast, N a 1-row broadcast, no " +
+    "window, no sort before the presentation ORDER BY") {
+    val df = q("x85_hashed_tfidf")
+    assert(windowsOf(df).isEmpty)
+    val plan = planOf(df)
+    // the fact side (exploded tokens / per-doc rows) shuffles only into
+    // its hash-aggregates; both joins build on bounded frames (df has
+    // at most `dim` rows, totals exactly 1), so neither may plan as a
+    // corpus-side exchange
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // tf, the distinct for df, df itself, and the dense per-doc
+    // assembly are all hash-aggregates (partial + final pairs) — the
+    // whole operator is aggregates + broadcasts, nothing else
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+  }
+
   test("x81: the composed ingest path reads ONLY checkpointed stage " +
     "frames (zero re-scans of documents), keeps the classifier inside " +
     "the prefix checkpoint, and plans no cartesian and no window") {

@@ -219,7 +219,7 @@ class MultimodalSpec extends SparkTestBase {
     // unparseable and null payloads: every field null
     val bad = Multimodal.mediaHeaderDecode(
       Seq((1L, Array[Byte](1, 2, 3)), (2L, null),
-        (3L, "RIFF????WAVE".getBytes("UTF-8")), // truncated: no fmt chunk
+        (3L, "RIFFxxxxWAVE".getBytes("UTF-8")), // truncated: no fmt chunk
         (4L, "GIF89a".getBytes("UTF-8"))) // truncated: no LSD
         .toDF("i", "p"), "i", "p").collect()
     bad.foreach { r =>
