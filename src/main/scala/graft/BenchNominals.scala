@@ -47,151 +47,151 @@ object BenchNominals {
   val canaryNominal: Double = 0.32
 
   val sf01: Map[String, (Double, Double)] = Map(
-    "r01_scan_project" -> ((0.248, 0.269)),
-    "r02_star" -> ((0.131, 0.149)),
-    "r03_filter_and_or" -> ((0.400, 0.439)),
-    "r04_filter_comparators" -> ((0.336, 0.378)),
-    "r05_distinct" -> ((0.284, 0.303)),
-    "r06_agg_global" -> ((0.159, 0.165)),
-    "r07_multi_agg" -> ((0.335, 0.374)),
-    "r08_cross_join_filter" -> ((0.207, 0.220)),
-    "r09_nway_join" -> ((0.259, 0.285)),
-    "s01_group_agg" -> ((0.777, 0.834)),
-    "s02_having" -> ((0.390, 0.392)),
-    "s03_orderby_limit" -> ((0.128, 0.152)),
-    "s04_join_inner" -> ((0.297, 0.332)),
-    "s05_join_left" -> ((0.804, 0.958)),
-    "s06_join_full" -> ((0.433, 0.465)),
-    "s07_semi_join" -> ((0.313, 0.326)),
-    "s08_anti_join" -> ((0.253, 0.300)),
-    "s09_union_all" -> ((0.407, 0.434)),
-    "s10_union_distinct" -> ((0.377, 0.423)),
-    "s11_intersect" -> ((0.366, 0.381)),
-    "s12_except" -> ((0.286, 0.314)),
-    "s13_case_when" -> ((0.307, 0.342)),
-    "s14_between_in_like" -> ((0.185, 0.242)),
-    "s15_arith_cast" -> ((0.277, 0.388)),
-    "s16_scalar_subquery" -> ((0.348, 0.373)),
-    "s17_in_subquery" -> ((0.411, 0.450)),
-    "s18_exists_sql" -> ((0.730, 0.778)),
-    "s19_window_topk" -> ((0.476, 0.509)),
-    "s20_window_running" -> ((0.261, 0.298)),
-    "s21_window_lag" -> ((0.243, 0.308)),
-    "s22_rollup" -> ((0.430, 0.461)),
-    "s23_cube" -> ((0.306, 0.409)),
-    "s24_tpch_q3" -> ((0.534, 0.607)),
-    "s25_tpch_q5" -> ((0.649, 0.661)),
-    "s26_string_funcs" -> ((0.230, 0.283)),
-    "s27_date_funcs" -> ((0.365, 0.392)),
-    "s28_count_distinct" -> ((0.664, 0.700)),
-    "s29_approx_distinct" -> ((1.606, 1.849)),
-    "s30_grouping_sets" -> ((0.324, 0.378)),
-    "s31_sql_entry" -> ((0.254, 0.286)),
-    "s32_from_subquery" -> ((0.151, 0.174)),
-    "s33_join_using" -> ((0.120, 0.124)),
-    "s34_bitwise" -> ((0.215, 0.235)),
-    "s35_is_null" -> ((0.297, 0.346)),
-    "s36_concat_op" -> ((0.093, 0.105)),
-    "s37_percentile" -> ((0.314, 0.377)),
-    "s38_date_arith" -> ((0.378, 0.467)),
-    "s39_regexp" -> ((0.149, 0.163)),
-    "s40_tpch_q13" -> ((0.453, 0.499)),
-    "s41_tpch_q18" -> ((0.576, 0.661)),
-    "s42_pivot" -> ((0.279, 0.316)),
-    "s43_unpivot" -> ((0.199, 0.248)),
-    "s44_array_agg" -> ((0.183, 0.260)),
-    "s45_window_rank_funcs" -> ((0.278, 0.336)),
-    "s46_stratified_sample" -> ((0.438, 0.461)),
-    "s47_tpch_q4" -> ((0.608, 0.701)),
-    "s48_tpch_q10" -> ((0.595, 0.659)),
-    "s49_map_funcs" -> ((0.257, 0.282)),
-    "s50_date_spine" -> ((0.328, 0.356)),
-    "x01_dedup_exact" -> ((0.236, 0.253)),
-    "x02_token_stats" -> ((0.508, 0.624)),
-    "x03_lang_id" -> ((0.648, 0.732)),
-    "x04_quality_by_source" -> ((0.273, 0.297)),
-    "x05_jaccard_pairs" -> ((0.692, 0.783)),
-    "x06_dedup_minhash" -> ((0.802, 1.082)),
-    "x07_dedup_simhash" -> ((0.922, 1.217)),
-    "x08_ann_bruteforce" -> ((0.294, 0.417)),
-    "x09_ann_lsh" -> ((0.258, 0.317)),
-    "x10_embed_neardup" -> ((1.180, 1.330)),
-    "x10b_embed_neardup_auto" -> ((1.147, 1.337)),
-    "x11_ann_ivf_cells" -> ((0.333, 0.403)),
-    "x12_events_hourly" -> ((0.412, 0.611)),
-    "x13_events_sessionize" -> ((0.758, 0.933)),
-    "x14_events_json" -> ((0.584, 0.658)),
-    "x15_multimodal_binary" -> ((0.169, 0.182)),
-    "x16_multimodal_decode" -> ((0.245, 0.250)),
-    "x17_text_rolling_hash" -> ((0.144, 0.160)),
-    "x18_asof_join" -> ((0.466, 0.546)),
-    "x19_salted_agg" -> ((0.327, 0.347)),
-    "x20_corpus_stats" -> ((0.266, 0.319)),
-    "x21_regex_tokens" -> ((0.374, 0.448)),
-    "x22_interval_join" -> ((0.374, 0.473)),
-    "x23_top_tokens" -> ((0.268, 0.366)),
-    "x24_text_scrub" -> ((0.746, 0.851)),
-    "x25_vocab_encode" -> ((0.618, 0.949)),
-    "x26_quantize_int8" -> ((0.248, 0.340)),
-    "x27_char_ngram_pairs" -> ((0.549, 0.695)),
-    "x28_bloom_join" -> ((0.432, 0.462)),
-    "x29_salted_join" -> ((0.338, 0.363)),
-    "x30_dedup_incremental" -> ((0.422, 0.469)),
-    "x31_sequence_pack" -> ((0.309, 0.326)),
-    "x31b_sequence_pack_sharded" -> ((0.335, 0.362)),
-    "x32_dedup_clusters" -> ((1.192, 1.487)),
-    "x33_ann_ivf_search" -> ((0.420, 0.484)),
-    "x34_frame_sample" -> ((0.212, 0.238)),
-    "x35_corpus_pipeline" -> ((1.679, 1.870)),
-    "x36_ivf_kmeans" -> ((0.754, 0.850)),
-    "x37_decontaminate" -> ((0.935, 1.118)),
-    "x37b_decontaminate_clean" -> ((0.873, 1.059)),
-    "x38_mix_weights" -> ((0.299, 0.461)),
-    "x39_shuffle_shards" -> ((0.617, 0.673)),
-    "x40_repetition_signals" -> ((1.057, 1.102)),
-    "x41_importance_weights" -> ((1.484, 2.007)),
-    "x42_bpe_pairs" -> ((0.448, 0.608)),
-    "x43_sessionize_chunked" -> ((1.040, 1.183)),
-    "x44_interval_join_nearest" -> ((0.391, 0.423)),
-    "x45_semantic_dedup" -> ((1.872, 2.058)),
-    "x46_bigram_lm" -> ((1.429, 1.862)),
-    "x47_dup_ngram_frac" -> ((1.182, 1.352)),
-    "x48_bpe_encode" -> ((0.535, 0.611)),
-    "x49_quality_select" -> ((0.577, 0.898)),
-    "x50_hash_split" -> ((0.162, 0.212)),
-    "x51_stratified_sample" -> ((0.153, 0.209)),
-    "x52_tfidf_terms" -> ((1.047, 1.125)),
-    "x53_filter_reasons" -> ((0.393, 0.431)),
-    "x54_knn_label_agree" -> ((0.578, 0.683)),
-    "x55_source_cap" -> ((0.318, 0.359)),
-    "x56_chunk_dedup" -> ((1.208, 1.483)),
-    "x57_cluster_canonical" -> ((1.537, 1.923)),
-    "x58_corpus_offsets" -> ((0.531, 0.622)),
-    "x59_novelty" -> ((1.310, 1.532)),
-    "x60_split_leakage" -> ((0.853, 0.977)),
-    "x61_winnow_pairs" -> ((1.154, 1.201)),
-    "x62_boiler_list" -> ((0.724, 0.886)),
-    "x63_chunk_dedup_scoped" -> ((1.415, 2.006)),
-    "x64_winnow_coverage" -> ((1.811, 1.924)),
-    "x65_sentiment" -> ((0.327, 0.401)),
-    "x66_chunk_dedup_lines" -> ((1.315, 1.463)),
-    "x67_token_budget_select" -> ((1.208, 1.353)),
-    "x68_neardup_ingest" -> ((0.480, 0.644)),
-    "x69_pq_encode" -> ((0.413, 0.474)),
-    "x70_pq_adc_topk" -> ((0.583, 0.728)),
-    "x71_label_outliers" -> ((0.767, 1.181)),
-    "x72_contrastive_pairs" -> ((0.297, 0.362)),
-    "x73_sliding_chunks" -> ((0.175, 0.219)),
-    "x74_classifier_gate" -> ((0.327, 0.386)),
-    "x75_curation_funnel" -> ((1.153, 1.291)),
-    "x76_mix_sample" -> ((0.396, 0.438)),
-    "x77_ivfpq_topk" -> ((0.657, 0.683)),
-    "x78_composed_gate" -> ((0.467, 0.517)),
-    "x79_contrastive_bycell" -> ((0.487, 0.490)),
-    "x80_image_headers" -> ((0.175, 0.220)),
-    "x81_ingest_path" -> ((1.207, 1.350)),
-    "x82_ingest_indexed" -> ((1.997, 2.116)),
-    "x83_pq_drift_probe" -> ((0.407, 0.512)),
-    "x84_media_headers" -> ((0.414, 0.512)),
-    "x85_hashed_tfidf" -> ((15.170, 17.896)))
+    "r01_scan_project" -> ((0.259, 0.283)),
+    "r02_star" -> ((0.139, 0.145)),
+    "r03_filter_and_or" -> ((0.411, 0.478)),
+    "r04_filter_comparators" -> ((0.350, 0.362)),
+    "r05_distinct" -> ((0.287, 0.343)),
+    "r06_agg_global" -> ((0.163, 0.211)),
+    "r07_multi_agg" -> ((0.365, 0.488)),
+    "r08_cross_join_filter" -> ((0.213, 0.239)),
+    "r09_nway_join" -> ((0.267, 0.308)),
+    "s01_group_agg" -> ((0.804, 0.837)),
+    "s02_having" -> ((0.395, 0.408)),
+    "s03_orderby_limit" -> ((0.135, 0.146)),
+    "s04_join_inner" -> ((0.309, 0.343)),
+    "s05_join_left" -> ((0.774, 0.806)),
+    "s06_join_full" -> ((0.458, 0.468)),
+    "s07_semi_join" -> ((0.306, 0.341)),
+    "s08_anti_join" -> ((0.262, 0.271)),
+    "s09_union_all" -> ((0.398, 0.435)),
+    "s10_union_distinct" -> ((0.391, 0.402)),
+    "s11_intersect" -> ((0.396, 0.401)),
+    "s12_except" -> ((0.290, 0.364)),
+    "s13_case_when" -> ((0.324, 0.353)),
+    "s14_between_in_like" -> ((0.206, 0.214)),
+    "s15_arith_cast" -> ((0.296, 0.382)),
+    "s16_scalar_subquery" -> ((0.359, 0.411)),
+    "s17_in_subquery" -> ((0.394, 0.438)),
+    "s18_exists_sql" -> ((0.699, 0.772)),
+    "s19_window_topk" -> ((0.492, 0.550)),
+    "s20_window_running" -> ((0.263, 0.302)),
+    "s21_window_lag" -> ((0.220, 0.258)),
+    "s22_rollup" -> ((0.422, 0.457)),
+    "s23_cube" -> ((0.291, 0.316)),
+    "s24_tpch_q3" -> ((0.530, 0.571)),
+    "s25_tpch_q5" -> ((0.615, 0.670)),
+    "s26_string_funcs" -> ((0.219, 0.240)),
+    "s27_date_funcs" -> ((0.342, 0.387)),
+    "s28_count_distinct" -> ((0.643, 0.722)),
+    "s29_approx_distinct" -> ((1.611, 1.788)),
+    "s30_grouping_sets" -> ((0.316, 0.396)),
+    "s31_sql_entry" -> ((0.254, 0.272)),
+    "s32_from_subquery" -> ((0.145, 0.160)),
+    "s33_join_using" -> ((0.110, 0.119)),
+    "s34_bitwise" -> ((0.212, 0.241)),
+    "s35_is_null" -> ((0.311, 0.352)),
+    "s36_concat_op" -> ((0.093, 0.106)),
+    "s37_percentile" -> ((0.323, 0.354)),
+    "s38_date_arith" -> ((0.395, 0.419)),
+    "s39_regexp" -> ((0.141, 0.147)),
+    "s40_tpch_q13" -> ((0.444, 0.505)),
+    "s41_tpch_q18" -> ((0.539, 0.599)),
+    "s42_pivot" -> ((0.295, 0.330)),
+    "s43_unpivot" -> ((0.204, 0.208)),
+    "s44_array_agg" -> ((0.202, 0.241)),
+    "s45_window_rank_funcs" -> ((0.283, 0.289)),
+    "s46_stratified_sample" -> ((0.463, 0.474)),
+    "s47_tpch_q4" -> ((0.617, 0.636)),
+    "s48_tpch_q10" -> ((0.630, 0.720)),
+    "s49_map_funcs" -> ((0.263, 0.362)),
+    "s50_date_spine" -> ((0.332, 0.441)),
+    "x01_dedup_exact" -> ((0.235, 0.346)),
+    "x02_token_stats" -> ((0.525, 0.546)),
+    "x03_lang_id" -> ((0.659, 0.666)),
+    "x04_quality_by_source" -> ((0.295, 0.304)),
+    "x05_jaccard_pairs" -> ((0.639, 0.664)),
+    "x06_dedup_minhash" -> ((0.901, 1.022)),
+    "x07_dedup_simhash" -> ((0.991, 1.089)),
+    "x08_ann_bruteforce" -> ((0.304, 0.358)),
+    "x09_ann_lsh" -> ((0.237, 0.255)),
+    "x10_embed_neardup" -> ((1.151, 1.232)),
+    "x10b_embed_neardup_auto" -> ((1.067, 1.205)),
+    "x11_ann_ivf_cells" -> ((0.308, 0.337)),
+    "x12_events_hourly" -> ((0.412, 0.493)),
+    "x13_events_sessionize" -> ((0.856, 0.903)),
+    "x14_events_json" -> ((0.624, 0.798)),
+    "x15_multimodal_binary" -> ((0.163, 0.192)),
+    "x16_multimodal_decode" -> ((0.238, 0.268)),
+    "x17_text_rolling_hash" -> ((0.149, 0.160)),
+    "x18_asof_join" -> ((0.515, 0.552)),
+    "x19_salted_agg" -> ((0.334, 0.364)),
+    "x20_corpus_stats" -> ((0.275, 0.364)),
+    "x21_regex_tokens" -> ((0.399, 0.494)),
+    "x22_interval_join" -> ((0.393, 0.424)),
+    "x23_top_tokens" -> ((0.331, 0.440)),
+    "x24_text_scrub" -> ((0.775, 0.814)),
+    "x25_vocab_encode" -> ((0.838, 0.892)),
+    "x26_quantize_int8" -> ((0.245, 0.341)),
+    "x27_char_ngram_pairs" -> ((0.588, 0.730)),
+    "x28_bloom_join" -> ((0.401, 0.492)),
+    "x29_salted_join" -> ((0.290, 0.367)),
+    "x30_dedup_incremental" -> ((0.413, 0.506)),
+    "x31_sequence_pack" -> ((0.297, 0.364)),
+    "x31b_sequence_pack_sharded" -> ((0.319, 0.410)),
+    "x32_dedup_clusters" -> ((1.284, 1.499)),
+    "x33_ann_ivf_search" -> ((0.403, 0.537)),
+    "x34_frame_sample" -> ((0.195, 0.267)),
+    "x35_corpus_pipeline" -> ((1.615, 2.280)),
+    "x36_ivf_kmeans" -> ((0.856, 0.959)),
+    "x37_decontaminate" -> ((1.014, 1.139)),
+    "x37b_decontaminate_clean" -> ((0.963, 1.094)),
+    "x38_mix_weights" -> ((0.332, 0.429)),
+    "x39_shuffle_shards" -> ((0.523, 0.786)),
+    "x40_repetition_signals" -> ((1.088, 1.172)),
+    "x41_importance_weights" -> ((1.791, 2.080)),
+    "x42_bpe_pairs" -> ((0.519, 0.710)),
+    "x43_sessionize_chunked" -> ((1.175, 1.785)),
+    "x44_interval_join_nearest" -> ((0.403, 0.639)),
+    "x45_semantic_dedup" -> ((2.000, 2.581)),
+    "x46_bigram_lm" -> ((1.494, 1.813)),
+    "x47_dup_ngram_frac" -> ((1.209, 1.343)),
+    "x48_bpe_encode" -> ((0.565, 0.629)),
+    "x49_quality_select" -> ((0.589, 0.804)),
+    "x50_hash_split" -> ((0.153, 0.188)),
+    "x51_stratified_sample" -> ((0.150, 0.183)),
+    "x52_tfidf_terms" -> ((0.999, 1.117)),
+    "x53_filter_reasons" -> ((0.390, 0.416)),
+    "x54_knn_label_agree" -> ((0.546, 0.652)),
+    "x55_source_cap" -> ((0.278, 0.399)),
+    "x56_chunk_dedup" -> ((1.212, 1.322)),
+    "x57_cluster_canonical" -> ((1.410, 1.536)),
+    "x58_corpus_offsets" -> ((0.556, 0.567)),
+    "x59_novelty" -> ((1.312, 1.423)),
+    "x60_split_leakage" -> ((0.892, 0.959)),
+    "x61_winnow_pairs" -> ((1.042, 1.123)),
+    "x62_boiler_list" -> ((0.693, 0.787)),
+    "x63_chunk_dedup_scoped" -> ((1.282, 1.807)),
+    "x64_winnow_coverage" -> ((1.779, 1.909)),
+    "x65_sentiment" -> ((0.349, 0.514)),
+    "x66_chunk_dedup_lines" -> ((1.234, 1.523)),
+    "x67_token_budget_select" -> ((1.153, 1.469)),
+    "x68_neardup_ingest" -> ((0.432, 0.568)),
+    "x69_pq_encode" -> ((0.404, 0.535)),
+    "x70_pq_adc_topk" -> ((0.588, 0.812)),
+    "x71_label_outliers" -> ((0.750, 0.955)),
+    "x72_contrastive_pairs" -> ((0.305, 0.356)),
+    "x73_sliding_chunks" -> ((0.181, 0.215)),
+    "x74_classifier_gate" -> ((0.329, 0.362)),
+    "x75_curation_funnel" -> ((1.132, 1.361)),
+    "x76_mix_sample" -> ((0.397, 0.478)),
+    "x77_ivfpq_topk" -> ((0.635, 0.823)),
+    "x78_composed_gate" -> ((0.473, 0.704)),
+    "x79_contrastive_bycell" -> ((0.500, 0.538)),
+    "x80_image_headers" -> ((0.194, 0.222)),
+    "x81_ingest_path" -> ((1.286, 1.571)),
+    "x82_ingest_indexed" -> ((2.092, 2.406)),
+    "x83_pq_drift_probe" -> ((0.442, 0.521)),
+    "x84_media_headers" -> ((0.409, 0.416)),
+    "x85_hashed_tfidf" -> ((1.638, 1.885)))
 }

@@ -110,6 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "width/height for images, sample_rate/channels for wav; " +
           "-1 unparseable)"),
       (args: Seq[Expression]) => graft.functions.MediaHeaderMeta(args.head)))
+    e.injectFunction((FunctionIdentifier("md5_long60"),
+      info("md5_long60",
+        "md5_long60(s) - first 15 hex chars of md5(s) as a 60-bit " +
+          "long, one pass (the engine-portable hash dial)"),
+      (args: Seq[Expression]) => graft.functions.Md5Long60(args.head)))
     e.injectFunction((FunctionIdentifier("char_split"),
       info("char_split",
         "char_split(text) - one string per code point, one pass"),

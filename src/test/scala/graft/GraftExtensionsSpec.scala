@@ -216,6 +216,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got(4).isNullAt(1))
   }
 
+  test("md5_long60 resolves in SQL and agrees with the declarative " +
+    "md5 chain") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "md5_long60"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq((1L, "hello"), (2L, ""), (3L, "日本語"), (4L, null))
+      .toDF("i", "t").createOrReplaceTempView("ext_md560_t")
+    val got = spark.sql(
+      """SELECT i, md5_long60(t) AS n,
+                CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) AS h
+         FROM ext_md560_t ORDER BY i""").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2))
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2), r.toString)
+    }
+    assert(got(3).isNullAt(1))
+  }
+
   test("hyperplane_bucket / nearest_centroid / nearest_centroid_dist " +
     "resolve in SQL with literal plane/centroid families and agree " +
     "with the Column API") {

@@ -245,6 +245,35 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(onNull.isNullAt(1))
   }
 
+  test("md5_long60 equals its declarative twin conv(substring(md5)) " +
+    "on the fuzz corpus, the real corpus, and null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val alphabet = Seq("a", "b", " ", "c", "é", "ö", "日", "😀", "x")
+    val fuzz = (0 until 200).map { _ =>
+      Seq.fill(rnd.nextInt(33))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    val frames = Seq(
+      (Seq("", "x", "hello", "日本語", "a😀b") ++ fuzz).toDF("text"),
+      docs.select(col("text")))
+    for (frame <- frames) {
+      frame.select(
+          SketchFunctions.md5Long60(col("text")).as("n"),
+          conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .collect().foreach(r =>
+          assert(r.getLong(0) == r.getLong(1),
+            s"md5_long60 diverged: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+    val onNull = Seq(Option.empty[String]).toDF("text")
+      .select(SketchFunctions.md5Long60(col("text"))).collect()(0)
+    assert(onNull.isNullAt(0))
+    // non-negative by construction (60 bits in a signed 64-bit long)
+    assert(frames.head.select(min(SketchFunctions.md5Long60(col("text"))))
+      .collect()(0).getLong(0) >= 0L)
+  }
+
   test("simhash of single-token text is that token's hash bits sign") {
     import spark.implicits._
     val r = Seq("hello").toDF("text")
@@ -432,7 +461,8 @@ class SketchExpressionsSpec extends SparkTestBase {
         bias = -0.1, fastHash = false),
       ClassifierMargin(text,
         (0 until 16).map(j => j / 16.0 - 0.4).toIndexedSeq,
-        bias = -0.1, fastHash = true))
+        bias = -0.1, fastHash = true),
+      Md5Long60(text))
     // this line IS the compile assertion: no interpreted fallback here
     val proj = GenerateUnsafeProjection.generate(strExprs)
     def norm(v: Any, dt: DataType): Any = (v, dt) match {
