@@ -110,8 +110,8 @@ object TfIdf {
   def hashedVec(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, fastHash: Boolean = true): DataFrame = {
     require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
-    Seq("embedding", "__b", "__tf", "__df", "__nd", "__w", "__m",
-        "__raw", "__n2").foreach(c =>
+    Seq("embedding", "__t", "__b", "__tf", "__df", "__nd", "__w",
+        "__m", "__n2").foreach(c =>
       require(idCol != c && textCol != c,
         s"TfIdf.hashedVec reserves column name '$c'; rename the input"))
     val tokHash: Column => Column =
