@@ -115,6 +115,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "md5_long60(s) - first 15 hex chars of md5(s) as a 60-bit " +
           "long, one pass (the engine-portable hash dial)"),
       (args: Seq[Expression]) => graft.functions.Md5Long60(args.head)))
+    e.injectFunction((FunctionIdentifier("dense_vec_norm2"),
+      info("dense_vec_norm2",
+        "dense_vec_norm2(pairs, dim) - scatter array<struct<int,long>> " +
+          "sparse pairs to struct<vec: array<double>, n2: double> " +
+          "(squared norm folded in index order), one pass"),
+      (args: Seq[Expression]) => args match {
+        case Seq(p, d) => graft.functions.DenseVecNorm2(p,
+          d.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "dense_vec_norm2(pairs, dim)")
+      }))
     e.injectFunction((FunctionIdentifier("char_split"),
       info("char_split",
         "char_split(text) - one string per code point, one pass"),

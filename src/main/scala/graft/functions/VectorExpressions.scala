@@ -569,6 +569,79 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** dense_vec_norm2(pairs, dim): scatter sparse (bucket, weight) pairs
+  * into a dense double vector and return struct<vec: array<double>,
+  * n2: double> where n2 is the squared L2 norm folded over the DENSE
+  * vector in ascending index order — bit-identical to the
+  * map_from_entries + sequence/element_at + index-ordered-fold
+  * declarative assembly it replaces (TfIdf.hashedVec), because
+  * scattering is exact and adding 0.0 never changes a finite double.
+  *
+  * Why a native: the declarative assembly is O(dim²) per row —
+  * `dim` element_at probes, each a linear scan of an
+  * ArrayBasedMapData — and the O(dim) fold re-inlines into HOF
+  * lambdas under a downstream Generate (the hashedVec lesson). This
+  * is one O(dim + nnz) pass, and producing BOTH outputs as one
+  * struct lets the consumer stage it as a single aggregate-output
+  * attribute that no optimizer rule can re-inline.
+  *
+  * Input: array<struct<bucket:int, weight:long>> (field names
+  * irrelevant — positional). Null input, null entries, or a bucket
+  * outside [0, dim) yield null (the malformed-input posture of the
+  * other vector natives). Duplicate buckets ADD — callers that
+  * guarantee uniqueness (a groupBy on the bucket upstream) are
+  * unaffected; anything else gets sum semantics, not
+  * last-writer-wins nondeterminism.
+  */
+case class DenseVecNorm2(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim >= 1 && dim <= (1 << 20), s"dim out of range: $dim")
+  override def dataType: DataType = StructType(Seq(
+    StructField("vec", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("n2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  /** Public for generated code (object-reference call). */
+  def evalDense(pairs: ArrayData): Any = {
+    val out = new Array[Double](dim)
+    val n = pairs.numElements()
+    var i = 0
+    while (i < n) {
+      if (pairs.isNullAt(i)) return null
+      val row = pairs.getStruct(i, 2)
+      val b = row.getInt(0)
+      if (b < 0 || b >= dim) return null
+      out(b) += row.getLong(1).toDouble
+      i += 1
+    }
+    var n2 = 0.0
+    var j = 0
+    while (j < dim) { n2 += out(j) * out(j); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(out),
+        n2))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalDense(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("denseVecNorm2", this,
+      classOf[DenseVecNorm2].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (InternalRow) $ref.evalDense($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override def prettyName: String = "dense_vec_norm2"
+  override protected def withNewChildInternal(newChild: Expression): DenseVecNorm2 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API: fused native cosine similarity. */
   def cosineSim(a: Column, b: Column): Column =
@@ -611,4 +684,10 @@ object VectorFunctions {
   /** Column API: fused native hyperplane LSH bucket. */
   def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnShim.toColumn(HyperplaneBucket(ColumnShim.toExpression(vec), planes))
+
+  /** Column API: one-pass sparse-pairs → struct<dense vec, squared
+    * norm> (O(dim + nnz); hashedVec's assembly).
+    */
+  def denseVecNorm2(pairs: Column, dim: Int): Column =
+    ColumnShim.toColumn(DenseVecNorm2(ColumnShim.toExpression(pairs), dim))
 }

@@ -105,13 +105,18 @@ object TfIdf {
     * text whenever the average document exceeds `dim` tokens. N is a
     * one-row aggregate broadcast by crossJoin (the Mix totals
     * pattern); the dense assembly is one more hash-aggregate on the
-    * doc key — no window, no sort, nothing corpus-sized on the driver.
+    * doc key whose output is the compiled DenseVecNorm2 native —
+    * O(dim + nnz) per doc (the declarative map_from_entries +
+    * element_at form it replaced probed the map `dim` times, O(dim²)
+    * — fine at dim 64, hostile at the dim 1024+ a production
+    * featurizer uses) — no window, no sort, nothing corpus-sized on
+    * the driver.
     */
   def hashedVec(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, fastHash: Boolean = true): DataFrame = {
     require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
     Seq("embedding", "__t", "__b", "__tf", "__df", "__nd", "__w",
-        "__m", "__n2").foreach(c =>
+        "__dn").foreach(c =>
       require(idCol != c && textCol != c,
         s"TfIdf.hashedVec reserves column name '$c'; rename the input"))
     val tokHash: Column => Column =
@@ -136,29 +141,23 @@ object TfIdf {
         (col("__tf") *
           round(log((col("__nd") + 1.0) / (col("__df") + 1.0)) * 1e6, 0)
             .cast(LongType)).as("__w"))
-    // Both the bucket map and the norm are produced INSIDE the
-    // aggregate: aggregate-output attributes cannot be re-inlined by
+    // The dense vector and its norm are produced INSIDE the aggregate,
+    // as ONE native struct (VectorFunctions.denseVecNorm2, O(dim+nnz)):
+    // aggregate-output attributes cannot be re-inlined by
     // CollapseProject, where a staged __raw projection CAN — a
     // downstream Generate (x85's posexplode) collapsed such a stage
     // into the HOF lambdas and re-evaluated the whole dense assembly
     // per element, O(dim² · map-scan) per row (measured 1.7 s → 5.9 s
     // just by adding the explode; the hof-lambda lesson again). The
-    // norm folds the b-SORTED sparse pairs — bit-identical to the
-    // dense index-ordered fold the oracle replays, because adding 0.0
-    // never changes a finite double — and the shared sorted
-    // collect_list is deduplicated by the aggregate planner.
-    val pairs = sort_array(collect_list(struct(col("__b"), col("__w"))))
+    // native's norm folds the dense vector in ascending index order —
+    // exactly the fold the oracle replays.
     weights.groupBy(col(idCol))
-      .agg(map_from_entries(pairs).as("__m"),
-        aggregate(pairs, lit(0.0), (a, s) => {
-          val w = s.getField("__w").cast(DoubleType)
-          a + w * w
-        }).as("__n2"))
-      .filter(col("__n2") > 0)
+      .agg(graft.functions.VectorFunctions.denseVecNorm2(
+        collect_list(struct(col("__b"), col("__w"))), dim).as("__dn"))
+      .filter(col("__dn").getField("n2") > 0)
       .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => (coalesce(element_at(col("__m"), i), lit(0L))
-            .cast(DoubleType) / sqrt(col("__n2")))
+        transform(col("__dn").getField("vec"),
+          x => (x / sqrt(col("__dn").getField("n2")))
             .cast(FloatType)).as("embedding"))
   }
 }

@@ -216,6 +216,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got(4).isNullAt(1))
   }
 
+  test("dense_vec_norm2 resolves in SQL and agrees with the Column API") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "dense_vec_norm2"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq((1L, Seq((0, 3L), (2, -4L))), (2L, Seq.empty[(Int, Long)]),
+        (3L, null.asInstanceOf[Seq[(Int, Long)]]))
+      .toDF("i", "p")
+      .select($"i", $"p".cast("array<struct<b:int,w:bigint>>").as("p"))
+      .createOrReplaceTempView("ext_dvn_t")
+    val got = spark.sql(
+      """SELECT i, dense_vec_norm2(p, 4) AS d FROM ext_dvn_t ORDER BY i""")
+      .select($"i", $"d".getField("vec").as("v"),
+        $"d".getField("n2").as("n2")).collect()
+    val want = spark.table("ext_dvn_t")
+      .select($"i", graft.functions.VectorFunctions
+        .denseVecNorm2($"p", 4).as("d"))
+      .select($"i", $"d".getField("vec").as("v"),
+        $"d".getField("n2").as("n2"))
+      .orderBy("i").collect()
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.isNullAt(1) == b.isNullAt(1))
+      if (!a.isNullAt(1)) {
+        assert(a.getSeq[Double](1) == b.getSeq[Double](1))
+        assert(a.getDouble(2) == b.getDouble(2))
+      }
+    }
+    assert(got(0).getSeq[Double](1) == Seq(3.0, 0.0, -4.0, 0.0) &&
+      got(0).getDouble(2) == 25.0)
+    assert(got(1).getSeq[Double](1) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(got(2).isNullAt(1))
+  }
+
   test("md5_long60 resolves in SQL and agrees with the declarative " +
     "md5 chain") {
     import spark.implicits._

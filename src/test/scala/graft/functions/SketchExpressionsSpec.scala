@@ -543,5 +543,30 @@ class SketchExpressionsSpec extends SparkTestBase {
         assert(gen == interp, s"${e.prettyName} on $in")
       }
     }
+    // DenseVecNorm2 takes array<struct<int,long>> input — same check
+    val pairsRef = BoundReference(0,
+      ArrayType(StructType(Seq(
+        StructField("b", IntegerType), StructField("w", LongType)))),
+      nullable = true)
+    val dvn = graft.functions.DenseVecNorm2(pairsRef, 4)
+    val projP = GenerateUnsafeProjection.generate(Seq(dvn))
+    def pairsRow(in: Seq[(Int, Long)]): InternalRow = InternalRow(
+      if (in == null) null
+      else new GenericArrayData(in.map { case (b, w) =>
+        InternalRow(b, w) }.toArray[Any]))
+    for (in <- Seq(Seq(0 -> 3L, 2 -> -5L), Seq.empty[(Int, Long)],
+        Seq(4 -> 1L), Seq(-1 -> 1L), null)) {
+      val row = pairsRow(in)
+      val out = projP(row)
+      val interp = dvn.eval(row)
+      if (out.isNullAt(0)) assert(interp == null, s"dense on $in")
+      else {
+        val gen = out.getStruct(0, 2)
+        val ir = interp.asInstanceOf[InternalRow]
+        assert(gen.getArray(0).toDoubleArray.toSeq ==
+          ir.getArray(0).toDoubleArray.toSeq, s"dense vec on $in")
+        assert(gen.getDouble(1) == ir.getDouble(1), s"dense n2 on $in")
+      }
+    }
   }
 }

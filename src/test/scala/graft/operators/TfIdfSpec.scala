@@ -92,6 +92,53 @@ class TfIdfSpec extends SparkTestBase {
     assert(TfIdf.hashedVec(flat, "id", "text", 8).count() == 0)
   }
 
+  test("dense_vec_norm2 equals the declarative map assembly on seeded " +
+    "sparse pairs, and rejects malformed buckets") {
+    // the native is hashedVec's assembly; its executable spec is the
+    // map_from_entries + sequence/element_at + index-ordered fold it
+    // replaced — parity on 200 seeded sparse rows plus the edges
+    val rnd = new scala.util.Random(44)
+    val dim = 32
+    val rows = (0 until 200).map { i =>
+      val nnz = rnd.nextInt(dim + 1)
+      val bs = rnd.shuffle((0 until dim).toList).take(nnz)
+      (i.toLong, bs.map(b => (b, rnd.between(-1000000L, 1000000L))))
+    }
+    val df = rows.toDF("id", "pairs")
+      .select(col("id"), col("pairs").cast(
+        "array<struct<__b:int,__w:bigint>>").as("pairs"))
+    val native = graft.functions.VectorFunctions
+      .denseVecNorm2(col("pairs"), dim)
+    val m = map_from_entries(col("pairs"))
+    val declaredVec = transform(sequence(lit(0), lit(dim - 1)),
+      i => coalesce(element_at(m, i), lit(0L)).cast("double"))
+    val got = df.select(col("id"),
+        native.getField("vec").as("nv"), native.getField("n2").as("nn"),
+        declaredVec.as("dv"),
+        aggregate(declaredVec, lit(0.0), (a, x) => a + x * x).as("dn"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](3), s"vec @ ${r.get(0)}")
+      assert(r.getDouble(2) == r.getDouble(4), s"n2 @ ${r.get(0)}")
+    }
+    // malformed: out-of-range bucket, null entry, null input -> null
+    val bad = Seq(
+      (1L, Seq((dim, 5L))), (2L, Seq((-1, 5L)))).toDF("id", "pairs")
+      .select(col("id"), col("pairs").cast(
+        "array<struct<__b:int,__w:bigint>>").as("pairs"))
+      .select(graft.functions.VectorFunctions
+        .denseVecNorm2(col("pairs"), dim)).collect()
+    bad.foreach(r => assert(r.isNullAt(0)))
+    // duplicate buckets ADD (documented sum semantics)
+    val dup = Seq((1L, Seq((3, 2L), (3, 5L)))).toDF("id", "pairs")
+      .select(col("pairs").cast("array<struct<__b:int,__w:bigint>>")
+        .as("pairs"))
+      .select(graft.functions.VectorFunctions
+        .denseVecNorm2(col("pairs"), dim).getField("vec")).collect()(0)
+      .getSeq[Double](0)
+    assert(dup(3) == 7.0 && dup.sum == 7.0)
+  }
+
   test("hashedVec output feeds the similarity stack directly: a seeded " +
     "near-dup text pair crosses the LSH cosine-pair threshold on the " +
     "real corpus, and scores above every unrelated partner") {
