@@ -595,7 +595,10 @@ case class NearestNeighborCosine(left: Expression, right: Expression,
   */
 case class DenseVecNorm2(child: Expression, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  require(dim >= 1 && dim <= (1 << 20), s"dim out of range: $dim")
+  // the eval allocates one dim-length double array PER ROW; 65536
+  // (512 KB) keeps that in young-gen territory — the same cap as
+  // TfIdf.hashedVec, the consumer that motivates the expression
+  require(dim >= 1 && dim <= 65536, s"dim out of range: $dim")
   override def dataType: DataType = StructType(Seq(
     StructField("vec", ArrayType(DoubleType, containsNull = false),
       nullable = false),
@@ -610,6 +613,9 @@ case class DenseVecNorm2(child: Expression, dim: Int)
     while (i < n) {
       if (pairs.isNullAt(i)) return null
       val row = pairs.getStruct(i, 2)
+      // a null FIELD would read as 0 through the primitive getters —
+      // check explicitly, same malformed-input posture as null entries
+      if (row.isNullAt(0) || row.isNullAt(1)) return null
       val b = row.getInt(0)
       if (b < 0 || b >= dim) return null
       out(b) += row.getLong(1).toDouble

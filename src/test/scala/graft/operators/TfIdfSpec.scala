@@ -121,7 +121,7 @@ class TfIdfSpec extends SparkTestBase {
       assert(r.getSeq[Double](1) == r.getSeq[Double](3), s"vec @ ${r.get(0)}")
       assert(r.getDouble(2) == r.getDouble(4), s"n2 @ ${r.get(0)}")
     }
-    // malformed: out-of-range bucket, null entry, null input -> null
+    // malformed: out-of-range bucket, null field, null input -> null
     val bad = Seq(
       (1L, Seq((dim, 5L))), (2L, Seq((-1, 5L)))).toDF("id", "pairs")
       .select(col("id"), col("pairs").cast(
@@ -129,6 +129,12 @@ class TfIdfSpec extends SparkTestBase {
       .select(graft.functions.VectorFunctions
         .denseVecNorm2(col("pairs"), dim)).collect()
     bad.foreach(r => assert(r.isNullAt(0)))
+    // a null struct FIELD must not silently read as bucket 0
+    val nullField = spark.sql(
+      """SELECT dense_vec_norm2(
+           array(named_struct('b', CAST(NULL AS INT), 'w', 5L)), 8)""")
+      .collect()(0)
+    assert(nullField.isNullAt(0))
     // duplicate buckets ADD (documented sum semantics)
     val dup = Seq((1L, Seq((3, 2L), (3, 5L)))).toDF("id", "pairs")
       .select(col("pairs").cast("array<struct<__b:int,__w:bigint>>")
