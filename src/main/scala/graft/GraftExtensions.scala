@@ -121,8 +121,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "sparse pairs to struct<vec: array<double>, n2: double> " +
           "(squared norm folded in index order), one pass"),
       (args: Seq[Expression]) => args match {
-        case Seq(p, d) => graft.functions.DenseVecNorm2(p,
-          d.eval().asInstanceOf[Int])
+        // accept any foldable integral dim (an unadorned SQL literal
+        // like 64 parses as INT, but a BIGINT or an expression that
+        // folds to one must not ClassCastException / unbound-eval —
+        // they get the real message instead)
+        case Seq(p, d) if d.foldable &&
+            (d.dataType == org.apache.spark.sql.types.IntegerType ||
+             d.dataType == org.apache.spark.sql.types.LongType) =>
+          val dim = d.eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+          }
+          require(dim >= 1 && dim <= 65536,
+            s"dense_vec_norm2 dim must be in [1, 65536], got $dim")
+          graft.functions.DenseVecNorm2(p, dim.toInt)
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "dense_vec_norm2(pairs, dim): dim must be an integer literal")
         case _ => throw new IllegalArgumentException(
           "dense_vec_norm2(pairs, dim)")
       }))

@@ -348,12 +348,12 @@ object Dedup {
     val spark = corpus.sparkSession
     def reset(tbl: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
-      val db = spark.catalog.currentDatabase
-      val base = spark.conf.get("spark.sql.warehouse.dir")
-        .stripSuffix("/")
-      val dbPart = if (db == "default") "" else s"/$db.db"
+      // the catalog owns the managed-location convention — ask it for
+      // the path (custom database locationUri, future layout changes)
+      // instead of string-rebuilding warehouse.dir + db + name by hand
       val loc = new org.apache.hadoop.fs.Path(
-        s"$base$dbPart/${tbl.toLowerCase(java.util.Locale.ROOT)}")
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
@@ -370,6 +370,47 @@ object Dedup {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(buckets, "id_old").sortBy("id_old")
       .format("parquet").saveAsTable(s"${tablePrefix}_sets")
+    // stamp the banding-family dials ON the tables: append/read sites
+    // re-derive the batch side under caller-passed dials, and a silent
+    // mismatch poisons the candidate join (wrong family) with zero
+    // runtime signal — so the dials travel with the index, like the
+    // bucket counts already do via the catalog's bucketSpec
+    Seq(s"${tablePrefix}_bands", s"${tablePrefix}_sets").foreach { tbl =>
+      spark.sql(s"ALTER TABLE `$tbl` SET TBLPROPERTIES (" +
+        s"'graft.shingle_k' = '$shingleK', " +
+        s"'graft.num_hashes' = '$numHashes', " +
+        s"'graft.bands' = '$bands')")
+    }
+  }
+
+  /** Require the caller-passed banding dials to equal the ones stamped
+    * on the index table by writeNearDupIndex — the dials parameterize
+    * the batch side's re-derivation, and a mismatch silently joins two
+    * different banding families (candidates missed or spurious, no
+    * error). Tables written before the dials were stamped fail loudly
+    * with a rebuild instruction rather than being trusted blind.
+    */
+  private def requireIndexDials(spark: org.apache.spark.sql.SparkSession,
+      tbl: String, shingleK: Int, numHashes: Int, bands: Int): Unit = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties
+    def check(key: String, expected: Int): Unit = props.get(key) match {
+      case Some(v) =>
+        require(v == expected.toString,
+          s"$tbl was written with $key = $v but the caller passed " +
+            s"$expected — the banding families differ and the candidate " +
+            "join would be silently wrong; pass the index's dials or " +
+            "rebuild it with writeNearDupIndex")
+      case None =>
+        throw new IllegalArgumentException(
+          s"$tbl carries no $key table property — it predates the " +
+            "dial-stamping contract (or was not written by " +
+            "writeNearDupIndex); rebuild it with writeNearDupIndex")
+    }
+    check("graft.shingle_k", shingleK)
+    check("graft.num_hashes", numHashes)
+    check("graft.bands", bands)
   }
 
   /** The daily-cadence half of writeNearDupIndex's refresh contract:
@@ -392,14 +433,30 @@ object Dedup {
     * the index would after append hold two generations of rows; the
     * candidate join would then verify against both). The ingest path
     * satisfies this for free — accepted docs passed its near-dup
-    * reject, so their ids are not in the index.
+    * reject, so their ids are not in the index — and the contract is
+    * EXECUTABLE, not prose: by default the append probes `_sets` for
+    * the batch's ids (one column-pruned scan of the id column with the
+    * batch ids broadcast — no shuffle, no set_o bytes read) and throws
+    * listing offenders before writing anything. A caller that has
+    * already proven freshness (the daily ingest loop) passes
+    * `requireNewIds = false` to skip the probe and its index scan.
+    *
+    * The (shingleK, numHashes, bands) dials are validated against the
+    * values stamped on the tables by writeNearDupIndex, same as the
+    * bucket counts — a mismatched family can no longer poison the
+    * index silently.
     */
   def appendToNearDupIndex(accepted: DataFrame, idCol: String,
       textCol: String, tablePrefix: String, shingleK: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): Unit = {
+      numHashes: Int = 32, bands: Int = 8,
+      requireNewIds: Boolean = true): Unit = {
     require(bands * (numHashes / bands) == numHashes,
       "bands must divide numHashes")
     val spark = accepted.sparkSession
+    requireIndexDials(spark, s"${tablePrefix}_bands",
+      shingleK, numHashes, bands)
+    requireIndexDials(spark, s"${tablePrefix}_sets",
+      shingleK, numHashes, bands)
     def bucketsOf(tbl: String): Int = {
       val spec = spark.sessionState.catalog
         .getTableMetadata(
@@ -408,6 +465,19 @@ object Dedup {
       require(spec.nonEmpty, s"$tbl is not bucketed — was the index " +
         "written by writeNearDupIndex?")
       spec.get.numBuckets
+    }
+    if (requireNewIds) {
+      val stale = spark.table(s"${tablePrefix}_sets")
+        .join(broadcast(accepted.select(col(idCol).as("id_old"))),
+          Seq("id_old"), "left_semi")
+        .select(col("id_old")).limit(20).collect().map(_.get(0))
+      require(stale.isEmpty,
+        s"appendToNearDupIndex(${tablePrefix}): ${stale.length}+ of the " +
+          s"batch ids already exist in ${tablePrefix}_sets (e.g. " +
+          s"${stale.take(5).mkString(", ")}) — appending would leave two " +
+          "generations of rows per id and candidate verification would " +
+          "match against both; re-crawled docs need a rebuild " +
+          "(writeNearDupIndex / compactNearDupIndex), not an append")
     }
     bandedFrame(accepted, idCol, textCol, shingleK, numHashes, bands)
       .select(col("band"), col("bhash"), col("id").as("id_old"))
@@ -434,7 +504,9 @@ object Dedup {
     * composed ingest path through this entry against x81's oracle).
     * The (shingleK, numHashes, bands) dials must match the ones the
     * index was written with — they parameterize the batch side's
-    * banding, which must join the stored family.
+    * banding, which must join the stored family. Enforced, not
+    * trusted: the dials are read back from the table properties
+    * writeNearDupIndex stamped and a mismatch throws.
     */
   def minhashNearDupsAgainstIndex(
       incoming: DataFrame, tablePrefix: String, idCol: String,
@@ -443,6 +515,8 @@ object Dedup {
     require(bands * (numHashes / bands) == numHashes,
       "bands must divide numHashes")
     val spark = incoming.sparkSession
+    requireIndexDials(spark, s"${tablePrefix}_bands",
+      shingleK, numHashes, bands)
     val bandedOld = spark.table(s"${tablePrefix}_bands")
     val setsOld = spark.table(s"${tablePrefix}_sets")
     val bandedNew = bandedFrame(incoming, idCol, textCol,

@@ -167,16 +167,24 @@ object Ingest {
     * (writeCorpusIndex) becomes an event — e.g. when the boilerplate
     * list itself rotates — not a schedule. IngestSpec pins
     * append-then-verdict ≡ rebuild-then-verdict.
+    *
+    * `requireNewIds` (default true) keeps appendToNearDupIndex's
+    * freshness probe on: "accepted" proves the TEXT was no near-dup,
+    * not that the ID is new — a re-crawl that changed a doc enough to
+    * clear the near-dup threshold arrives with its old id and would
+    * otherwise leave two generations in the index. Disable only when
+    * the id scheme itself guarantees freshness (e.g. ids minted at
+    * crawl time).
     */
   def appendAcceptedToCorpusIndex(accepted: DataFrame, idCol: String,
       textCol: String, k: Int, boilerplate: Seq[String],
       tablePrefix: String, shingleK: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): Unit = {
+      bands: Int = 8, requireNewIds: Boolean = true): Unit = {
     val acceptedClean =
       ChunkDedup.applyBoilerplate(accepted, idCol, textCol, k, boilerplate)
         .select(col(idCol), col("text_clean"))
     Dedup.appendToNearDupIndex(acceptedClean, idCol, "text_clean",
-      tablePrefix, shingleK, numHashes, bands)
+      tablePrefix, shingleK, numHashes, bands, requireNewIds)
   }
 
   /** ingestVerdicts sourced from a writeCorpusIndex table pair: the

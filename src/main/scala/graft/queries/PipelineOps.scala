@@ -3249,6 +3249,15 @@ object PipelineOps {
     * corpus-side join shape is pinned in PlanSpec; per-day cost is
     * measured in SCALE.md (read index + sign the batch vs re-sign the
     * corpus).
+    *
+    * CATALOG SIDE EFFECT (unique in `all`): running this query writes
+    * two managed tables into the session warehouse (the persisted
+    * index IS the thing under grade). The table prefix is derived from
+    * the data dir — `graft_x82_ndidx_<md5(dir)[0,8]>` — so harness
+    * runs over different SF dirs sharing one warehouse never clobber
+    * each other's index; two concurrent runs over the SAME dir still
+    * race on the drop/recreate (same index, same contents — harmless
+    * stale reads, but don't interleave them mid-write).
     */
   private val x82 = Q(
     "x82_ingest_indexed",
@@ -3261,9 +3270,12 @@ object PipelineOps {
         .orderBy("chunk").collect().map(_.getString(0)).toSeq
       val w = (0 until 256).map(j =>
         (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      val prefix = "graft_x82_ndidx_" + java.security.MessageDigest
+        .getInstance("MD5").digest(d.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
       Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
-        "graft_x82_ndidx", buckets = 8)
-      Ingest.ingestVerdictsIndexed(incoming, "graft_x82_ndidx",
+        prefix, buckets = 8)
+      Ingest.ingestVerdictsIndexed(incoming, prefix,
           "doc_id", "text", 4, boiler, 0.6, stop, w, -0.1)
         .orderBy("doc_id")
     },

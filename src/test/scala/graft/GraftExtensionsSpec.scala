@@ -248,6 +248,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       got(0).getDouble(2) == 25.0)
     assert(got(1).getSeq[Double](1) == Seq(0.0, 0.0, 0.0, 0.0))
     assert(got(2).isNullAt(1))
+    // dim-argument surface: a BIGINT literal works (no
+    // ClassCastException), a non-literal dim and an out-of-range dim
+    // fail with the real message, not an unbound-reference eval error
+    assert(spark.sql(
+        "SELECT dense_vec_norm2(p, CAST(4 AS BIGINT)).n2 AS n2 " +
+          "FROM ext_dvn_t WHERE i = 1").collect()(0).getDouble(0) == 25.0)
+    val eNonLit = intercept[Exception](spark.sql(
+      "SELECT dense_vec_norm2(p, CAST(i AS INT)) FROM ext_dvn_t"))
+    assert(eNonLit.getMessage.contains("integer literal"),
+      eNonLit.getMessage)
+    val eRange = intercept[Exception](spark.sql(
+      "SELECT dense_vec_norm2(p, 0) FROM ext_dvn_t"))
+    assert(eRange.getMessage.contains("[1, 65536]"), eRange.getMessage)
   }
 
   test("md5_long60 resolves in SQL and agrees with the declarative " +

@@ -243,6 +243,51 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("append freshness guard and dial stamps are executable: a " +
+    "re-crawled id is refused before the write, and mismatched banding " +
+    "dials throw on both append and read") {
+    Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+      "graft_test_ndguard", buckets = 4)
+    try {
+      // the two-generation failure mode, demonstrated and REFUSED: a
+      // re-crawled doc arrives under an id the index already holds
+      val recrawled = corpus.limit(1)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      val e = intercept[IllegalArgumentException](
+        Dedup.appendToNearDupIndex(recrawled, "doc_id", "text",
+          "graft_test_ndguard"))
+      assert(e.getMessage.contains("already exist"), e.getMessage)
+      // nothing was written: the probe runs before either table append
+      assert(spark.table("graft_test_ndguard_sets").count()
+        == corpus.count())
+      // requireNewIds = false restores the unguarded (caller-proven)
+      // path — same input now appends
+      Dedup.appendToNearDupIndex(
+        recrawled.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")),
+        "doc_id", "text", "graft_test_ndguard", requireNewIds = false)
+      assert(spark.table("graft_test_ndguard_sets").count()
+        == corpus.count() + 1)
+      // dial stamps: the family the index was written with travels on
+      // the table; a mismatched caller fails loudly on append AND read
+      val fresh = recrawled.select(
+        (col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val eAppend = intercept[IllegalArgumentException](
+        Dedup.appendToNearDupIndex(fresh, "doc_id", "text",
+          "graft_test_ndguard", shingleK = 5))
+      assert(eAppend.getMessage.contains("graft.shingle_k"),
+        eAppend.getMessage)
+      val eRead = intercept[IllegalArgumentException](
+        Dedup.minhashNearDupsAgainstIndex(incoming, "graft_test_ndguard",
+          "doc_id", "text", 0.6, numHashes = 16, bands = 8))
+      assert(eRead.getMessage.contains("graft.num_hashes"),
+        eRead.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndguard_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndguard_sets")
+    }
+  }
+
   test("applyBoilerplate is idempotent on already-clean text — the " +
     "safety argument for re-cleaning the corpus with the same list") {
     // Ingest.ingestVerdicts cleans the corpus even though its ingest
