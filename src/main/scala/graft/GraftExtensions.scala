@@ -188,6 +188,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "planes is a literal array<array<double>>"),
       (args: Seq[Expression]) => graft.functions.HyperplaneBucket(args(0),
         litDoubleMatrix(args(1), "hyperplane_bucket planes").map(_.toSeq))))
+    e.injectFunction((FunctionIdentifier("mat_vec_project"),
+      info("mat_vec_project",
+        "mat_vec_project(vec, rows, scale) - array<float> projection " +
+          "out(j) = float(scale * dot(vec, rows[j])); rows a literal " +
+          "array<array<double>>, scale a literal double"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "mat_vec_project(vec, rows, scale)")
+        require(args(2).foldable, "mat_vec_project scale must be a literal")
+        val scale = Cast(args(2), DoubleType).eval()
+        require(scale != null, "mat_vec_project scale must not be null")
+        graft.functions.MatVecProject(args(0),
+          litDoubleMatrix(args(1), "mat_vec_project rows").map(_.toSeq),
+          scale.asInstanceOf[Double])
+      }))
     e.injectFunction((FunctionIdentifier("nearest_centroid"),
       info("nearest_centroid",
         "nearest_centroid(vec, centroids) - argmin-L2 cell index; " +

@@ -119,6 +119,67 @@ object Similarity {
     scoredTopK(cb.join(broadcast(qb), col("bucket") === col("qbucket")), k)
   }
 
+  // Seeded Rademacher ±1 rows for the Johnson–Lindenstrauss projection:
+  // outDim rows of inDim signs, Random(seed) drawn row-major — RNG-free
+  // at run time (the matrix is construction data, like hyperplanes), so
+  // the projection is append-stable: a vector projects to the same
+  // output today and in next year's run.
+  private def rademacherRows(inDim: Int, outDim: Int,
+      seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(inDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** The projection matrix as plain rows — x87's oracle bakes these
+    * into SQL as ±1.0 literals (exact in any engine), the lshPlaneRows
+    * pattern.
+    */
+  private[graft] def randomProjectRows(inDim: Int, outDim: Int,
+      seed: Long = 13L): Seq[Seq[Double]] = rademacherRows(inDim, outDim, seed)
+
+  /** Johnson–Lindenstrauss random projection to a DENSE outDim-vector:
+    * out(j) = float((1/√outDim) · Σ_i vec(i) · s(j)(i)) with s a seeded
+    * Rademacher ±1 matrix (Achlioptas 2001: ±1 entries satisfy the JL
+    * lemma with the same distortion bound as Gaussians and cost only
+    * adds). THE use here: hashedVec's sparse-featurized output is
+    * axis-aligned by construction (one token basket per coordinate);
+    * projecting it mixes every input coordinate into every output one,
+    * producing the closest thing to a dense neural embedding this
+    * sandbox can make — the honest proxy the SCALE.md dense-embedding
+    * open point called for, measured on the IVF/1-NN dials in the
+    * `jl` scale flow. Distance preservation is approximate (JL bound,
+    * not exactness): downstream recall is a measured property, never
+    * assumed.
+    *
+    * One compiled pass per row (MatVecProject, matrix as instance
+    * data, constant plan size in outDim); ascending-index double fold,
+    * one double multiply, one float cast — bit-replayable by the SQL
+    * oracle (x87 grades it element-wise). Null on malformed input
+    * (wrong dim / null element), the vector-native posture.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+      seed: Long = 13L): Column = {
+    require(inDim >= 1 && outDim >= 1, "dims must be >= 1")
+    graft.functions.VectorFunctions.matVecProject(vec,
+      rademacherRows(inDim, outDim, seed), 1.0 / math.sqrt(outDim.toDouble))
+  }
+
+  /** Executable spec of randomProject as pure higher-order functions
+    * (same matrix, same ascending-index double fold, same single
+    * multiply + float cast); parity with the native is asserted in
+    * SimilaritySpec.
+    */
+  private[graft] def randomProjectHof(vec: Column, inDim: Int, outDim: Int,
+      seed: Long = 13L): Column = {
+    val rows = rademacherRows(inDim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    array(rows.map { row =>
+      val rowLit = array(row.map(lit(_)): _*)
+      (aggregate(zip_with(vec, rowLit, (u, v) => u.cast(DoubleType) * v),
+        lit(0.0), (acc, x) => acc + x) * scale).cast(FloatType)
+    }: _*)
+  }
+
   /** Squared L2 distance to a literal centroid, double accumulation in
     * ascending index order (the same fold the SQL oracles replay).
     */

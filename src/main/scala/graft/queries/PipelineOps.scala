@@ -3470,11 +3470,145 @@ object PipelineOps {
             WHERE n2.n2 > 0
             ORDER BY doc_id, i"""))
 
+  /** Text retrieval END TO END (Retrieval.moreLikeThis): documents →
+    * hashed-TF-IDF featurization → IVF cell assignment → blocked top-5
+    * cosine neighbors, in ONE graded query — the composition seam x85
+    * (text→vector) and x33 (vector→top-k) each grade only half of.
+    * The oracle replays BOTH halves: x85's featurization CTEs produce
+    * the per-doc FLOAT vector lists, then x33's centroid/assign/probe/
+    * score CTEs run over those instead of the embeddings table.
+    * Determinism composes from the two parents': the vectors are
+    * bit-identical (x85's micro-nat idf + index-ordered norm fold +
+    * single-IEEE-op divide/cast), and every distance/cosine downstream
+    * is the same ascending-index double fold both engines replay
+    * (ties to the smaller cid/id). Centroids are the stride-97 sample
+    * of the FEATURIZED frame, so both engines select them from
+    * identical rows. One featurization pass feeds centroid sample,
+    * corpus side, and query side (the checkpoint inside the operator
+    * — PlanSpec pins both final-plan sides scan the materialized
+    * frame, no re-featurization).
+    */
+  private val x86 = Q(
+    "x86_text_retrieval",
+    (s, d) => {
+      Retrieval.moreLikeThis(t(s, d, "documents"), "doc_id", "text",
+          queryIds = Seq(0L, 1L, 2L), dim = 64, centroidStride = 97,
+          maxCentroids = 16, nprobe = 2, k = 5, fastHash = false)
+        .select("qid", "rank", "id", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents),
+                 tk AS (SELECT doc_id,
+                          CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                            % 64 AS INT) AS b
+                        FROM toks WHERE len(t) > 0),
+                 tf AS (SELECT doc_id, b, count(*) AS tf
+                        FROM tk GROUP BY doc_id, b),
+                 df AS (SELECT b, count(*) AS df
+                        FROM (SELECT DISTINCT doc_id, b FROM tk)
+                        GROUP BY b),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                       FROM documents),
+                 w AS (SELECT doc_id, b,
+                         tf * CAST(round(ln((n + 1.0) / (df + 1.0))
+                             * 1000000.0, 0) AS BIGINT) AS w
+                       FROM tf JOIN df USING (b) CROSS JOIN n),
+                 grid AS (SELECT d.doc_id, i.i
+                          FROM (SELECT DISTINCT doc_id FROM tk) d
+                          CROSS JOIN (SELECT CAST(unnest(range(0, 64))
+                            AS INT) AS i) i),
+                 dense AS (SELECT g.doc_id, g.i,
+                             CAST(coalesce(w.w, 0) AS DOUBLE) AS v
+                           FROM grid g LEFT JOIN w
+                             ON g.doc_id = w.doc_id AND g.i = w.b),
+                 n2 AS (SELECT doc_id,
+                          list_sum(list(v * v ORDER BY i)) AS n2
+                        FROM dense GROUP BY doc_id),
+                 emb AS (SELECT d.doc_id,
+                           list(CAST(d.v / sqrt(n2.n2) AS FLOAT)
+                             ORDER BY d.i) AS embedding
+                         FROM dense d JOIN n2 USING (doc_id)
+                         WHERE n2.n2 > 0 GROUP BY d.doc_id),
+                 c AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                         AS INT) AS cid, embedding AS cvec
+                       FROM (SELECT doc_id, embedding FROM emb
+                             WHERE doc_id % 97 = 0
+                             ORDER BY doc_id LIMIT 16)),
+                 dd AS (SELECT e.doc_id, e.embedding, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM emb e CROSS JOIN c),
+                 ca AS (SELECT doc_id, embedding, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY d2, cid) AS rn FROM dd) WHERE rn = 1),
+                 qp AS (SELECT doc_id AS qid, embedding AS qvec, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY d2, cid) AS rn FROM dd WHERE doc_id < 3)
+                     WHERE rn <= 2),
+                 scored AS (SELECT qp.qid, ca.doc_id AS id,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(qp.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+                   FROM ca JOIN qp ON ca.cid = qp.cid
+                   WHERE ca.doc_id <> qp.qid)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, id) AS INT) AS rank, id, sim
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank"""))
+
+  /** Johnson–Lindenstrauss random projection to dense 8-d
+    * (Similarity.randomProject over the embeddings corpus), graded
+    * ELEMENT-WISE with zero display rounding: the seeded Rademacher ±1
+    * matrix is baked into the SQL as exact literals (the x09 plane
+    * pattern), each output element is one ascending-index double fold
+    * × one double multiply × one float cast — all IEEE-replayable
+    * (x85's determinism class). A hash match certifies the projection
+    * arithmetic agrees bit-for-bit, which is what lets the `jl` scale
+    * flow's recall numbers stand on a verified operator.
+    */
+  private val x87 = Q(
+    "x87_jl_project",
+    (s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.randomProject(col("embedding"), 64, 8).as("proj"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j"),
+          col("v").cast(DoubleType).as("v"))
+        .orderBy("vec_id", "j")
+    },
+    Some {
+      val rows = Similarity.randomProjectRows(64, 8)
+      val scale = 1.0 / math.sqrt(8.0)
+      val rowCols = rows.zipWithIndex.map { case (r, j) =>
+        r.mkString("[", ", ", s"] AS m$j")
+      }.mkString(",\n                   ")
+      val outs = (0 until 8).map(j =>
+        "CAST(CAST(list_sum(list_transform(range(1, 65), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * m$j[i])) * $scale " +
+          "AS FLOAT) AS DOUBLE)")
+        .mkString(",\n                     ")
+      s"""WITH m AS (SELECT $rowCols),
+                 p AS (SELECT vec_id,
+                     [$outs] AS proj
+                   FROM embeddings CROSS JOIN m)
+            SELECT vec_id, CAST(u.i - 1 AS INT) AS j, proj[u.i] AS v
+            FROM p CROSS JOIN (SELECT unnest(range(1, 9)) AS i) u
+            ORDER BY vec_id, j"""
+    })
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87)
 }

@@ -319,6 +319,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got.map(_.getInt(1)).toSet == Set(0, 1))
   }
 
+  test("mat_vec_project resolves in SQL with a literal matrix and " +
+    "scale, agreeing with the Column API; non-literal scale refuses") {
+    import spark.implicits._
+    val hasExt = spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "mat_vec_project"))
+    assume(hasExt, "extensions not active on the shared session")
+    Seq(Array(0.3f, -1.2f, 0.8f), Array(-0.5f, 0.1f, 0.0f))
+      .toDF("vec").createOrReplaceTempView("ext_mvp_t")
+    val got = spark.sql(
+      """SELECT mat_vec_project(vec,
+        |         array(array(1.0D, -1.0D, 1.0D), array(-1.0D, 1.0D, 1.0D)),
+        |         0.5D) AS p
+        |FROM ext_mvp_t""".stripMargin).collect()
+    val rows = Seq(Seq(1.0, -1.0, 1.0), Seq(-1.0, 1.0, 1.0))
+    val viaCol = spark.table("ext_mvp_t").select(
+      functions.VectorFunctions.matVecProject($"vec", rows, 0.5).as("p"))
+      .collect()
+    got.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getSeq[Float](0) == b.getSeq[Float](0))
+    }
+    assert(got(0).getSeq[Float](0).length == 2)
+    val e = intercept[Exception](spark.sql(
+      """SELECT mat_vec_project(vec,
+        |  array(array(1.0D)), CAST(vec[1] AS DOUBLE)) FROM ext_mvp_t"""
+        .stripMargin))
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("nearest_cells resolves in SQL with a literal centroid family " +
     "and literal k, agreeing with the Column API") {
     import spark.implicits._

@@ -990,6 +990,44 @@ class PlanSpec extends SparkTestBase {
     }.isEmpty, s"shuffle under the cell probe join:\n$j"))
   }
 
+  test("x86: end-to-end retrieval runs ONE featurization pass — both " +
+    "final-plan sides scan the materialized frame, the corpus reaches " +
+    "the cell join unshuffled, and the probe side arrives by broadcast") {
+    val df = q("x86_text_retrieval")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the featurization (tokenize → explode → 3 hash-aggregates) must
+    // NOT appear in the search plan: it ran once into the checkpoint,
+    // and both the corpus and query sides scan that RDD. The only
+    // Generate left is the query side's nprobe cell explode — a second
+    // one means a consumer re-inlined the tokenize+hash chain (the
+    // x75/x81 exchange-reuse failure mode).
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    val gens = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 1, s"expected exactly the probe explode, got $gens " +
+      s"Generates (re-featurization?):\n$plan")
+    val rddScans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+    assert(rddScans == 2, s"expected corpus + query scans of the " +
+      s"checkpointed featurized frame, got $rddScans:\n$plan")
+    // the cell join: probes broadcast, corpus subtree shuffle-free
+    val cellJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys)
+          .exists(_.toString.contains("cell")) => j
+    }
+    assert(cellJoins.nonEmpty,
+      s"no broadcast hash join on cell in the retrieval path:\n$plan")
+    cellJoins.foreach(j => assert(j.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"shuffle under the cell join:\n$j"))
+    // the only window is the per-query top-k, partitioned (never global)
+    val ws = windowsOf(df)
+    assert(ws.size == 1 && ws.forall(_.partitionSpec.nonEmpty), plan)
+  }
+
   test("x78: the composed ingest gate is ONE joinless projection — " +
     "no join, no window, no exchange before the presentation sort, " +
     "and the margin is the compiled native") {

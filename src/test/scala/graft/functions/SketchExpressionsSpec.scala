@@ -530,7 +530,9 @@ class SketchExpressionsSpec extends SparkTestBase {
       Seq(Seq(1.0, -1.0, 0.5), Seq(-0.2, 0.4, 0.1)))
     val nc = NearestCentroid(vec,
       Seq((0, Array(1.0, 2.0, 3.0)), (1, Array(-1.0, -2.0, 0.0))))
-    val projV = GenerateUnsafeProjection.generate(Seq(hb, nc))
+    val mv = MatVecProject(vec,
+      Seq(Seq(1.0, -1.0, 1.0), Seq(-1.0, 1.0, 1.0)), 0.5)
+    val projV = GenerateUnsafeProjection.generate(Seq(hb, nc, mv))
     for (in <- Seq(Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, 0.0),
         Seq(0.5), Seq.empty[Double], null)) {
       val row = InternalRow(
@@ -542,6 +544,11 @@ class SketchExpressionsSpec extends SparkTestBase {
         val gen = if (out.isNullAt(i)) null else out.get(i, e.dataType)
         assert(gen == interp, s"${e.prettyName} on $in")
       }
+      val mvInterp = mv.eval(row)
+      if (out.isNullAt(2)) assert(mvInterp == null, s"mat_vec on $in")
+      else assert(out.getArray(2).toFloatArray.toSeq ==
+        mvInterp.asInstanceOf[ArrayData].toFloatArray.toSeq,
+        s"mat_vec on $in")
     }
     // DenseVecNorm2 takes array<struct<int,long>> input — same check
     val pairsRef = BoundReference(0,

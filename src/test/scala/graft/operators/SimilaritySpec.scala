@@ -38,6 +38,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(diff == 0)
   }
 
+  test("randomProject native equals the HOF spec bit-for-bit on real " +
+    "embeddings, shrinks the vector, and preserves cosine structure " +
+    "approximately (JL, measured not assumed)") {
+    val diff = emb.select(
+      Similarity.randomProject(col("embedding"), 64, 16).as("native"),
+      Similarity.randomProjectHof(col("embedding"), 64, 16).as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(diff == 0)
+    // output shape: dense 16-d float
+    val first = emb.select(
+      Similarity.randomProject(col("embedding"), 64, 16).as("p"))
+      .limit(1).collect()(0).getSeq[Float](0)
+    assert(first.length == 16)
+    // JL sanity on a planted pair: a vector and its tiny perturbation
+    // stay near-parallel after projection; two orthogonal-ish random
+    // vectors do not become near-parallel (loose bounds — the real
+    // recall curve is measured in the `jl` scale flow)
+    val rows = emb.limit(2).select(col("embedding")).collect()
+    val a = rows(0).getSeq[Float](0).toArray
+    val b = rows(1).getSeq[Float](0).toArray
+    val aPert = a.clone(); aPert(0) = aPert(0) + 0.01f
+    val pairDf = Seq((a.toSeq, aPert.toSeq), (a.toSeq, b.toSeq))
+      .toDF("x", "y")
+    val sims = pairDf.select(Similarity.cosine(
+        Similarity.randomProject(col("x"), 64, 16),
+        Similarity.randomProject(col("y"), 64, 16)))
+      .collect().map(_.getDouble(0))
+    assert(sims(0) > 0.98, s"perturbed pair lost parallelism: ${sims(0)}")
+    assert(sims(1) < 0.9, s"unrelated pair became parallel: ${sims(1)}")
+  }
+
+  test("randomProject edge parity: wrong-length and null-element " +
+    "vectors are NULL (the vector-native posture); the matrix is " +
+    "seed-stable across calls") {
+    val short = Seq(Array.fill(32)(1.0f)).toDF("v")
+    assert(short.select(Similarity.randomProject(col("v"), 64, 8))
+      .collect()(0).isNullAt(0))
+    val nullVec: Seq[java.lang.Float] = (0 until 64)
+      .map(i => if (i == 7) null else java.lang.Float.valueOf(1.0f))
+    assert(Seq(Tuple1(nullVec)).toDF("v")
+      .select(Similarity.randomProject(col("v"), 64, 8))
+      .collect()(0).isNullAt(0))
+    // append stability: two independent calls project identically
+    assert(Similarity.randomProjectRows(64, 8) ==
+      Similarity.randomProjectRows(64, 8))
+  }
+
   test("cosine edge parity: mismatched lengths and null elements are " +
     "NULL like the HOF spec and the SQL oracles") {
     import spark.implicits._
