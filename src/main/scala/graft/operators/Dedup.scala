@@ -494,6 +494,69 @@ object Dedup {
       .format("parquet").saveAsTable(s"${tablePrefix}_sets")
   }
 
+  /** Rewrite the near-dup index tables into fresh one-file-per-bucket
+    * layouts — the compaction half of the append lifecycle. Spark
+    * bucketed APPENDS extend buckets by adding files (one per bucket
+    * per append), so a year of daily closes leaves ~365 files per
+    * bucket; the bucketed-scan join SHAPE survives (still zero
+    * corpus-side exchange — IngestSpec pins it through appends AND
+    * through this), but per-file open/footer overhead grows linearly
+    * until it erodes the exchange-free win — the measured crossover
+    * and the recommended cadence live in SCALE.md (ndcompact flow).
+    *
+    * Mechanism, chosen for the 100 TB posture: each table is
+    * repartitioned BY ITS BUCKET COLUMNS into exactly `numBuckets`
+    * output partitions (HashPartitioning and bucket-id assignment use
+    * the same hash, so every write task holds exactly one bucket →
+    * exactly one file per bucket), written to a fresh `_compact`
+    * table with the same bucketing + sort + dial properties, then
+    * swapped in with DROP + RENAME — a metadata move, not a data
+    * copy, and the read path never sees a half-written index. No
+    * localCheckpoint of the index, nothing driver-side: the rewrite
+    * is one shuffle of each table, the cost a compaction honestly is.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Unit = {
+    for (suffix <- Seq("_bands", "_sets")) {
+      val tbl = s"$tablePrefix$suffix"
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$tbl is not bucketed — was the index written by " +
+          "writeNearDupIndex?"))
+      val dialProps = meta.properties.filter(_._1.startsWith("graft."))
+      require(dialProps.nonEmpty,
+        s"$tbl carries no graft.* dial properties — rebuild it with " +
+          "writeNearDupIndex before compacting")
+      val tmp = s"${tbl}_compact"
+      spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+      val tmpLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmp)))
+      val fs = tmpLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+      val bucketCols = spec.bucketColumnNames
+      // read the table's FILES by path, not `spark.table`: a bucketed
+      // catalog read advertises (or half-advertises) the hash layout
+      // and the planner then elides the repartition below WITHOUT
+      // aligning write tasks to buckets — measured: 16 files instead
+      // of 4 on a 4-bucket table. The path read has no bucketing
+      // metadata, so the repartition is a real exchange whose
+      // HashPartitioning is the same murmur-pmod the bucket writer
+      // uses → every task holds exactly one bucket → one file each.
+      spark.read.parquet(meta.location.toString)
+        .repartition(spec.numBuckets, bucketCols.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(spec.numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+        .format("parquet").saveAsTable(tmp)
+      spark.sql(s"ALTER TABLE `$tmp` SET TBLPROPERTIES (" +
+        dialProps.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+      spark.sql(s"DROP TABLE `$tbl`")
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tbl`")
+    }
+  }
+
   /** minhashNearDupsAgainst sourced from a writeNearDupIndex table pair
     * instead of re-deriving the corpus half per batch: signatures,
     * banding, and shingle sets for the corpus are READ, not recomputed

@@ -6,8 +6,8 @@ import org.apache.spark.sql.types.StringType
 
 import graft.operators.{AsOfJoin, ChunkDedup, Classifier, Components,
   Decontaminate, Dedup, FilterRules, GraphAnn, Ingest, IntervalJoin,
-  LmQuality, Multimodal, Pq, QualitySelect, Ranking, SemanticDedup,
-  Sessionize, Similarity, Split, TextAnalysis, TfIdf}
+  LmQuality, Multimodal, Pq, QualitySelect, Ranking, Retrieval,
+  SemanticDedup, Sessionize, Similarity, Split, TextAnalysis, TfIdf}
 
 /** The 1000x thought experiment, measured one decade further: generates
   * a 10x slice of the sf0.1 documents/embeddings corpora and re-times
@@ -100,6 +100,74 @@ object Scale10 {
     genDocs(spark, outDir)
     genEmb(spark, outDir)
     genEvents(spark, outDir)
+  }
+
+  /** Generate-if-missing the TEXT-embedding fixtures shared by the
+    * textemb / textpq / jl flows — hashed-TF-IDF 64-d vectors of the
+    * real document corpora at the 20k and 200k decades, label = the
+    * document's language (dense int code). Returns the fixture dirs.
+    */
+  private def ensureTextEmbDirs(spark: SparkSession,
+      outDir: String): Seq[String] = {
+    val dirD100 = s"$outDir-d100"
+    if (!new java.io.File(s"$dirD100/documents.parquet").isDirectory) {
+      genDocs(spark, dirD100, nReps = 100)
+      println(s"""{"generated":"$dirD100/documents.parquet"}""")
+    }
+    def genTextEmb(srcDocs: String, dst: String, nWant: Int): Unit = {
+      val sel = spark.read.parquet(srcDocs)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+        .limit(nWant).localCheckpoint()
+      val nDocs = sel.count()
+      // label = dense int code of the language (the label-carrying
+      // operators pack Int labels into expression instance data)
+      val langs = sel.select("lang").distinct().orderBy("lang")
+        .collect().map(_.getString(0))
+      val langCode = langs.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (l, i)) =>
+          when(col("lang") === l, lit(i)).otherwise(acc) }
+      val toks = sel
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"),
+          pmod(xxhash64(col("tok")), lit(64)).cast("int").as("b"))
+      val tf = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("b")
+        .agg(count(lit(1)).as("df"))
+      val weights = tf.join(broadcast(dfreq), Seq("b"))
+        .select(col("doc_id"), col("b"),
+          (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+            .as("w"))
+      weights.groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
+          .as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          aggregate(col("raw"), lit(0.0), (a, x) => a + x * x).as("n2"))
+        .filter(col("n2") > 0)
+        .select(col("doc_id"),
+          transform(col("raw"), x => (x / sqrt(col("n2"))).cast("float"))
+            .as("embedding"))
+        .join(sel.select(col("doc_id"), langCode.as("label")),
+          Seq("doc_id"))
+        .select(col("doc_id").as("vec_id"), col("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
+    val tdirs = Seq(
+      (s"$outDir-textemb", s"$outDir/documents.parquet", 20000),
+      (s"$outDir-textemb100", s"$dirD100/documents.parquet", 200000))
+    for ((dst, srcDocs, nWant) <- tdirs)
+      if (!new java.io.File(s"$dst/embeddings.parquet").isDirectory) {
+        genTextEmb(srcDocs, dst, nWant)
+        println(s"""{"generated":"$dst/embeddings.parquet"}""")
+      }
+    tdirs.map(_._1)
   }
 
   /** Seeded mixture-of-Gaussians embeddings — the CLUSTERABLE fixture
@@ -1445,6 +1513,279 @@ object Scale10 {
         spark.sql("DROP TABLE IF EXISTS graft_ndindex_bench_sets")
         docs.unpersist(); corpus.unpersist(); batch.unpersist()
       }
+    } else if (only("retrieval")) {
+      // VERDICT r19 #1's decade rows: the x86 end-to-end retrieval
+      // operator (documents → hashedVec → IVF assign → blocked top-k,
+      // Retrieval.moreLikeThis) timed at three document decades, with
+      // recall against brute force over the SAME featurized frame.
+      // end_to_end_sec includes the featurization + checkpoint +
+      // centroid bootstrap + search — the wall a cold "more like
+      // this" run actually pays; exact_search_sec is the brute-force
+      // search alone (featurization paid separately into the
+      // baseline's checkpoint). Fast xxhash64 dial — the hot path;
+      // the graded x86 uses the md5 oracle twin.
+      val dirD100 = s"$outDir-d100"
+      if (!new java.io.File(s"$dirD100/documents.parquet").isDirectory) {
+        genDocs(spark, dirD100, nReps = 100)
+        println(s"""{"generated":"$dirD100/documents.parquet"}""")
+      }
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for ((tag, path) <- Seq(
+          ("sf0.1", s"$SRC/documents.parquet"),
+          ("x10", s"$outDir/documents.parquet"),
+          ("x100", s"$dirD100/documents.parquet"))) {
+        val docs = spark.read.parquet(path)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val n = docs.count()
+        val qIds = docs.orderBy("doc_id").limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val nlist = math.max(16L, n / 512L).toInt
+        val nprobe = Similarity.nprobeForNlist(nlist)
+        def run() = Retrieval.moreLikeThis(docs, "doc_id", "text",
+            qIds, 64, 97, nlist, nprobe, 10)
+          .select("qid", "rank", "id", "sim").collect()
+        run() // warm
+        val t0 = System.nanoTime()
+        val rows = run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val emb = TfIdf.hashedVec(docs, "doc_id", "text", 64)
+          .localCheckpoint()
+        def exact() = Similarity.bruteForceTopK(
+            emb.filter(col("doc_id").isin(qIds: _*))
+              .select(col("doc_id").as("qid"),
+                col("embedding").as("qvec")),
+            emb.select(col("doc_id").as("id"), col("embedding").as("vec")),
+            10)
+          .select("qid", "rank", "id", "sim").collect()
+        exact() // warm
+        val t1 = System.nanoTime()
+        val truthRows = exact()
+        val exactSec = (System.nanoTime() - t1) / 1e9
+        val truth = truthRows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        val got = rows.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        val hits: Double = qIds.map(q =>
+          (got.getOrElse(q, Set.empty[Long]) &
+            truth.getOrElse(q, Set.empty[Long])).size.toDouble / 10.0).sum
+        val recall = hits / qIds.size
+        println(s"""{"flow":"retrieval","tag":"$tag","n_docs":$n,"nlist":$nlist,"nprobe":$nprobe,"end_to_end_sec":${f(sec)},"recall":${f4(recall)},"exact_search_sec":${f(exactSec)}}""")
+        docs.unpersist(); emb.unpersist()
+      }
+    } else if (only("textpq")) {
+      // VERDICT r19 #3: PQ/ADC located on the TEXT-vector curve. The
+      // pq256 dials rerun verbatim on the textemb fixtures (hashed
+      // TF-IDF vectors of real documents — near-sparse, axis-aligned:
+      // plausibly PQ's WORST case, so the MoG/quasi numbers must not
+      // be assumed to transfer): k16 oracle regime and k256/m8
+      // production regime, 10% hash-sample training, recall@10 vs
+      // exact L2, kCand=50 exact re-rank. The verdict and the regime
+      // guidance go to Pq's scaladoc + SCALE.md.
+      import org.apache.spark.sql.expressions.Window
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- ensureTextEmbDirs(spark, outDir)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .localCheckpoint()
+        val n = e.count()
+        val sampleN = math.max(512L, n / 10L).min(n).toInt
+        val sample = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(sampleN).localCheckpoint()
+        val queries = e.orderBy("id").limit(8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        import spark.implicits._
+        val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec")
+        val qd2 = aggregate(
+          zip_with(col("vec"), col("qvec"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val truth = e.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("id"), qd2.as("d2"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+          val got = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          queries.map { case (qid, _) =>
+            (got(qid) & truth(qid)).size / 10.0 }.sum / queries.size
+        }
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val v = body
+          (v, (System.nanoTime() - t0) / 1e9)
+        }
+        for ((arm, k) <- Seq("k16" -> 16, "k256" -> 256)) {
+          val seeds = sample.limit(k).collect()
+            .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+          val (cbs, trainSec) = timed(Pq.trainCodebooks(
+            sample, "vec", 64, Pq.seedCodebooks(seeds, 64, 8),
+            iters = 4))
+          val kEff = cbs.map(_.size)
+          val (codes, encodeSec) = timed {
+            val c = Pq.encode(e, "id", "vec", 64, cbs).localCheckpoint()
+            c.count()
+            c
+          }
+          def adc() = Pq.adcTopK(
+            codes, "id", "codes", queries, cbs, 64, 10).collect()
+          def rr() = Pq.adcTopKReranked(codes, e, "id", "vec", "codes",
+            queries, cbs, 64, 50, 10).collect()
+          adc(); rr() // warm
+          val (adcRows, adcSec) = timed(adc())
+          val (rrRows, rrSec) = timed(rr())
+          println(s"""{"flow":"textpq","dir":"$dir","arm":"$arm","n":$n,"sample_n":$sampleN,"k_eff_min":${kEff.min},"k_eff_max":${kEff.max},"train_sec":${f(trainSec)},"encode_sec":${f(encodeSec)},"recall_adc10":${f4(recallOf(adcRows))},"adc_sec":${f(adcSec)},"recall_rerank50":${f4(recallOf(rrRows))},"rerank_sec":${f(rrSec)}}""")
+        }
+        e.unpersist()
+      }
+    } else if (only("jl")) {
+      // VERDICT r19 #5: the dense proxy located on the curve.
+      // Similarity.randomProject (seeded Rademacher JL) maps the 64-d
+      // near-sparse hashed-TF-IDF vectors to DENSE 16-d and 32-d;
+      // then (a) recall_jl: do exact top-10 neighbors in the
+      // projected space match the original space's (what the
+      // projection itself costs), and (b) recall_ivf: does IVF at the
+      // ln-rule nprobe recover the projected space's own exact top-10
+      // (does the blocking work on a DENSE corpus). Honest framing:
+      // a JL mix of sparse features is the closest available proxy
+      // for a dense neural embedding, not one — recorded as such.
+      import org.apache.spark.sql.expressions.Window
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- ensureTextEmbDirs(spark, outDir)) {
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"),
+            col("label"))
+          .localCheckpoint()
+        val n = base.count()
+        def topIds(frame: org.apache.spark.sql.DataFrame,
+            qIds: Seq[Long]): Map[Long, Set[Long]] = {
+          val qs = frame.filter(col("id").isin(qIds: _*))
+            .select(col("id").as("qid"), col("vec").as("qvec"))
+          Similarity.bruteForceTopK(qs, frame, 10)
+            .select("qid", "rank", "id", "sim").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        }
+        val qIds = base.orderBy("id").limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val origTruth = topIds(base, qIds)
+        for (projDim <- Seq(16, 32)) {
+          val proj = base.select(col("id"),
+              Similarity.randomProject(col("vec"), 64, projDim).as("vec"),
+              col("label"))
+            .localCheckpoint()
+          val projTruth = topIds(proj, qIds)
+          val recallJl = qIds.map(q =>
+            (projTruth(q) & origTruth(q)).size / 10.0).sum / qIds.size
+          val nlist = math.max(32L, n / 512L).toInt
+          val cents = proj
+            .orderBy(md5(col("id").cast(StringType)), col("id"))
+            .limit(nlist).collect().zipWithIndex
+            .map { case (r, i) =>
+              (i, r.getSeq[Float](1).map(_.toDouble).toArray) }.toSeq
+          val nprobe = Similarity.nprobeForNlist(nlist)
+          val qsDf = proj.filter(col("id").isin(qIds: _*))
+            .select(col("id").as("qid"), col("vec").as("qvec"))
+          def ivf() = Similarity.ivfTopK(qsDf, proj, cents, nprobe, 10)
+            .select("qid", "rank", "id", "sim").collect()
+          ivf() // warm
+          val t0 = System.nanoTime()
+          val ivfRows = ivf()
+          val ivfSec = (System.nanoTime() - t0) / 1e9
+          val got = ivfRows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          val recallIvf = qIds.map(q =>
+            (got.getOrElse(q, Set.empty[Long]) & projTruth(q)).size / 10.0)
+            .sum / qIds.size
+          // blocked 1-NN label fidelity on the projected corpus
+          val exactAgree = Similarity
+            .knnLabelAgreement(proj, "id", "vec", "label")
+            .filter(col("agree")).count()
+          def kRun() = Similarity.selfKnnLabelAgreementByCell(
+              proj, "id", "vec", "label", cents, nprobe)
+            .filter(col("agree")).count()
+          kRun() // warm
+          val t1 = System.nanoTime()
+          val agree = kRun()
+          val knnSec = (System.nanoTime() - t1) / 1e9
+          println(s"""{"flow":"jl","dir":"$dir","proj_dim":$projDim,"n":$n,"nlist":$nlist,"nprobe":$nprobe,"recall_jl_vs_orig":${f4(recallJl)},"recall_ivf":${f4(recallIvf)},"ivf_sec":${f(ivfSec)},"knn_agree":$agree,"knn_agree_exact":$exactAgree,"knn_pct_of_exact":${f(100.0 * agree / exactAgree)},"knn_sec":${f(knnSec)}}""")
+          proj.unpersist()
+        }
+        base.unpersist()
+      }
+    } else if (only("ndcompact")) {
+      // VERDICT r19 #2: the append lifecycle priced end to end. N
+      // daily appends (0, 30, 60, 90) on the x10 ndindex fixture,
+      // per-day verdict wall + parquet files per table at each point;
+      // then Dedup.compactNearDupIndex and the same measurement after
+      // — the crossover (where small-file overhead starts eroding the
+      // exchange-free win) and the recommended cadence go to SCALE.md.
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) < 9)
+        .localCheckpoint()
+      val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+        .localCheckpoint()
+      val boiler = ChunkDedup
+        .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+        .orderBy("chunk").collect().map(_.getString(0)).toSeq
+      val w = (0 until 256).map(j =>
+        (j * 2654435761L % 1000L) / 1000.0 - 0.5)
+      val stop = TextAnalysis.langMarkers("en")
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val v = body
+        (v, (System.nanoTime() - t0) / 1e9)
+      }
+      def filesOf(tbl: String): Int = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+        val fsys = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fsys.listStatus(loc).count(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet"))
+      }
+      val buckets = 32
+      val prefix = "graft_ndcompact_bench"
+      Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+        prefix, buckets)
+      def verdictSec(): Double = {
+        def run() = Ingest.ingestVerdictsIndexed(batch, prefix,
+          "doc_id", "text", 4, boiler, 0.6, stop, w, -0.1).count()
+        run() // warm
+        timed(run())._2
+      }
+      def report(point: String): Unit =
+        println(s"""{"flow":"ndcompact","point":"$point","files_bands":${filesOf(s"${prefix}_bands")},"files_sets":${filesOf(s"${prefix}_sets")},"verdict_sec":${f(verdictSec())}}""")
+      report("appends_0")
+      // 90 daily appends of disjoint ~1% slices of the batch (ids are
+      // fresh by construction — the loop proves it, so the per-append
+      // freshness probe is skipped, matching the daily-loop posture)
+      val nAppends = 90
+      for (i <- 0 until nAppends) {
+        val slice = batch.filter(
+          pmod(floor(col("doc_id") / 10), lit(nAppends)) === i)
+        Ingest.appendAcceptedToCorpusIndex(slice, "doc_id", "text", 4,
+          boiler, prefix, requireNewIds = false)
+        if (i + 1 == 30 || i + 1 == 60) report(s"appends_${i + 1}")
+      }
+      report(s"appends_$nAppends")
+      val (_, compactSec) = timed(
+        Dedup.compactNearDupIndex(spark, prefix))
+      println(s"""{"flow":"ndcompact","point":"compact","compact_sec":${f(compactSec)}}""")
+      report("post_compact")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_sets")
+      docs.unpersist(); corpus.unpersist(); batch.unpersist()
     } else if (only("textemb")) {
       // VERDICT r18 #3 + #8: locate REAL text-derived embeddings on the
       // measured quasi <-> MoG separability curve, then let the numbers
@@ -1466,65 +1807,7 @@ object Scale10 {
       import org.apache.spark.sql.expressions.Window
       def f4(v: Double) = BigDecimal(v)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-      val dirD100 = s"$outDir-d100"
-      if (!new java.io.File(s"$dirD100/documents.parquet").isDirectory) {
-        genDocs(spark, dirD100, nReps = 100)
-        println(s"""{"generated":"$dirD100/documents.parquet"}""")
-      }
-      def genTextEmb(srcDocs: String, dst: String, nWant: Int): Unit = {
-        val sel = spark.read.parquet(srcDocs)
-          .select(col("doc_id"), col("lang"), col("text"))
-          .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
-          .limit(nWant).localCheckpoint()
-        val nDocs = sel.count()
-        // label = dense int code of the language (the label-carrying
-        // operators pack Int labels into expression instance data)
-        val langs = sel.select("lang").distinct().orderBy("lang")
-          .collect().map(_.getString(0))
-        val langCode = langs.zipWithIndex
-          .foldLeft(lit(-1)) { case (acc, (l, i)) =>
-            when(col("lang") === l, lit(i)).otherwise(acc) }
-        val toks = sel
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("tok"))
-          .filter(length(col("tok")) > 0)
-          .select(col("doc_id"),
-            pmod(xxhash64(col("tok")), lit(64)).cast("int").as("b"))
-        val tf = toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
-        val dfreq = toks.distinct().groupBy("b")
-          .agg(count(lit(1)).as("df"))
-        val weights = tf.join(broadcast(dfreq), Seq("b"))
-          .select(col("doc_id"), col("b"),
-            (col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
-              .as("w"))
-        weights.groupBy("doc_id")
-          .agg(map_from_entries(collect_list(struct(col("b"), col("w"))))
-            .as("m"))
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(63)),
-              i => coalesce(element_at(col("m"), i), lit(0.0))).as("raw"))
-          .select(col("doc_id"), col("raw"),
-            aggregate(col("raw"), lit(0.0), (a, x) => a + x * x).as("n2"))
-          .filter(col("n2") > 0)
-          .select(col("doc_id"),
-            transform(col("raw"), x => (x / sqrt(col("n2"))).cast("float"))
-              .as("embedding"))
-          .join(sel.select(col("doc_id"), langCode.as("label")),
-            Seq("doc_id"))
-          .select(col("doc_id").as("vec_id"), col("embedding"),
-            col("label"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-      }
-      val tdirs = Seq(
-        (s"$outDir-textemb", s"$outDir/documents.parquet", 20000),
-        (s"$outDir-textemb100", s"$dirD100/documents.parquet", 200000))
-      for ((dst, srcDocs, nWant) <- tdirs)
-        if (!new java.io.File(s"$dst/embeddings.parquet").isDirectory) {
-          genTextEmb(srcDocs, dst, nWant)
-          println(s"""{"generated":"$dst/embeddings.parquet"}""")
-        }
-      for ((dir, _, _) <- tdirs) {
+      for (dir <- ensureTextEmbDirs(spark, outDir)) {
         val full = spark.read.parquet(s"$dir/embeddings.parquet")
           .localCheckpoint()
         val all = full

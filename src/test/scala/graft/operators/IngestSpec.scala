@@ -243,6 +243,77 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("compactNearDupIndex after N appends: verdicts unchanged, file " +
+    "count back to one per bucket, bucketed exchange-free scan shape " +
+    "and dial stamps survive, and appends keep working afterwards") {
+    val buckets = 4
+    Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, boiler,
+      "graft_test_ndcompact", buckets = buckets)
+    try {
+      def filesOf(tbl: String): Int = {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(loc).count(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet"))
+      }
+      // 5 daily appends of disjoint slices — each adds files per bucket
+      val slices = (0 until 5).map(i =>
+        incoming.filter(pmod(col("doc_id"), lit(5)) === i))
+      slices.zipWithIndex.foreach { case (s, i) =>
+        Ingest.appendAcceptedToCorpusIndex(s, "doc_id", "text", 4,
+          boiler, "graft_test_ndcompact",
+          requireNewIds = i == 0) // probe once; slices are disjoint
+      }
+      val filesBefore = filesOf("graft_test_ndcompact_sets")
+      assert(filesBefore > buckets,
+        s"appends did not grow the file count ($filesBefore) — the " +
+          "compaction pin would be vacuous")
+      val day2 = docs.filter(col("doc_id") >= 450) // overlaps appended ids'
+        .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+      def verdicts() = Dedup.minhashNearDupsAgainstIndex(
+          day2, "graft_test_ndcompact", "doc_id", "text", 0.6)
+        .orderBy("id_new", "id_old").collect().toSeq
+      val before = verdicts()
+      assert(before.nonEmpty, "no near-dup pairs against the grown " +
+        "index — the equality pin would be vacuous")
+      Dedup.compactNearDupIndex(spark, "graft_test_ndcompact")
+      // 1) same candidates/verdicts
+      assert(verdicts() == before, "compaction changed the join result")
+      // 2) files back to exactly one per bucket on both tables
+      assert(filesOf("graft_test_ndcompact_sets") == buckets)
+      assert(filesOf("graft_test_ndcompact_bands") == buckets)
+      // 3) dial stamps survived (a mismatched caller still throws)
+      val e = intercept[IllegalArgumentException](
+        Dedup.minhashNearDupsAgainstIndex(day2, "graft_test_ndcompact",
+          "doc_id", "text", 0.6, shingleK = 5))
+      assert(e.getMessage.contains("graft.shingle_k"), e.getMessage)
+      // 4) the exchange-free corpus-side shape survives compaction
+      withSQLConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false") {
+        val planStr = Dedup.minhashNearDupsAgainstIndex(day2,
+            "graft_test_ndcompact", "doc_id", "text", 0.6)
+          .queryExecution.executedPlan.toString
+        assert("Bucketed: true".r.findAllIn(planStr).size == 2,
+          s"post-compact corpus scans are not both bucketed:\n$planStr")
+      }
+      // 5) the compacted table still accepts appends (bucket counts and
+      // dials read back from the renamed table's metadata)
+      val extra = docs.limit(1).select(
+        (col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      Ingest.appendAcceptedToCorpusIndex(extra, "doc_id", "text", 4,
+        boiler, "graft_test_ndcompact")
+      assert(filesOf("graft_test_ndcompact_sets") == buckets + 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndcompact_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndcompact_sets")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndcompact_bands_compact")
+      spark.sql("DROP TABLE IF EXISTS graft_test_ndcompact_sets_compact")
+    }
+  }
+
   test("append freshness guard and dial stamps are executable: a " +
     "re-crawled id is refused before the write, and mismatched banding " +
     "dials throw on both append and read") {
