@@ -45,6 +45,22 @@ import org.apache.spark.sql.functions._
   * switch to `dropDuplicatesWithinWatermark` keyed on an arrival-time
   * column, trading exactness at the watermark boundary for bounded
   * state; at daily cadence the watermark would be pure overhead.
+  *
+  * Index-append VISIBILITY at streaming cadence (pinned in
+  * StreamingSpec, measured not assumed): a mid-stream
+  * appendToNearDupIndex IS seen by the RUNNING query's later
+  * micro-batches — the static side resolves through the catalog, and
+  * a catalog-table relation lists its files at execution time, once
+  * per micro-batch — and any query started afterwards sees it too.
+  * So an intraday append tightens the SAME day's remaining stream,
+  * not just tomorrow's. Two boundaries the pin deliberately leaves
+  * open: an append racing a concurrently-planning micro-batch lands
+  * in either that batch or the next (eventual, per-batch visibility,
+  * never torn — the table swap in compactNearDupIndex is
+  * DROP+RENAME for the same reason), and a PATH-based static side
+  * (spark.read.parquet of the table's files) would capture its
+  * listing at query start instead — stream against the TABLES, as
+  * every example here does.
   */
 object Ingest {
 

@@ -277,6 +277,113 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("mid-stream index append visibility: rows appended to the " +
+    "persisted corpus index ARE seen by the RUNNING query's later " +
+    "micro-batches — a catalog-table static side lists its files at " +
+    "execution time, once per micro-batch — and a NEW query sees them " +
+    "too; the refresh-once / stream-all-day contract's one " +
+    "undocumented corner, pinned") {
+    import graft.operators.{ChunkDedup, Dedup, Ingest, TextAnalysis}
+    import spark.implicits._
+    val batchDocs = graft.Tables.load(spark, sfDir, "documents")
+    val corpus = batchDocs.filter(col("doc_id") < 250)
+    val incoming = batchDocs.filter(col("doc_id") >= 250)
+    val list = ChunkDedup
+      .boilerplateChunks(corpus, "doc_id", "text", 4, 3)
+      .collect().map(_.getString(0)).toSeq
+    Ingest.writeCorpusIndex(corpus, "doc_id", "text", 4, list,
+      "graft_vis_ndidx", buckets = 4)
+    try {
+      // donor text: an incoming doc the day-0 index does NOT flag — so
+      // a later hit on it can only come from the mid-stream append
+      val flaggedByCorpus = Dedup.minhashNearDupsAgainstIndex(
+          ChunkDedup.applyBoilerplate(incoming, "doc_id", "text", 4, list)
+            .select(col("doc_id"), col("text_clean")),
+          "graft_vis_ndidx", "doc_id", "text_clean", 0.6)
+        .select("id_new").distinct().collect().map(_.getLong(0)).toSet
+      val donorText = incoming
+        .filter(!col("doc_id").isin(flaggedByCorpus.toSeq: _*))
+        .orderBy("doc_id").limit(1).select("text")
+        .collect()(0).getString(0)
+      val corpusText = corpus.orderBy("doc_id").limit(1).select("text")
+        .collect()(0).getString(0)
+      val inDir = Files.createTempDirectory("graft-vis-in").toString
+      def push(id: Long, text: String): Unit =
+        Seq((id, text)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(inDir)
+      def flaggedFrom(src: org.apache.spark.sql.DataFrame) = {
+        val cleaned = ChunkDedup
+          .applyBoilerplate(src, "doc_id", "text", 4, list)
+          .select(col("doc_id").as("id_new"), col("text_clean"))
+        cleaned
+          .withColumn("set_n", graft.functions.SketchFunctions
+            .shingleHashSet(col("text_clean"), 3))
+          .withColumn("sig", graft.functions.SketchFunctions
+            .minhashSignature(col("text_clean"), 3, 32))
+          .filter(col("sig").isNotNull)
+          .select(col("id_new"), col("set_n"),
+            posexplode(array(Dedup.bandHashExprs(col("sig"), 32, 8): _*))
+              .as(Seq("band", "bhash")))
+          .join(spark.table("graft_vis_ndidx_bands"), Seq("band", "bhash"))
+          .join(spark.table("graft_vis_ndidx_sets"), Seq("id_old"))
+          .filter(Dedup.setJaccard(col("set_n"), col("set_o")) >= 0.6)
+          .select("id_new").dropDuplicates("id_new")
+      }
+      // batch 1: one known corpus near-dup (stream sanity) + one clean
+      push(910000L, corpusText)
+      push(910001L, donorText)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val q = flaggedFrom(
+          spark.readStream.schema(docSchema).parquet(inDir))
+        .writeStream.format("memory").queryName("vis_nd_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val after1 = spark.table("vis_nd_stream")
+          .collect().map(_.getLong(0)).toSet
+        assert(after1.contains(910000L), "stream sanity: the known " +
+          "corpus near-dup was not flagged")
+        assert(!after1.contains(910001L), "donor text unexpectedly " +
+          "flagged by the day-0 index")
+        // mid-stream close-of-day append: the donor text enters the
+        // index under a NEW id
+        Ingest.appendAcceptedToCorpusIndex(
+          Seq((920000L, donorText)).toDF("doc_id", "text"),
+          "doc_id", "text", 4, list, "graft_vis_ndidx")
+        // batch 2: the same donor text again — a hit requires batch 2
+        // to see the appended rows
+        push(910002L, donorText)
+        q.processAllAvailable()
+        val after2 = spark.table("vis_nd_stream")
+          .collect().map(_.getLong(0)).toSet
+        assert(after2.contains(910002L),
+          "OBSERVED SEMANTICS CHANGED: a mid-stream append stopped " +
+            "being visible to the running query (static-side file " +
+            "listing no longer per-micro-batch?) — update the Ingest " +
+            "scaladoc and this pin together")
+      } finally {
+        q.stop()
+      }
+      // a NEW query (fresh spark.table plans, same tables, same input
+      // dir) sees the grown index: tomorrow's stream flags what
+      // today's append added
+      val rerun = StreamOps.runToMemory(spark,
+          flaggedFrom(
+            spark.readStream.schema(docSchema).parquet(inDir)),
+          "vis_nd_restart")
+        .collect().map(_.getLong(0)).toSet
+      assert(rerun.contains(910002L), "a fresh query still missed the " +
+        "appended rows — the append itself is broken, not just unseen")
+      // 910001 carries the donor text too, so against the GROWN index
+      // the fresh query flags it as well — three hits, not one
+      assert(rerun.contains(910000L) && rerun.contains(910001L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_vis_ndidx_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_vis_ndidx_sets")
+    }
+  }
+
   test("sliding windows produce overlapping coverage") {
     val got = StreamOps.runToMemory(spark,
       StreamOps.slidingRate(streamEvents), "sliding", "complete")
