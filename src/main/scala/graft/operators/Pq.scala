@@ -41,6 +41,22 @@ import org.apache.spark.sql.functions._
   * encode and ADC exactly; the kmeans-trained path is graded by
   * PqSpec's laws instead (training must beat the untrained codebook on
   * reconstruction error and recall — hash-free, engine-internal).
+  *
+  * REGIME GUIDANCE, measured per corpus family (SCALE.md pq256 +
+  * round-20 textpq): PQ's fidelity is a property of the VECTOR
+  * DISTRIBUTION, not the corpus size. On sparse-featurized text
+  * (hashed TF-IDF — near-sparse, axis-aligned coordinates) the
+  * production k=256/m=8 dial reads ADC recall@10 ≈ 0.34 and
+  * rerank-50 ≈ 0.65 at 200k vectors — the same collapse class as the
+  * quasi-orthogonal corpus (0.30 / 0.50), because subspace codewords
+  * cannot represent "exactly one of these 8 buckets is hot" geometry
+  * — while IVF-FLAT on the identical vectors reads recall 1.00 at a
+  * comparable search wall (textemb). So: for sparse-featurized text,
+  * use IVF-flat and skip quantization; reserve PQ/ADC (and IVF-PQ)
+  * for DENSE embedding distributions, where the memory win is also
+  * the reason it exists. The drift probe below is regime-independent
+  * (it measures reconstruction error against the shipped codebooks,
+  * whatever their fidelity).
   */
 object Pq {
 

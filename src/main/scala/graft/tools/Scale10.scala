@@ -1721,6 +1721,74 @@ object Scale10 {
         }
         base.unpersist()
       }
+    } else if (only("jlpq")) {
+      // The control experiment that closes textpq's argument: the SAME
+      // text corpus, JL-projected to dense 32-d, PQ'd with the same
+      // production dial (k256, m=8 → 4 dims/subspace), truth computed
+      // IN THE PROJECTED SPACE — so the only variable vs textpq's
+      // collapse rows is the geometry (near-sparse axis-aligned vs
+      // dense mixed). If ADC recall recovers here, "PQ needs dense
+      // geometry" is demonstrated on controlled data, not argued.
+      import org.apache.spark.sql.expressions.Window
+      def f4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      for (dir <- ensureTextEmbDirs(spark, outDir)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"),
+            Similarity.randomProject(col("embedding"), 64, 32).as("vec"))
+          .localCheckpoint()
+        val n = e.count()
+        val sampleN = math.max(512L, n / 10L).min(n).toInt
+        val sample = e
+          .orderBy(md5(col("id").cast(StringType)), col("id"))
+          .limit(sampleN).localCheckpoint()
+        val queries = e.orderBy("id").limit(8).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        import spark.implicits._
+        val qdf = queries.map { case (qid, q) => (qid, q.toSeq) }
+          .toDF("qid", "qvec")
+        val qd2 = aggregate(
+          zip_with(col("vec"), col("qvec"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, x) => acc + x)
+        val truth = e.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("id"), qd2.as("d2"))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("qid")).orderBy(col("d2"), col("id"))))
+          .filter(col("rn") <= 10)
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+          val got = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          queries.map { case (qid, _) =>
+            (got(qid) & truth(qid)).size / 10.0 }.sum / queries.size
+        }
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val v = body
+          (v, (System.nanoTime() - t0) / 1e9)
+        }
+        val seeds = sample.limit(256).collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+        val (cbs, trainSec) = timed(Pq.trainCodebooks(
+          sample, "vec", 32, Pq.seedCodebooks(seeds, 32, 8), iters = 4))
+        val (codes, encodeSec) = timed {
+          val c = Pq.encode(e, "id", "vec", 32, cbs).localCheckpoint()
+          c.count()
+          c
+        }
+        def adc() = Pq.adcTopK(
+          codes, "id", "codes", queries, cbs, 32, 10).collect()
+        def rr() = Pq.adcTopKReranked(codes, e, "id", "vec", "codes",
+          queries, cbs, 32, 50, 10).collect()
+        adc(); rr() // warm
+        val (adcRows, adcSec) = timed(adc())
+        val (rrRows, rrSec) = timed(rr())
+        println(s"""{"flow":"jlpq","dir":"$dir","arm":"k256_jl32","n":$n,"sample_n":$sampleN,"train_sec":${f(trainSec)},"encode_sec":${f(encodeSec)},"recall_adc10":${f4(recallOf(adcRows))},"adc_sec":${f(adcSec)},"recall_rerank50":${f4(recallOf(rrRows))},"rerank_sec":${f(rrSec)}}""")
+        e.unpersist()
+      }
     } else if (only("ndcompact")) {
       // VERDICT r19 #2: the append lifecycle priced end to end. N
       // daily appends (0, 30, 60, 90) on the x10 ndindex fixture,
