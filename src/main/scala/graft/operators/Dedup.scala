@@ -514,6 +514,12 @@ object Dedup {
     * copy, and the read path never sees a half-written index. No
     * localCheckpoint of the index, nothing driver-side: the rewrite
     * is one shuffle of each table, the cost a compaction honestly is.
+    *
+    * Single-WRITER contract: readers are safe at any moment (they see
+    * the old table until the rename), but an append running
+    * concurrently with the compaction would land files the path read
+    * already missed — run compaction where the daily loop runs the
+    * rebuild, between batches.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): Unit = {

@@ -1028,6 +1028,27 @@ class PlanSpec extends SparkTestBase {
     assert(ws.size == 1 && ws.forall(_.partitionSpec.nonEmpty), plan)
   }
 
+  test("x87: the JL projection is map-only — no join, no window, no " +
+    "exchange before the presentation sort, and the projection is the " +
+    "compiled native (one constant-size pass, not outDim lambda folds)") {
+    val df = q("x87_jl_project")
+    assert(windowsOf(df).isEmpty)
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "the projection grew a join")
+    val noSort = df.queryExecution.optimizedPlan match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.child
+      case p => p
+    }
+    val inner = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      noSort).executedPlan.toString
+    assert(!inner.contains("Exchange"),
+      s"the projection shuffled the corpus:\n$inner")
+    assert(inner.contains("mat_vec_project"),
+      s"projection is not the compiled native:\n$inner")
+  }
+
   test("x78: the composed ingest gate is ONE joinless projection — " +
     "no join, no window, no exchange before the presentation sort, " +
     "and the margin is the compiled native") {
