@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   * construction. The only shuffle in the whole plan is the final
   * per-query top-k window.
   *
+  * The `dim` dial is a measured TRADE, not a free knob (SCALE.md
+  * round-20 retrieval): wider hashing-trick vectors carry more token
+  * fidelity but are sparser — fewer bucket collisions — so the corpus
+  * drifts toward the quasi-orthogonal regime and IVF blocking
+  * recall falls (0.96 at dim 64 vs 0.79 at dim 1024 on the 50k
+  * decade, same ln-rule nprobe) while the assignment term grows as
+  * O(nlist · dim). Keep the retrieval index at a moderate dim or
+  * raise nprobe with the width.
+  *
   * Centroids are a deterministic stride sample of the featurized
   * corpus (every `centroidStride`-th id, capped at `maxCentroids`) —
   * SQL-replayable, which is what lets x86 grade this operator

@@ -1531,10 +1531,17 @@ object Scale10 {
       }
       def f4(v: Double) = BigDecimal(v)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+      // dim 64 matches the graded x86; dim 1024 is the production
+      // featurizer width (the r19 dim-1024 assembly measurement's
+      // consumer) — measured at the two smaller decades (at ×100 the
+      // 976-cell × 1024-dim assignment term alone is ~5·10¹¹
+      // multiplies; the dim dial's scaling is established by the two
+      // points, no need to boil the host)
       for ((tag, path) <- Seq(
           ("sf0.1", s"$SRC/documents.parquet"),
           ("x10", s"$outDir/documents.parquet"),
-          ("x100", s"$dirD100/documents.parquet"))) {
+          ("x100", s"$dirD100/documents.parquet"));
+          dim <- Seq(64, 1024) if dim == 64 || tag != "x100") {
         val docs = spark.read.parquet(path)
           .select(col("doc_id"), col("text")).localCheckpoint()
         val n = docs.count()
@@ -1543,13 +1550,13 @@ object Scale10 {
         val nlist = math.max(16L, n / 512L).toInt
         val nprobe = Similarity.nprobeForNlist(nlist)
         def run() = Retrieval.moreLikeThis(docs, "doc_id", "text",
-            qIds, 64, 97, nlist, nprobe, 10)
+            qIds, dim, 97, nlist, nprobe, 10)
           .select("qid", "rank", "id", "sim").collect()
         run() // warm
         val t0 = System.nanoTime()
         val rows = run()
         val sec = (System.nanoTime() - t0) / 1e9
-        val emb = TfIdf.hashedVec(docs, "doc_id", "text", 64)
+        val emb = TfIdf.hashedVec(docs, "doc_id", "text", dim)
           .localCheckpoint()
         def exact() = Similarity.bruteForceTopK(
             emb.filter(col("doc_id").isin(qIds: _*))
@@ -1570,7 +1577,7 @@ object Scale10 {
           (got.getOrElse(q, Set.empty[Long]) &
             truth.getOrElse(q, Set.empty[Long])).size.toDouble / 10.0).sum
         val recall = hits / qIds.size
-        println(s"""{"flow":"retrieval","tag":"$tag","n_docs":$n,"nlist":$nlist,"nprobe":$nprobe,"end_to_end_sec":${f(sec)},"recall":${f4(recall)},"exact_search_sec":${f(exactSec)}}""")
+        println(s"""{"flow":"retrieval","tag":"$tag","dim":$dim,"n_docs":$n,"nlist":$nlist,"nprobe":$nprobe,"end_to_end_sec":${f(sec)},"recall":${f4(recall)},"exact_search_sec":${f(exactSec)}}""")
         docs.unpersist(); emb.unpersist()
       }
     } else if (only("textpq")) {
