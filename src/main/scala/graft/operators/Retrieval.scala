@@ -87,4 +87,47 @@ object Retrieval {
       .select(col(idCol).as("qid"), col("embedding").as("qvec"))
     Similarity.ivfTopK(qs, corpus, centroids, nprobe, k)
   }
+
+  /** Full-text SEARCH: queries arrive as TEXT, not as corpus member
+    * ids — the production retrieval entry moreLikeThis deliberately
+    * sidesteps. The query frame (qid, qtext) is featurized in the
+    * CORPUS's idf space (TfIdf.hashedVecQueries — same buckets, same
+    * corpus df/N, unseen buckets at df = 0), so query and corpus
+    * vectors are directly comparable: a query equal to a document's
+    * text produces the identical vector and cosine exactly 1.0 with
+    * it (the pinned law). Everything else is moreLikeThis's shape:
+    * one corpus featurization materialized for the centroid sample
+    * and the corpus side, query vectors derived from the tiny query
+    * frame plus two bounded broadcasts (df ≤ dim rows, N = 1), IVF
+    * cell blocking, per-query top-k. No self-exclusion question
+    * arises as long as query ids don't collide with corpus ids —
+    * callers mint fresh qids (ivfTopK excludes qid == id pairs, so a
+    * collision would silently hide that document from its query).
+    */
+  def searchTextTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, dim: Int,
+      centroidStride: Int, maxCentroids: Int, nprobe: Int, k: Int,
+      fastHash: Boolean = true): DataFrame = {
+    require(centroidStride >= 1 && maxCentroids >= 2,
+      "need a positive stride and at least 2 centroids")
+    val st = TfIdf.corpusState(docs, idCol, textCol, dim, fastHash)
+    val emb = TfIdf.assemble(TfIdf.weightsFromState(st, idCol), idCol, dim)
+      .localCheckpoint(false)
+    val pool = emb
+      .filter(pmod(col(idCol), lit(centroidStride.toLong)) === 0)
+      .orderBy(idCol).limit(maxCentroids).collect()
+    require(pool.length >= math.max(2, nprobe),
+      s"centroid pool starved: stride-$centroidStride sampling of the " +
+        s"featurized corpus yielded ${pool.length} centroids " +
+        s"(< max(2, nprobe=$nprobe)) — widen the stride or the corpus " +
+        "(ivfCentroids' sample-size lesson)")
+    val centroids = pool.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](r.fieldIndex("embedding"))
+        .map(_.toDouble).toArray)
+    }.toSeq
+    val corpus = emb.select(col(idCol).as("id"), col("embedding").as("vec"))
+    val qs = TfIdf.hashedVecQueries(st, queries, qidCol, qtextCol, dim)
+      .select(col(qidCol).as("qid"), col("embedding").as("qvec"))
+    Similarity.ivfTopK(qs, corpus, centroids, nprobe, k)
+  }
 }

@@ -114,43 +114,76 @@ object TfIdf {
     */
   def hashedVec(docs: DataFrame, idCol: String, textCol: String,
       dim: Int, fastHash: Boolean = true): DataFrame = {
+    val st = corpusState(docs, idCol, textCol, dim, fastHash)
+    assemble(weightsFromState(st, idCol), idCol, dim)
+  }
+
+  /** The corpus half of the featurization, shared between hashedVec
+    * and the corpus-idf QUERY featurizer (hashedVecQueries): the
+    * lazily-checkpointed (doc, bucket, tf) frame, the dim-bounded
+    * document frequencies derived FROM it, and the one-row corpus
+    * count. Private to the operator family — the frames carry
+    * reserved working columns.
+    */
+  private[operators] final case class HashedVecState(
+      tf: DataFrame, dfreq: DataFrame, n: DataFrame, fastHash: Boolean)
+
+  private[operators] def bucketHash(fastHash: Boolean): Column => Column =
+    if (fastHash) xxhash64(_)
+    else graft.functions.SketchFunctions.md5Long60(_)
+
+  private[operators] def bucketTf(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, fastHash: Boolean): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col(idCol),
+        pmod(bucketHash(fastHash)(col("__t")), lit(dim.toLong))
+          .cast(IntegerType).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+
+  private[operators] def corpusState(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, fastHash: Boolean): HashedVecState = {
     require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
     Seq("embedding", "__t", "__b", "__tf", "__df", "__nd", "__w",
         "__dn").foreach(c =>
       require(idCol != c && textCol != c,
         s"TfIdf.hashedVec reserves column name '$c'; rename the input"))
-    val tokHash: Column => Column =
-      if (fastHash) xxhash64(_)
-      else graft.functions.SketchFunctions.md5Long60(_)
-    val toks = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
-      .filter(length(col("__t")) > 0)
-      .select(col(idCol),
-        pmod(tokHash(col("__t")), lit(dim.toLong)).cast(IntegerType)
-          .as("__b"))
-    val tf = toks.groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__tf"))
+    val tf = bucketTf(docs, idCol, textCol, dim, fastHash)
       .localCheckpoint(false)
     // tf has exactly one row per distinct (doc, bucket), so df is a
     // plain count over it — no second token pass, no distinct shuffle
     val dfreq = tf.groupBy("__b").agg(count(lit(1)).as("__df"))
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("__nd"))
-    val weights = tf.join(broadcast(dfreq), Seq("__b"))
-      .crossJoin(broadcast(n))
+    HashedVecState(tf, dfreq, n, fastHash)
+  }
+
+  // micro-nat-quantized idf weight — ONE definition so the corpus and
+  // query paths cannot drift (the query path feeds coalesced df = 0
+  // for unseen buckets through the same expression)
+  private def idfWeight(tfCol: Column, dfCol: Column, nCol: Column): Column =
+    tfCol * round(log((nCol + 1.0) / (dfCol + 1.0)) * 1e6, 0).cast(LongType)
+
+  private[operators] def weightsFromState(st: HashedVecState,
+      idCol: String): DataFrame =
+    st.tf.join(broadcast(st.dfreq), Seq("__b"))
+      .crossJoin(broadcast(st.n))
       .select(col(idCol), col("__b"),
-        (col("__tf") *
-          round(log((col("__nd") + 1.0) / (col("__df") + 1.0)) * 1e6, 0)
-            .cast(LongType)).as("__w"))
-    // The dense vector and its norm are produced INSIDE the aggregate,
-    // as ONE native struct (VectorFunctions.denseVecNorm2, O(dim+nnz)):
-    // aggregate-output attributes cannot be re-inlined by
-    // CollapseProject, where a staged __raw projection CAN — a
-    // downstream Generate (x85's posexplode) collapsed such a stage
-    // into the HOF lambdas and re-evaluated the whole dense assembly
-    // per element, O(dim² · map-scan) per row (measured 1.7 s → 5.9 s
-    // just by adding the explode; the hof-lambda lesson again). The
-    // native's norm folds the dense vector in ascending index order —
-    // exactly the fold the oracle replays.
+        idfWeight(col("__tf"), col("__df"), col("__nd")).as("__w"))
+
+  // The dense vector and its norm are produced INSIDE the aggregate,
+  // as ONE native struct (VectorFunctions.denseVecNorm2, O(dim+nnz)):
+  // aggregate-output attributes cannot be re-inlined by
+  // CollapseProject, where a staged __raw projection CAN — a
+  // downstream Generate (x85's posexplode) collapsed such a stage
+  // into the HOF lambdas and re-evaluated the whole dense assembly
+  // per element, O(dim² · map-scan) per row (measured 1.7 s → 5.9 s
+  // just by adding the explode; the hof-lambda lesson again). The
+  // native's norm folds the dense vector in ascending index order —
+  // exactly the fold the oracle replays.
+  private[operators] def assemble(weights: DataFrame, idCol: String,
+      dim: Int): DataFrame =
     weights.groupBy(col(idCol))
       .agg(graft.functions.VectorFunctions.denseVecNorm2(
         collect_list(struct(col("__b"), col("__w"))), dim).as("__dn"))
@@ -159,5 +192,37 @@ object TfIdf {
         transform(col("__dn").getField("vec"),
           x => (x / sqrt(col("__dn").getField("n2")))
             .cast(FloatType)).as("embedding"))
+
+  /** Featurize QUERY text in a CORPUS's idf space — the missing half
+    * of "queries arrive as text": hashedVec weights each bucket by
+    * the corpus it featurizes, so featurizing a query frame on its
+    * own would weight by the QUERY SET's statistics and the two
+    * sides' vectors would not be comparable. This entry hashes the
+    * query tokens into the same `dim` buckets and weights them with
+    * the CORPUS df/N (a bucket no corpus document uses gets df = 0 →
+    * idf = ln(N+1), the standard unseen-term convention), then
+    * normalizes with the same index-ordered fold — so a query whose
+    * text equals a corpus document's text produces the IDENTICAL
+    * vector (cosine exactly 1.0 with it; RetrievalSpec pins the law).
+    *
+    * 100 TB shape: the corpus statistics arrive as two broadcasts
+    * (df ≤ dim rows, N = 1 row) and the query frame is
+    * queries-sized; nothing corpus-sized moves. Same dropped-rows
+    * rule as hashedVec: token-less (or all-zero) queries emit no row.
+    */
+  def hashedVecQueries(st: HashedVecState, queries: DataFrame,
+      qidCol: String, qtextCol: String, dim: Int): DataFrame = {
+    Seq("embedding", "__t", "__b", "__tf", "__df", "__nd", "__w",
+        "__dn").foreach(c =>
+      require(qidCol != c && qtextCol != c,
+        s"TfIdf.hashedVecQueries reserves column name '$c'; " +
+          "rename the input"))
+    val qtf = bucketTf(queries, qidCol, qtextCol, dim, st.fastHash)
+    val qw = qtf.join(broadcast(st.dfreq), Seq("__b"), "left")
+      .crossJoin(broadcast(st.n))
+      .select(col(qidCol), col("__b"),
+        idfWeight(col("__tf"), coalesce(col("__df"), lit(0L)),
+          col("__nd")).as("__w"))
+    assemble(qw, qidCol, dim)
   }
 }

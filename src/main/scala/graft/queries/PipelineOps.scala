@@ -3604,11 +3604,145 @@ object PipelineOps {
             ORDER BY vec_id, j"""
     })
 
+  /** Full-text SEARCH end to end (Retrieval.searchTextTopK): queries
+    * arrive as TEXT — 40-token snippets of three documents, under
+    * fresh qids — and are featurized in the CORPUS's idf space
+    * (TfIdf.hashedVecQueries: same md5 bucket dial, corpus df/N,
+    * unseen buckets at df = 0), then IVF-searched against the corpus
+    * vectors. The oracle extends x86's replay with the query-side
+    * featurization CTEs (LEFT JOIN df + coalesce 0 — the unseen-term
+    * convention, replayed exactly) and probes/scores from the qemb
+    * frame. Same determinism stack as x85/x86: bit-replayable
+    * vectors, ascending-index double folds, ties to the smaller
+    * cid/id.
+    */
+  private val x88 = Q(
+    "x88_text_search",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val queries = docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + 1000000L).as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ")
+            .as("qtext"))
+      Retrieval.searchTextTopK(docs, "doc_id", "text", queries,
+          "qid", "qtext", dim = 64, centroidStride = 97,
+          maxCentroids = 16, nprobe = 2, k = 5, fastHash = false)
+        .select("qid", "rank", "id", "sim")
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents),
+                 tk AS (SELECT doc_id,
+                          CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                            % 64 AS INT) AS b
+                        FROM toks WHERE len(t) > 0),
+                 tf AS (SELECT doc_id, b, count(*) AS tf
+                        FROM tk GROUP BY doc_id, b),
+                 df AS (SELECT b, count(*) AS df
+                        FROM (SELECT DISTINCT doc_id, b FROM tk)
+                        GROUP BY b),
+                 n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                       FROM documents),
+                 w AS (SELECT doc_id, b,
+                         tf * CAST(round(ln((n + 1.0) / (df + 1.0))
+                             * 1000000.0, 0) AS BIGINT) AS w
+                       FROM tf JOIN df USING (b) CROSS JOIN n),
+                 grid AS (SELECT d.doc_id, i.i
+                          FROM (SELECT DISTINCT doc_id FROM tk) d
+                          CROSS JOIN (SELECT CAST(unnest(range(0, 64))
+                            AS INT) AS i) i),
+                 dense AS (SELECT g.doc_id, g.i,
+                             CAST(coalesce(w.w, 0) AS DOUBLE) AS v
+                           FROM grid g LEFT JOIN w
+                             ON g.doc_id = w.doc_id AND g.i = w.b),
+                 n2 AS (SELECT doc_id,
+                          list_sum(list(v * v ORDER BY i)) AS n2
+                        FROM dense GROUP BY doc_id),
+                 emb AS (SELECT d.doc_id,
+                           list(CAST(d.v / sqrt(n2.n2) AS FLOAT)
+                             ORDER BY d.i) AS embedding
+                         FROM dense d JOIN n2 USING (doc_id)
+                         WHERE n2.n2 > 0 GROUP BY d.doc_id),
+                 qdocs AS (SELECT doc_id + 1000000 AS qid,
+                             array_to_string(
+                               (string_split(text, ' '))[1:40], ' ')
+                               AS qtext
+                           FROM documents WHERE doc_id < 3),
+                 qtoks AS (SELECT qid, unnest(string_split(qtext, ' ')) AS t
+                           FROM qdocs),
+                 qtk AS (SELECT qid,
+                           CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                             % 64 AS INT) AS b
+                         FROM qtoks WHERE len(t) > 0),
+                 qtf AS (SELECT qid, b, count(*) AS tf
+                         FROM qtk GROUP BY qid, b),
+                 qw AS (SELECT qid, qtf.b,
+                          tf * CAST(round(ln((n + 1.0)
+                              / (coalesce(df.df, 0) + 1.0))
+                              * 1000000.0, 0) AS BIGINT) AS w
+                        FROM qtf LEFT JOIN df ON qtf.b = df.b
+                          CROSS JOIN n),
+                 qgrid AS (SELECT q.qid, i.i
+                           FROM (SELECT DISTINCT qid FROM qtk) q
+                           CROSS JOIN (SELECT CAST(unnest(range(0, 64))
+                             AS INT) AS i) i),
+                 qdense AS (SELECT g.qid, g.i,
+                              CAST(coalesce(w.w, 0) AS DOUBLE) AS v
+                            FROM qgrid g LEFT JOIN qw w
+                              ON g.qid = w.qid AND g.i = w.b),
+                 qn2 AS (SELECT qid,
+                           list_sum(list(v * v ORDER BY i)) AS n2
+                         FROM qdense GROUP BY qid),
+                 qemb AS (SELECT d.qid,
+                            list(CAST(d.v / sqrt(qn2.n2) AS FLOAT)
+                              ORDER BY d.i) AS qvec
+                          FROM qdense d JOIN qn2 USING (qid)
+                          WHERE qn2.n2 > 0 GROUP BY d.qid),
+                 c AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                         AS INT) AS cid, embedding AS cvec
+                       FROM (SELECT doc_id, embedding FROM emb
+                             WHERE doc_id % 97 = 0
+                             ORDER BY doc_id LIMIT 16)),
+                 dd AS (SELECT e.doc_id, e.embedding, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(e.embedding[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM emb e CROSS JOIN c),
+                 ca AS (SELECT doc_id, embedding, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY d2, cid) AS rn FROM dd) WHERE rn = 1),
+                 qd AS (SELECT q.qid, q.qvec, c.cid,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (CAST(q.qvec[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE))
+                          * (CAST(q.qvec[i] AS DOUBLE)
+                               - CAST(c.cvec[i] AS DOUBLE)))) AS d2
+                   FROM qemb q CROSS JOIN c),
+                 qp AS (SELECT qid, qvec, cid FROM
+                     (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY d2, cid) AS rn FROM qd)
+                     WHERE rn <= 2),
+                 scored AS (SELECT qp.qid, ca.doc_id AS id,
+                     round(
+                       list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qp.qvec[i] AS DOUBLE) * CAST(qp.qvec[i] AS DOUBLE))))
+                       / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ca.embedding[i] AS DOUBLE) * CAST(ca.embedding[i] AS DOUBLE)))),
+                     6) AS sim
+                   FROM ca JOIN qp ON ca.cid = qp.cid
+                   WHERE ca.doc_id <> qp.qid)
+            SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, id) AS INT) AS rank, id, sim
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10,
     x10b, x11, x12, x13, x14, x15, x16, x17, x18, x19, x20, x21, x22, x23,
     x24, x25, x26, x27, x28, x29, x30, x31, x31b, x32, x33, x34, x35, x36,
     x37, x37b, x38, x39, x40, x41, x42, x43, x44, x45, x46, x47, x48, x49,
     x50, x51, x52, x53, x54, x55, x56, x57, x58, x59, x60, x61, x62, x63,
     x64, x65, x66, x67, x68, x69, x70, x71, x72, x73, x74, x75, x76, x77,
-    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87)
+    x78, x79, x80, x81, x82, x83, x84, x85, x86, x87, x88)
 }

@@ -1578,6 +1578,28 @@ object Scale10 {
             truth.getOrElse(q, Set.empty[Long])).size.toDouble / 10.0).sum
         val recall = hits / qIds.size
         println(s"""{"flow":"retrieval","tag":"$tag","dim":$dim,"n_docs":$n,"nlist":$nlist,"nprobe":$nprobe,"end_to_end_sec":${f(sec)},"recall":${f4(recall)},"exact_search_sec":${f(exactSec)}}""")
+        // the text-ENTRY form (x88): 8 snippet queries featurized in
+        // the corpus idf space — same decades, dim 64 only (the dim
+        // dial is the block above's story)
+        if (dim == 64) {
+          val snippets = docs.filter(col("doc_id").isin(qIds: _*))
+            .select((col("doc_id") + 1000000000L).as("qid"),
+              array_join(slice(split(col("text"), " "), 1, 40), " ")
+                .as("qtext"))
+          def srun() = Retrieval.searchTextTopK(docs, "doc_id", "text",
+              snippets, "qid", "qtext", dim, 97, nlist, nprobe, 10)
+            .select("qid", "rank", "id", "sim").collect()
+          srun() // warm
+          val t2 = System.nanoTime()
+          val sRows = srun()
+          val sSec = (System.nanoTime() - t2) / 1e9
+          // fidelity: does the snippet query retrieve its SOURCE doc
+          // in the top 10? (the user-facing "find the document this
+          // quote came from" metric)
+          val found = sRows.groupBy(_.getLong(0)).count { case (q, rs) =>
+            rs.exists(_.getLong(2) == q - 1000000000L) }
+          println(s"""{"flow":"retrieval","tag":"$tag","dim":$dim,"arm":"text_search","n_docs":$n,"nlist":$nlist,"nprobe":$nprobe,"end_to_end_sec":${f(sSec)},"source_in_top10":"$found/${qIds.size}"}""")
+        }
         docs.unpersist(); emb.unpersist()
       }
     } else if (only("textpq")) {

@@ -1049,6 +1049,55 @@ class PlanSpec extends SparkTestBase {
       s"projection is not the compiled native:\n$inner")
   }
 
+  test("x88: text search keeps x86's corpus shape — the corpus side " +
+    "scans the materialized frame unshuffled into the cell join, and " +
+    "the query-side featurization (the only Generates) stays on the " +
+    "tiny query frame with corpus stats arriving by broadcast") {
+    val df = q("x88_text_search")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    // exactly ONE nested-loop join is legitimate: the query weights'
+    // crossJoin with the broadcast 1-row corpus count (the Mix totals
+    // pattern) — anything more is a real cross product
+    val bnlj = nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    // exactly two Generates: the query token explode and the probe
+    // explode — a third would mean the CORPUS featurization re-inlined
+    val gens = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 2, s"expected query-tokenize + probe explodes, got " +
+      s"$gens Generates:\n$plan")
+    // the corpus embedding checkpoint and the tf checkpoint (feeding
+    // the broadcast df stats) are the only RDD scans
+    val rddScans = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+    assert(rddScans == 2, s"expected emb + tf checkpoint scans, got " +
+      s"$rddScans:\n$plan")
+    val cellJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys)
+          .exists(_.toString.contains("cell")) => j
+    }
+    assert(cellJoins.nonEmpty,
+      s"no broadcast hash join on cell in the search path:\n$plan")
+    // the corpus (streamed) side must be shuffle-free; the BROADCAST
+    // side is the query featurization, whose query-sized aggregates
+    // legitimately shuffle a handful of rows
+    cellJoins.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case _ => j.left
+      }
+      assert(streamed.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"shuffle on the corpus side of the cell join:\n$j")
+    }
+    val ws = windowsOf(df)
+    assert(ws.size == 1 && ws.forall(_.partitionSpec.nonEmpty), plan)
+  }
+
   test("x78: the composed ingest gate is ONE joinless projection — " +
     "no join, no window, no exchange before the presentation sort, " +
     "and the margin is the compiled native") {

@@ -58,6 +58,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(recall >= 0.6, s"retrieval recall collapsed: $recall")
   }
 
+  test("searchTextTopK: a query equal to a document's full text " +
+    "produces the IDENTICAL vector — cosine exactly 1.0 with that " +
+    "document and it ranks first; unseen-token queries still search") {
+    import spark.implicits._
+    val queries = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1000000L).as("qid"), col("text").as("qtext"))
+    val nlist = TfIdf.hashedVec(docs, "doc_id", "text", 64,
+        fastHash = false)
+      .filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .orderBy("doc_id").limit(16).count().toInt
+    // all cells probed: the law must not depend on the recall dial
+    val got = Retrieval.searchTextTopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", dim = 64, centroidStride = 97,
+        maxCentroids = 16, nprobe = nlist, k = 5, fastHash = false)
+      .select("qid", "rank", "id", "sim").collect()
+    for (q <- Seq(0L, 1L, 2L)) {
+      val top = got.filter(r => r.getLong(0) == q + 1000000L)
+        .minBy(_.getInt(1))
+      assert(top.getLong(2) == q && top.getDouble(3) == 1.0,
+        s"query $q: expected its source doc at rank 1 with sim 1.0, " +
+          s"got id ${top.getLong(2)} sim ${top.getDouble(3)}")
+    }
+    // a query of tokens the corpus never saw (every bucket df = 0)
+    // still featurizes (idf = ln(N+1)) and returns k results
+    val alien = Seq((5000000L, "zzqx9 wwvk7 qqpl3 mmnr5")).toDF(
+      "qid", "qtext")
+    val alienGot = Retrieval.searchTextTopK(docs, "doc_id", "text",
+      alien, "qid", "qtext", dim = 64, centroidStride = 97,
+      maxCentroids = 16, nprobe = 2, k = 5, fastHash = false)
+    assert(alienGot.count() == 5, "unseen-token query did not search")
+  }
+
   test("bootstrap guards fail loudly: starved centroid pool and empty " +
     "query set refuse instead of degenerating") {
     val e1 = intercept[IllegalArgumentException](
