@@ -47,153 +47,154 @@ object BenchNominals {
   val canaryNominal: Double = 0.32
 
   val sf01: Map[String, (Double, Double)] = Map(
-    "r01_scan_project" -> ((0.249, 0.339)),
-    "r02_star" -> ((0.117, 0.154)),
-    "r03_filter_and_or" -> ((0.356, 0.480)),
-    "r04_filter_comparators" -> ((0.331, 0.454)),
-    "r05_distinct" -> ((0.291, 0.373)),
-    "r06_agg_global" -> ((0.160, 0.226)),
-    "r07_multi_agg" -> ((0.372, 0.448)),
-    "r08_cross_join_filter" -> ((0.219, 0.266)),
-    "r09_nway_join" -> ((0.260, 0.348)),
-    "s01_group_agg" -> ((0.802, 1.150)),
-    "s02_having" -> ((0.380, 0.557)),
-    "s03_orderby_limit" -> ((0.132, 0.178)),
-    "s04_join_inner" -> ((0.293, 0.428)),
-    "s05_join_left" -> ((0.740, 0.926)),
-    "s06_join_full" -> ((0.445, 0.544)),
-    "s07_semi_join" -> ((0.303, 0.375)),
-    "s08_anti_join" -> ((0.248, 0.342)),
-    "s09_union_all" -> ((0.406, 0.524)),
-    "s10_union_distinct" -> ((0.390, 0.465)),
-    "s11_intersect" -> ((0.364, 0.490)),
-    "s12_except" -> ((0.287, 0.361)),
-    "s13_case_when" -> ((0.329, 0.392)),
-    "s14_between_in_like" -> ((0.191, 0.238)),
-    "s15_arith_cast" -> ((0.281, 0.330)),
-    "s16_scalar_subquery" -> ((0.340, 0.434)),
-    "s17_in_subquery" -> ((0.416, 0.496)),
-    "s18_exists_sql" -> ((0.676, 0.796)),
-    "s19_window_topk" -> ((0.491, 0.538)),
-    "s20_window_running" -> ((0.253, 0.318)),
-    "s21_window_lag" -> ((0.244, 0.297)),
-    "s22_rollup" -> ((0.427, 0.527)),
-    "s23_cube" -> ((0.295, 0.355)),
-    "s24_tpch_q3" -> ((0.541, 0.666)),
-    "s25_tpch_q5" -> ((0.632, 0.795)),
-    "s26_string_funcs" -> ((0.232, 0.278)),
-    "s27_date_funcs" -> ((0.349, 0.396)),
-    "s28_count_distinct" -> ((0.637, 0.806)),
-    "s29_approx_distinct" -> ((1.633, 1.919)),
-    "s30_grouping_sets" -> ((0.301, 0.479)),
-    "s31_sql_entry" -> ((0.259, 0.333)),
-    "s32_from_subquery" -> ((0.139, 0.187)),
-    "s33_join_using" -> ((0.118, 0.137)),
-    "s34_bitwise" -> ((0.222, 0.290)),
-    "s35_is_null" -> ((0.299, 0.428)),
-    "s36_concat_op" -> ((0.096, 0.128)),
-    "s37_percentile" -> ((0.326, 0.490)),
-    "s38_date_arith" -> ((0.405, 0.554)),
-    "s39_regexp" -> ((0.143, 0.212)),
-    "s40_tpch_q13" -> ((0.451, 0.673)),
-    "s41_tpch_q18" -> ((0.551, 0.769)),
-    "s42_pivot" -> ((0.287, 0.428)),
-    "s43_unpivot" -> ((0.208, 0.292)),
-    "s44_array_agg" -> ((0.200, 0.289)),
-    "s45_window_rank_funcs" -> ((0.275, 0.380)),
-    "s46_stratified_sample" -> ((0.446, 0.633)),
-    "s47_tpch_q4" -> ((0.560, 0.778)),
-    "s48_tpch_q10" -> ((0.614, 0.896)),
-    "s49_map_funcs" -> ((0.239, 0.347)),
-    "s50_date_spine" -> ((0.317, 0.493)),
-    "x01_dedup_exact" -> ((0.229, 0.313)),
-    "x02_token_stats" -> ((0.498, 0.737)),
-    "x03_lang_id" -> ((0.653, 0.930)),
-    "x04_quality_by_source" -> ((0.279, 0.393)),
-    "x05_jaccard_pairs" -> ((0.652, 0.955)),
-    "x06_dedup_minhash" -> ((0.903, 1.275)),
-    "x07_dedup_simhash" -> ((1.001, 1.383)),
-    "x08_ann_bruteforce" -> ((0.280, 0.422)),
-    "x09_ann_lsh" -> ((0.236, 0.341)),
-    "x10_embed_neardup" -> ((1.200, 1.560)),
-    "x10b_embed_neardup_auto" -> ((1.100, 1.474)),
-    "x11_ann_ivf_cells" -> ((0.309, 0.465)),
-    "x12_events_hourly" -> ((0.429, 0.632)),
-    "x13_events_sessionize" -> ((0.820, 1.135)),
-    "x14_events_json" -> ((0.625, 1.107)),
-    "x15_multimodal_binary" -> ((0.161, 0.234)),
-    "x16_multimodal_decode" -> ((0.229, 0.370)),
-    "x17_text_rolling_hash" -> ((0.140, 0.219)),
-    "x18_asof_join" -> ((0.502, 0.707)),
-    "x19_salted_agg" -> ((0.306, 0.461)),
-    "x20_corpus_stats" -> ((0.254, 0.411)),
-    "x21_regex_tokens" -> ((0.409, 0.621)),
-    "x22_interval_join" -> ((0.373, 0.493)),
-    "x23_top_tokens" -> ((0.315, 0.418)),
-    "x24_text_scrub" -> ((0.733, 1.172)),
-    "x25_vocab_encode" -> ((0.765, 1.193)),
-    "x26_quantize_int8" -> ((0.264, 0.427)),
-    "x27_char_ngram_pairs" -> ((0.604, 0.960)),
-    "x28_bloom_join" -> ((0.446, 0.735)),
-    "x29_salted_join" -> ((0.299, 0.484)),
-    "x30_dedup_incremental" -> ((0.404, 0.557)),
-    "x31_sequence_pack" -> ((0.282, 0.436)),
-    "x31b_sequence_pack_sharded" -> ((0.325, 0.446)),
-    "x32_dedup_clusters" -> ((1.253, 1.694)),
-    "x33_ann_ivf_search" -> ((0.397, 0.641)),
-    "x34_frame_sample" -> ((0.183, 0.316)),
-    "x35_corpus_pipeline" -> ((1.730, 2.174)),
-    "x36_ivf_kmeans" -> ((0.817, 1.184)),
-    "x37_decontaminate" -> ((1.037, 1.357)),
-    "x37b_decontaminate_clean" -> ((0.938, 1.335)),
-    "x38_mix_weights" -> ((0.387, 0.550)),
-    "x39_shuffle_shards" -> ((0.655, 1.040)),
-    "x40_repetition_signals" -> ((1.064, 1.349)),
-    "x41_importance_weights" -> ((1.840, 2.213)),
-    "x42_bpe_pairs" -> ((0.598, 0.729)),
-    "x43_sessionize_chunked" -> ((1.102, 1.448)),
-    "x44_interval_join_nearest" -> ((0.418, 0.520)),
-    "x45_semantic_dedup" -> ((1.982, 2.414)),
-    "x46_bigram_lm" -> ((1.525, 1.736)),
-    "x47_dup_ngram_frac" -> ((1.159, 1.328)),
-    "x48_bpe_encode" -> ((0.486, 0.673)),
-    "x49_quality_select" -> ((0.587, 0.746)),
-    "x50_hash_split" -> ((0.147, 0.195)),
-    "x51_stratified_sample" -> ((0.143, 0.193)),
-    "x52_tfidf_terms" -> ((1.001, 1.310)),
-    "x53_filter_reasons" -> ((0.372, 0.510)),
-    "x54_knn_label_agree" -> ((0.534, 0.662)),
-    "x55_source_cap" -> ((0.314, 0.399)),
-    "x56_chunk_dedup" -> ((1.203, 2.113)),
-    "x57_cluster_canonical" -> ((1.348, 2.223)),
-    "x58_corpus_offsets" -> ((0.421, 0.688)),
-    "x59_novelty" -> ((1.153, 1.630)),
-    "x60_split_leakage" -> ((0.899, 1.116)),
-    "x61_winnow_pairs" -> ((1.094, 1.480)),
-    "x62_boiler_list" -> ((0.702, 1.041)),
-    "x63_chunk_dedup_scoped" -> ((1.300, 2.076)),
-    "x64_winnow_coverage" -> ((1.691, 2.249)),
-    "x65_sentiment" -> ((0.314, 0.497)),
-    "x66_chunk_dedup_lines" -> ((1.182, 1.726)),
-    "x67_token_budget_select" -> ((1.154, 1.703)),
-    "x68_neardup_ingest" -> ((0.429, 0.640)),
-    "x69_pq_encode" -> ((0.356, 0.503)),
-    "x70_pq_adc_topk" -> ((0.540, 0.753)),
-    "x71_label_outliers" -> ((0.707, 0.982)),
-    "x72_contrastive_pairs" -> ((0.280, 0.474)),
-    "x73_sliding_chunks" -> ((0.184, 0.245)),
-    "x74_classifier_gate" -> ((0.313, 0.414)),
-    "x75_curation_funnel" -> ((1.119, 1.541)),
-    "x76_mix_sample" -> ((0.396, 0.525)),
-    "x77_ivfpq_topk" -> ((0.624, 0.826)),
-    "x78_composed_gate" -> ((0.471, 0.639)),
-    "x79_contrastive_bycell" -> ((0.480, 0.682)),
-    "x80_image_headers" -> ((0.184, 0.280)),
-    "x81_ingest_path" -> ((1.233, 1.696)),
-    "x82_ingest_indexed" -> ((2.099, 2.777)),
-    "x83_pq_drift_probe" -> ((0.479, 0.631)),
-    "x84_media_headers" -> ((0.395, 0.623)),
-    "x85_hashed_tfidf" -> ((1.268, 1.658)),
-    "x86_text_retrieval" -> ((0.886, 1.122)),
-    "x87_jl_project" -> ((0.163, 0.222)))
+    "r01_scan_project" -> ((0.242, 0.400)),
+    "r02_star" -> ((0.140, 0.211)),
+    "r03_filter_and_or" -> ((0.392, 0.526)),
+    "r04_filter_comparators" -> ((0.341, 0.564)),
+    "r05_distinct" -> ((0.294, 0.487)),
+    "r06_agg_global" -> ((0.155, 0.259)),
+    "r07_multi_agg" -> ((0.390, 0.563)),
+    "r08_cross_join_filter" -> ((0.201, 0.344)),
+    "r09_nway_join" -> ((0.282, 0.395)),
+    "s01_group_agg" -> ((0.863, 1.029)),
+    "s02_having" -> ((0.393, 0.605)),
+    "s03_orderby_limit" -> ((0.132, 0.199)),
+    "s04_join_inner" -> ((0.323, 0.443)),
+    "s05_join_left" -> ((0.753, 1.023)),
+    "s06_join_full" -> ((0.460, 0.587)),
+    "s07_semi_join" -> ((0.293, 0.425)),
+    "s08_anti_join" -> ((0.285, 0.359)),
+    "s09_union_all" -> ((0.453, 0.590)),
+    "s10_union_distinct" -> ((0.423, 0.539)),
+    "s11_intersect" -> ((0.430, 0.529)),
+    "s12_except" -> ((0.325, 0.395)),
+    "s13_case_when" -> ((0.355, 0.463)),
+    "s14_between_in_like" -> ((0.191, 0.274)),
+    "s15_arith_cast" -> ((0.296, 0.446)),
+    "s16_scalar_subquery" -> ((0.343, 0.520)),
+    "s17_in_subquery" -> ((0.400, 0.552)),
+    "s18_exists_sql" -> ((0.686, 0.942)),
+    "s19_window_topk" -> ((0.488, 0.669)),
+    "s20_window_running" -> ((0.261, 0.354)),
+    "s21_window_lag" -> ((0.245, 0.374)),
+    "s22_rollup" -> ((0.425, 0.649)),
+    "s23_cube" -> ((0.280, 0.400)),
+    "s24_tpch_q3" -> ((0.502, 0.709)),
+    "s25_tpch_q5" -> ((0.612, 0.852)),
+    "s26_string_funcs" -> ((0.204, 0.309)),
+    "s27_date_funcs" -> ((0.375, 0.490)),
+    "s28_count_distinct" -> ((0.766, 0.978)),
+    "s29_approx_distinct" -> ((1.690, 2.431)),
+    "s30_grouping_sets" -> ((0.339, 0.457)),
+    "s31_sql_entry" -> ((0.263, 0.347)),
+    "s32_from_subquery" -> ((0.143, 0.214)),
+    "s33_join_using" -> ((0.119, 0.156)),
+    "s34_bitwise" -> ((0.227, 0.316)),
+    "s35_is_null" -> ((0.307, 0.427)),
+    "s36_concat_op" -> ((0.087, 0.131)),
+    "s37_percentile" -> ((0.330, 0.487)),
+    "s38_date_arith" -> ((0.423, 0.501)),
+    "s39_regexp" -> ((0.159, 0.184)),
+    "s40_tpch_q13" -> ((0.509, 0.610)),
+    "s41_tpch_q18" -> ((0.553, 0.744)),
+    "s42_pivot" -> ((0.326, 0.432)),
+    "s43_unpivot" -> ((0.224, 0.312)),
+    "s44_array_agg" -> ((0.217, 0.270)),
+    "s45_window_rank_funcs" -> ((0.269, 0.406)),
+    "s46_stratified_sample" -> ((0.468, 0.665)),
+    "s47_tpch_q4" -> ((0.631, 0.808)),
+    "s48_tpch_q10" -> ((0.698, 0.909)),
+    "s49_map_funcs" -> ((0.298, 0.402)),
+    "s50_date_spine" -> ((0.351, 0.517)),
+    "x01_dedup_exact" -> ((0.271, 0.389)),
+    "x02_token_stats" -> ((0.583, 0.821)),
+    "x03_lang_id" -> ((0.702, 1.201)),
+    "x04_quality_by_source" -> ((0.316, 0.417)),
+    "x05_jaccard_pairs" -> ((0.696, 0.798)),
+    "x06_dedup_minhash" -> ((0.938, 1.224)),
+    "x07_dedup_simhash" -> ((0.979, 1.327)),
+    "x08_ann_bruteforce" -> ((0.334, 0.428)),
+    "x09_ann_lsh" -> ((0.263, 0.335)),
+    "x10_embed_neardup" -> ((1.221, 1.370)),
+    "x10b_embed_neardup_auto" -> ((1.132, 1.395)),
+    "x11_ann_ivf_cells" -> ((0.349, 0.480)),
+    "x12_events_hourly" -> ((0.421, 0.578)),
+    "x13_events_sessionize" -> ((0.854, 1.019)),
+    "x14_events_json" -> ((0.663, 0.881)),
+    "x15_multimodal_binary" -> ((0.181, 0.260)),
+    "x16_multimodal_decode" -> ((0.256, 0.367)),
+    "x17_text_rolling_hash" -> ((0.149, 0.191)),
+    "x18_asof_join" -> ((0.495, 0.667)),
+    "x19_salted_agg" -> ((0.353, 0.483)),
+    "x20_corpus_stats" -> ((0.286, 0.421)),
+    "x21_regex_tokens" -> ((0.407, 0.516)),
+    "x22_interval_join" -> ((0.405, 0.525)),
+    "x23_top_tokens" -> ((0.317, 0.431)),
+    "x24_text_scrub" -> ((0.760, 0.881)),
+    "x25_vocab_encode" -> ((0.804, 1.008)),
+    "x26_quantize_int8" -> ((0.293, 0.410)),
+    "x27_char_ngram_pairs" -> ((0.551, 0.741)),
+    "x28_bloom_join" -> ((0.404, 0.585)),
+    "x29_salted_join" -> ((0.297, 0.421)),
+    "x30_dedup_incremental" -> ((0.434, 0.649)),
+    "x31_sequence_pack" -> ((0.298, 0.432)),
+    "x31b_sequence_pack_sharded" -> ((0.342, 0.544)),
+    "x32_dedup_clusters" -> ((1.216, 1.961)),
+    "x33_ann_ivf_search" -> ((0.466, 0.688)),
+    "x34_frame_sample" -> ((0.170, 0.341)),
+    "x35_corpus_pipeline" -> ((1.694, 2.412)),
+    "x36_ivf_kmeans" -> ((0.801, 1.192)),
+    "x37_decontaminate" -> ((1.008, 1.295)),
+    "x37b_decontaminate_clean" -> ((0.994, 1.525)),
+    "x38_mix_weights" -> ((0.373, 0.541)),
+    "x39_shuffle_shards" -> ((0.606, 0.928)),
+    "x40_repetition_signals" -> ((1.161, 1.422)),
+    "x41_importance_weights" -> ((1.819, 2.138)),
+    "x42_bpe_pairs" -> ((0.634, 0.817)),
+    "x43_sessionize_chunked" -> ((1.165, 1.500)),
+    "x44_interval_join_nearest" -> ((0.459, 0.557)),
+    "x45_semantic_dedup" -> ((2.268, 2.654)),
+    "x46_bigram_lm" -> ((1.613, 1.769)),
+    "x47_dup_ngram_frac" -> ((1.288, 1.430)),
+    "x48_bpe_encode" -> ((0.532, 0.593)),
+    "x49_quality_select" -> ((0.629, 0.746)),
+    "x50_hash_split" -> ((0.171, 0.216)),
+    "x51_stratified_sample" -> ((0.171, 0.194)),
+    "x52_tfidf_terms" -> ((1.116, 1.362)),
+    "x53_filter_reasons" -> ((0.419, 0.534)),
+    "x54_knn_label_agree" -> ((0.579, 0.733)),
+    "x55_source_cap" -> ((0.315, 0.413)),
+    "x56_chunk_dedup" -> ((1.209, 1.714)),
+    "x57_cluster_canonical" -> ((1.469, 1.629)),
+    "x58_corpus_offsets" -> ((0.484, 0.602)),
+    "x59_novelty" -> ((1.361, 1.466)),
+    "x60_split_leakage" -> ((0.829, 1.073)),
+    "x61_winnow_pairs" -> ((1.087, 1.215)),
+    "x62_boiler_list" -> ((0.705, 0.850)),
+    "x63_chunk_dedup_scoped" -> ((1.423, 1.610)),
+    "x64_winnow_coverage" -> ((1.749, 2.206)),
+    "x65_sentiment" -> ((0.310, 0.457)),
+    "x66_chunk_dedup_lines" -> ((1.292, 1.558)),
+    "x67_token_budget_select" -> ((1.240, 1.585)),
+    "x68_neardup_ingest" -> ((0.499, 0.600)),
+    "x69_pq_encode" -> ((0.394, 0.489)),
+    "x70_pq_adc_topk" -> ((0.557, 0.783)),
+    "x71_label_outliers" -> ((0.724, 1.157)),
+    "x72_contrastive_pairs" -> ((0.297, 0.395)),
+    "x73_sliding_chunks" -> ((0.203, 0.289)),
+    "x74_classifier_gate" -> ((0.334, 0.437)),
+    "x75_curation_funnel" -> ((1.231, 1.563)),
+    "x76_mix_sample" -> ((0.413, 0.559)),
+    "x77_ivfpq_topk" -> ((0.727, 0.846)),
+    "x78_composed_gate" -> ((0.499, 0.685)),
+    "x79_contrastive_bycell" -> ((0.501, 0.704)),
+    "x80_image_headers" -> ((0.198, 0.246)),
+    "x81_ingest_path" -> ((1.241, 1.634)),
+    "x82_ingest_indexed" -> ((2.061, 2.819)),
+    "x83_pq_drift_probe" -> ((0.471, 0.693)),
+    "x84_media_headers" -> ((0.453, 0.790)),
+    "x85_hashed_tfidf" -> ((1.228, 2.203)),
+    "x86_text_retrieval" -> ((0.846, 1.251)),
+    "x87_jl_project" -> ((0.168, 0.293)),
+    "x88_text_search" -> ((1.122, 1.772)))
 }
