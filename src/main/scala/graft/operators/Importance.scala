@@ -73,25 +73,40 @@ object Importance {
       require(idCol != c, s"Importance.weights reserves column name '$c'"))
     val ht = hashedGramCounts(target, textCol, n, buckets, "ct")
     val hr = hashedGramCounts(raw, textCol, n, buckets, "cr")
-    val totT = ht.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
-    val totR = hr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
     // The quantized ratio depends ONLY on the bucket, so evaluate it
     // once per bucket on the ≤`buckets`-row histogram — the corpus-side
     // stream then pays a single broadcast join against a (b, ppm) table
     // instead of two histogram joins, two scalar cross-joins, and
-    // per-gram float arithmetic. Histogram + scalar broadcasts are
-    // bounded by construction (≤ buckets rows / 1 row) — the safe kind
-    // of hint.
+    // per-gram float arithmetic. The totals Nt/Nr are window sums over
+    // the histograms THEMSELVES, not separate ht.agg/hr.agg consumers:
+    // a second consumer of each histogram re-runs its whole corpus
+    // explode subtree unless exchange reuse happens to fire (it did
+    // not — the round-21 x41 plan showed FIVE gram explodes for the
+    // two corpora; two were exactly these totals), and the
+    // single-consumer window form removes that failure class outright —
+    // the Novelty first-seen lesson applied to the histograms. Each
+    // unpartitioned window is a single task over ≤`buckets` rows BY
+    // CONSTRUCTION (bounded like the broadcasts, not corpus-sized).
+    // Nt rides the broadcast ht as a column (summed over ALL target
+    // buckets BEFORE the left join, so target-only buckets still
+    // count); the raw side sees it only on matched rows, so a final
+    // max-over-all-rows window rebroadcasts the constant to the
+    // unmatched ones (coalesce 0 covers the empty-target case).
     val bl = lit(buckets.toLong)
+    val totW = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val ratio =
       ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") *
         (col("nr") + bl).cast("double")) /
       ((col("cr") + lit(1L)).cast("double") *
         (col("nt") + bl).cast("double"))
+    val htTot = ht.withColumn("nt0", sum(col("ct")).over(totW))
     val bucketPpm = hr
-      .join(broadcast(ht), Seq("b"), "left")
-      .crossJoin(broadcast(totT))
-      .crossJoin(broadcast(totR))
+      .withColumn("nr", sum(col("cr")).over(totW))
+      .join(broadcast(htTot), Seq("b"), "left")
+      .withColumn("nt", coalesce(max(col("nt0")).over(totW), lit(0L)))
       .select(col("b"), floor(ratio * lit(1e6)).as("ppm"))
     val grams = Dedup.fanOut(raw)
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))

@@ -400,16 +400,30 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("x41: importance scoring never shuffle-joins the corpus stream — " +
-    "every join builds on a bounded histogram or scalar") {
+    "every join builds on a bounded histogram, and the corpus explodes " +
+    "exactly three times (target fit, raw fit, raw score)") {
     val df = q("x41_importance_weights")
-    assert(windowsOf(df).isEmpty)
+    // the Nt/Nr totals are window sums over the ≤buckets-row histograms
+    // (single-consumer form — a separate ht.agg/hr.agg consumer re-ran
+    // each corpus explode, measured round 21); every such window must
+    // sit ABOVE the bucket aggregate, never over the raw gram stream
+    windowsOf(df).foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"window over a non-aggregated (corpus-sized) stream:\n$w")
+    }
     val plan = planOf(df)
-    // histograms are <= buckets rows by construction, totals 1 row: all
-    // joins must be broadcast (hash for the keyed ones, nested-loop for
-    // the 1-row cross), never a corpus-side exchange
+    // histograms are <= buckets rows by construction: all joins must be
+    // broadcast, never a corpus-side shuffle join
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
       && !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    // the totals must not re-run the gram explode: one explode per
+    // histogram fit plus one for scoring = exactly 3 (was 5 when each
+    // total re-derived its histogram from scratch)
+    assert("Generate explode".r.findAllIn(plan).size == 3, plan)
   }
 
   test("x36: k-means cell histograms are map-side argmin + hash-aggregate " +
