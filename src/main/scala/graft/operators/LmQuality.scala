@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *    stream (the Repetition pattern: a codegen'd transform+concat,
   *    no second pass over the text), then one hash-aggregate keyed by
   *    (sz, gram) with map-side partial combine builds both model
-  *    tables. Real text is ZIPFIAN in gram frequency — a hot bigram
+  *    tables, CHECKPOINTED once so its three consumers (bigram counts,
+  *    unigram counts, V) read the persisted vocab-sized table instead
+  *    of each re-running the corpus explode (their pushed-down sz
+  *    filters make the subtrees canonically different, so exchange
+  *    reuse cannot deduplicate them — measured as four explodes in the
+  *    round-21 plan). Real text is ZIPFIAN in gram frequency — a hot bigram
   *    ("of the") is a fat aggregation key and a fat join key — but
   *    the aggregate collapses repeats map-side before the exchange,
   *    and the scoring joins below are exactly the shape AQE's
@@ -77,18 +82,33 @@ object LmQuality {
     // one exploded stream feeds BOTH the model build and the scoring
     // side; fanOut gives a thin input real parallelism (the Dedup rule)
     val grams = Dedup.fanOut(docs)
-      .select(col(idCol), explode(tagged).as("g"))
-      .select(col(idCol), col("g.sz").as("sz"), col("g.gram").as("gram"))
+      .select(explode(tagged).as("g"))
+      .select(col("g.sz").as("sz"), col("g.gram").as("gram"))
+    // The model table is built ONCE and checkpointed: its three
+    // consumers (bigram counts, unigram counts, V) carry different
+    // pushed-down sz filters, so their subtrees are canonically
+    // different and exchange reuse cannot deduplicate them — without
+    // the checkpoint each consumer re-ran the full corpus explode +
+    // gram exchange (the round-21 x46 plan carried FOUR explodes).
+    // Checkpointing the AGGREGATED table persists the vocab-sized
+    // model (zipf-collapsed, far smaller than the raw gram mass), the
+    // same shared-intermediate idiom as Retrieval's featurization; one
+    // corpus pass and one gram exchange now serve all three.
     val counts = grams.groupBy("sz", "gram").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val vocab = counts.filter(col("sz") === 1)
       .agg(count(lit(1)).cast(LongType).as("v"))
     val bi = counts.filter(col("sz") === 2)
       .select(col("gram"), col("c").as("cb"))
     val uni = counts.filter(col("sz") === 1)
       .select(col("gram").as("w1"), col("c").as("cu"))
-    // tokens contain no spaces (they are split on space), so the first
-    // space in a bigram string is the prefix boundary
-    val trans = grams.filter(col("sz") === 2)
+    // The scoring pass explodes bigrams ONLY (it shares no subtree with
+    // the checkpointed model build, so tagging unigrams into this
+    // stream would explode ~45% more rows just to filter them back
+    // out). Tokens contain no spaces (they are split on space), so the
+    // first space in a bigram string is the prefix boundary.
+    val trans = Dedup.fanOut(docs)
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("gram"))
       .select(col(idCol), col("gram"),
         split(col("gram"), " ").getItem(0).as("w1"))
     val term = round(

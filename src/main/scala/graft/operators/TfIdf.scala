@@ -40,6 +40,15 @@ object TfIdf {
     Seq("term", "tf", "df", "n_docs", "score", "rn").foreach(c =>
       require(idCol != c,
         s"TfIdf.topTerms reserves output column name '$c'; rename the input"))
+    // tf has two consumers (the df aggregate and the scored join's
+    // fact side), so the token explode + (doc, term) aggregate runs
+    // twice. Checkpointing tf here was MEASURED round 21 and refused:
+    // the two subtrees execute concurrently inside one job (the wall
+    // cost of the duplicate pass is hidden by idle cores), while the
+    // checkpoint serializes the plan into materialize-then-join and
+    // pays the cache write — 1.1-1.4s → 3.6-4.6s at sf0.1. Contrast
+    // hashedVec, where the checkpoint wins because THREE consumers
+    // re-ran a far heavier explode+hash.
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -102,9 +111,11 @@ object TfIdf {
     * checkpointed intermediate is
     * dim-bounded per doc (the same size class as the operator's own
     * output), strictly smaller than re-scanning and re-hashing raw
-    * text whenever the average document exceeds `dim` tokens. N is a
-    * one-row aggregate broadcast by crossJoin (the Mix totals
-    * pattern); the dense assembly is one more hash-aggregate on the
+    * text whenever the average document exceeds `dim` tokens. N is
+    * collected once at state build and rides as a literal (a 1-row
+    * bounded collect — as a lazy aggregate it was a second corpus
+    * consumer that re-scanned the source per featurization plan,
+    * ADVICE r20 #4); the dense assembly is one more hash-aggregate on the
     * doc key whose output is the compiled DenseVecNorm2 native —
     * O(dim + nnz) per doc (the declarative map_from_entries +
     * element_at form it replaced probed the map `dim` times, O(dim²)
@@ -126,7 +137,7 @@ object TfIdf {
     * reserved working columns.
     */
   private[operators] final case class HashedVecState(
-      tf: DataFrame, dfreq: DataFrame, n: DataFrame, fastHash: Boolean)
+      tf: DataFrame, dfreq: DataFrame, nDocs: Double, fastHash: Boolean)
 
   private[operators] def bucketHash(fastHash: Boolean): Column => Column =
     if (fastHash) xxhash64(_)
@@ -153,10 +164,17 @@ object TfIdf {
     val tf = bucketTf(docs, idCol, textCol, dim, fastHash)
       .localCheckpoint(false)
     // tf has exactly one row per distinct (doc, bucket), so df is a
-    // plain count over it — no second token pass, no distinct shuffle
+    // plain count over it — no second token pass, no distinct shuffle.
     val dfreq = tf.groupBy("__b").agg(count(lit(1)).as("__df"))
-    val n = docs.agg(count(lit(1)).cast(DoubleType).as("__nd"))
-    HashedVecState(tf, dfreq, n, fastHash)
+    // N is collected ONCE here and carried as a literal (a 1-row
+    // bounded collect, the centroid-pool class): as a lazy aggregate
+    // of `docs` it was a separate consumer of the corpus frame, so
+    // every featurization plan — including searchTextTopK's
+    // query-side plan, whose '100 TB shape: nothing corpus-sized
+    // moves' contract it quietly violated — re-scanned the corpus
+    // source just for count(*) on each run (ADVICE r20 #4).
+    val nDocs = docs.count().toDouble
+    HashedVecState(tf, dfreq, nDocs, fastHash)
   }
 
   // micro-nat-quantized idf weight — ONE definition so the corpus and
@@ -168,9 +186,8 @@ object TfIdf {
   private[operators] def weightsFromState(st: HashedVecState,
       idCol: String): DataFrame =
     st.tf.join(broadcast(st.dfreq), Seq("__b"))
-      .crossJoin(broadcast(st.n))
       .select(col(idCol), col("__b"),
-        idfWeight(col("__tf"), col("__df"), col("__nd")).as("__w"))
+        idfWeight(col("__tf"), col("__df"), lit(st.nDocs)).as("__w"))
 
   // The dense vector and its norm are produced INSIDE the aggregate,
   // as ONE native struct (VectorFunctions.denseVecNorm2, O(dim+nnz)):
@@ -205,10 +222,11 @@ object TfIdf {
     * text equals a corpus document's text produces the IDENTICAL
     * vector (cosine exactly 1.0 with it; RetrievalSpec pins the law).
     *
-    * 100 TB shape: the corpus statistics arrive as two broadcasts
-    * (df ≤ dim rows, N = 1 row) and the query frame is
-    * queries-sized; nothing corpus-sized moves. Same dropped-rows
-    * rule as hashedVec: token-less (or all-zero) queries emit no row.
+    * 100 TB shape: the corpus statistics arrive as one broadcast
+    * (df ≤ dim rows) plus the N literal collected at state build,
+    * and the query frame is queries-sized; nothing corpus-sized
+    * moves. Same dropped-rows rule as hashedVec: token-less (or
+    * all-zero) queries emit no row.
     */
   def hashedVecQueries(st: HashedVecState, queries: DataFrame,
       qidCol: String, qtextCol: String, dim: Int): DataFrame = {
@@ -219,10 +237,9 @@ object TfIdf {
           "rename the input"))
     val qtf = bucketTf(queries, qidCol, qtextCol, dim, st.fastHash)
     val qw = qtf.join(broadcast(st.dfreq), Seq("__b"), "left")
-      .crossJoin(broadcast(st.n))
       .select(col(qidCol), col("__b"),
         idfWeight(col("__tf"), coalesce(col("__df"), lit(0L)),
-          col("__nd")).as("__w"))
+          lit(st.nDocs)).as("__w"))
     assemble(qw, qidCol, dim)
   }
 }

@@ -519,17 +519,25 @@ class PlanSpec extends SparkTestBase {
     assert(hints.isEmpty, s"unexpected join hint: $hints")
   }
 
-  test("x46: the bigram model build runs ONCE — AQE reuses the " +
-    "(sz, gram) count exchange across the vocab/bigram/unigram branches") {
+  test("x46: the bigram model build runs ONCE — the (sz, gram) count " +
+    "table is checkpointed and its three consumers read the persisted " +
+    "table; only the scoring pass explodes the corpus") {
     val df = q("x46_bigram_lm")
     df.collect()
-    val reused = deepNodes(df.queryExecution.executedPlan).filter(
-      _.isInstanceOf[
-        org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
-    assert(reused.nonEmpty,
-      s"no ReusedExchange in the final adaptive plan:\n" +
-        df.queryExecution.executedPlan.toString)
-    assert(!planOf(df).contains("CartesianProduct"))
+    val plan = df.queryExecution.executedPlan.toString
+    // vocab/bigram/unigram each read the checkpointed model table (a
+    // Scan ExistingRDD leaf), never re-run the corpus explode — the
+    // round-20 shape relied on AQE exchange reuse, which the pushed-down
+    // sz filters defeated for two of the three consumers (four explodes
+    // in the measured round-21 plan)
+    val nodes = deepNodes(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.RDDScanExec]) >= 3,
+      s"model consumers not reading the checkpoint:\n$plan")
+    assert(nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.GenerateExec]) == 1,
+      s"expected exactly the scoring explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
     // the one-row vocab scalar is the only sanctioned broadcast hint
     // (the x38 rule)
     val hints = df.queryExecution.analyzed.collect {
