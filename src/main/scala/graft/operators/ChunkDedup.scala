@@ -47,10 +47,17 @@ import org.apache.spark.sql.functions._
   *     shuffle carries each doc's kept text once — the inherent cost of
   *     rewriting documents.
   *
-  * Digest join key: md5 truncated to its full 16 bytes (the repo's
-  * exact-dedup convention, Dedup.exact) — 2^-64-scale collision odds at
-  * 10^9+ distinct chunks, and 16 fixed bytes through both shuffles
-  * instead of variable-length text.
+  * Digest join key: a 128-bit pair of xxhash64 values (seed 42 and a
+  * re-seeded second draw) — the same 2^-64-scale collision odds at
+  * 10^9+ distinct chunks as the md5-16-byte convention it replaced,
+  * and 16 fixed bytes through both shuffles instead of variable-length
+  * text, but hashed by the compiled non-cryptographic family (the
+  * production default everywhere the hash VALUE never reaches the
+  * output — Dedup.simhashNearDups' dial): the digest is internal
+  * equality-only here, and md5 paid a MessageDigest allocation plus a
+  * hex encode/decode round-trip per chunk, twice per document (the
+  * count branch and the probe branch each explode). Two flat BIGINT
+  * key columns also group and join cheaper than a 16-byte binary.
   */
 object ChunkDedup {
 
@@ -149,7 +156,7 @@ object ChunkDedup {
       unit: ChunkUnit, maxDocs: Int): DataFrame = {
     require(maxDocs >= 2,
       s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
-    Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
+    Seq("chunk_idx", "chunk", "__d", "__d2", "__boiler", "__toks",
         "n_chunks", "n_dropped", "text_clean").foreach(n =>
       require(!docs.columns.contains(n),
         s"dropSharedChunks reserves column name '$n'; rename the input column"))
@@ -161,12 +168,13 @@ object ChunkDedup {
       .select(col(idCol),
         posexplode(unit.chunksOf(col("__toks")))
           .as(Seq("chunk_idx", "chunk")))
-      .withColumn("__d", unhex(md5(col("chunk"))))
+      .withColumn("__d", xxhash64(col("chunk")))
+      .withColumn("__d2", xxhash64(lit(1), col("chunk")))
     val boiler = flat
-      .groupBy("__d").agg(countDistinct(col(idCol)).as("__dw"))
+      .groupBy("__d", "__d2").agg(countDistinct(col(idCol)).as("__dw"))
       .filter(col("__dw") >= maxDocs)
-      .select(col("__d"), lit(true).as("__boiler"))
-    val per = flat.join(boiler, Seq("__d"), "left")
+      .select(col("__d"), col("__d2"), lit(true).as("__boiler"))
+    val per = flat.join(boiler, Seq("__d", "__d2"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -208,7 +216,7 @@ object ChunkDedup {
       unit: ChunkUnit, maxDocs: Int): DataFrame = {
     require(maxDocs >= 2,
       s"maxDocs must be >= 2 (a chunk can't be shared by fewer), got $maxDocs")
-    Seq("chunk_idx", "chunk", "__d", "__boiler", "__toks",
+    Seq("chunk_idx", "chunk", "__d", "__d2", "__boiler", "__toks",
         "n_chunks", "n_dropped", "text_clean").foreach(n =>
       require(!docs.columns.contains(n),
         s"dropSharedChunksWithin reserves column name '$n'; rename the input column"))
@@ -218,13 +226,15 @@ object ChunkDedup {
       .select(col(idCol), col(scopeCol),
         posexplode(unit.chunksOf(col("__toks")))
           .as(Seq("chunk_idx", "chunk")))
-      .withColumn("__d", unhex(md5(col("chunk"))))
+      .withColumn("__d", xxhash64(col("chunk")))
+      .withColumn("__d2", xxhash64(lit(1), col("chunk")))
     val boiler = flat
-      .groupBy(col(scopeCol), col("__d"))
+      .groupBy(col(scopeCol), col("__d"), col("__d2"))
       .agg(countDistinct(col(idCol)).as("__dw"))
       .filter(col("__dw") >= maxDocs)
-      .select(col(scopeCol), col("__d"), lit(true).as("__boiler"))
-    val per = flat.join(boiler, Seq(scopeCol, "__d"), "left")
+      .select(col(scopeCol), col("__d"), col("__d2"),
+        lit(true).as("__boiler"))
+    val per = flat.join(boiler, Seq(scopeCol, "__d", "__d2"), "left")
       .groupBy(col(idCol), col(scopeCol))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * Scale shape at 100 TB:
   *  - both sides explode to n-grams map-side (a codegen'd
   *    transform+explode over the token array — no UDFs), and
-  *    immediately reduce each gram to a 16-byte md5 digest so no raw
-  *    n-gram string is ever shuffled (same never-shuffle-raw-text rule
-  *    as Dedup.exact);
+  *    immediately reduce each gram to a 128-bit digest (two xxhash64
+  *    draws, 16 fixed bytes — the same collision class as the md5
+  *    digest it replaced, minus the MessageDigest allocation and at
+  *    half the bytes of the old 32-char hex form) so no raw n-gram
+  *    string is ever shuffled (same never-shuffle-raw-text rule as
+  *    Dedup.exact); the digest is internal equality-only — it never
+  *    reaches the output, so the compiled non-cryptographic family is
+  *    the right dial (Dedup.simhashNearDups' rule);
   *  - the training side's gram mass is exchanged ONCE, not twice: the
   *    (id, digest) rows are explicitly hash-partitioned on the id, and
   *    HashPartitioning(id) satisfies the clustered-distribution
@@ -66,15 +71,18 @@ object Decontaminate {
     * clear message, not later with an ambiguous-column analysis error).
     */
   private def requireIdCol(idCol: String): Unit =
-    Seq("g", "gram", "hit", "n_hits", "n_grams", "hit_frac").foreach(c =>
+    Seq("g", "g2", "gram", "hit", "n_hits", "n_grams", "hit_frac").foreach(c =>
       require(idCol != c, s"Decontaminate reserves column name '$c'"))
 
-  /** Distinct 16-byte digests of the eval corpus's word n-grams. */
+  /** Distinct 128-bit digests of the eval corpus's word n-grams (two
+    * xxhash64 draws — see trainDigests for the dial rationale).
+    */
   private def evalDigests(
       eval: DataFrame, textCol: String, n: Int): DataFrame =
     eval
       .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .select(md5(col("gram")).as("g"))
+      .select(xxhash64(col("gram")).as("g"),
+        xxhash64(lit(1), col("gram")).as("g2"))
       .distinct()
 
   /** Distinct (id, digest) pairs of the training corpus's word n-grams,
@@ -85,9 +93,10 @@ object Decontaminate {
       train: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     train
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
-      .select(col(idCol), md5(col("gram")).as("g"))
+      .select(col(idCol), xxhash64(col("gram")).as("g"),
+        xxhash64(lit(1), col("gram")).as("g2"))
       .repartition(col(idCol))
-      .dropDuplicates(idCol, "g")
+      .dropDuplicates(idCol, "g", "g2")
 
   /** (id, n_hits): distinct contaminated n-grams per training document,
     * for every training doc sharing at least one word n-gram with
@@ -100,7 +109,7 @@ object Decontaminate {
     require(n >= 1, "n-gram size must be >= 1")
     requireIdCol(idCol)
     trainDigests(train, idCol, textCol, n)
-      .join(evalDigests(eval, textCol, n), "g")
+      .join(evalDigests(eval, textCol, n), Seq("g", "g2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -118,7 +127,7 @@ object Decontaminate {
     requireIdCol(idCol)
     trainDigests(train, idCol, textCol, n)
       .join(evalDigests(eval, textCol, n).withColumn("hit", lit(1L)),
-        Seq("g"), "left")
+        Seq("g", "g2"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hits"))

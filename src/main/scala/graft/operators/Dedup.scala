@@ -762,17 +762,26 @@ object Dedup {
   def crossDocDupFraction(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    Seq("n_grams", "n_dup", "dup_frac", "gram", "occ", "docs_with").foreach(
+    Seq("n_grams", "n_dup", "dup_frac", "g1", "g2", "occ",
+      "docs_with").foreach(
       c => require(idCol != c, s"Dedup.crossDocDupFraction reserves '$c'"))
+    // grams reduce to a 128-bit digest pair before the aggregate: the
+    // old raw-gram keys sat at the 32-char md5-hex break-even, but the
+    // two-xxhash64 digest is 16 fixed bytes — under a ~30-char 5-gram,
+    // cheaper to hash, and a flat BIGINT pair groups/windows cheaper
+    // than variable-length text (digest is internal equality-only; the
+    // output carries counts, never the gram)
     val perDocGram = fanOut(docs)
       .select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
-      .groupBy(col("gram"), col(idCol))
+      .select(col(idCol), xxhash64(col("gram")).as("g1"),
+        xxhash64(lit(1), col("gram")).as("g2"))
+      .groupBy(col("g1"), col("g2"), col(idCol))
       .agg(count(lit(1)).as("occ"))
     // rows are distinct (gram, doc) after the aggregate, so a plain
     // window count over the gram partition IS the distinct-doc
     // frequency — and rides the aggregate's existing clustering
     val docsWith = count(lit(1))
-      .over(Window.partitionBy(col("gram")))
+      .over(Window.partitionBy(col("g1"), col("g2")))
     val per = perDocGram
       .withColumn("docs_with", docsWith)
       .groupBy(col(idCol))

@@ -46,7 +46,7 @@ object Novelty {
   def firstSeenFraction(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"gram width must be >= 1, got $n")
-    Seq("__g", "__gram", "__toks", "__first",
+    Seq("__g", "__g2", "__gram", "__toks", "__first",
         "n_grams", "n_novel", "novelty_frac").foreach(c =>
       require(!docs.columns.contains(c),
         s"firstSeenFraction reserves column name '$c'; rename the input column"))
@@ -68,10 +68,12 @@ object Novelty {
       .filter(size(split(col(textCol), " ")) >= n && col(idCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
       .select(col(idCol), explode(grams(col("__toks"))).as("__gram"))
-      .select(col(idCol), unhex(md5(col("__gram"))).as("__g"))
-      .repartition(col("__g"))
+      .select(col(idCol), xxhash64(col("__gram")).as("__g"),
+        xxhash64(lit(1), col("__gram")).as("__g2"))
+      .repartition(col("__g"), col("__g2"))
     val dflat = flat.distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g", "__g2")
     val per = dflat
       .withColumn("__first", min(col(idCol)).over(w))
       .groupBy(col(idCol))

@@ -151,7 +151,18 @@ object Winnow {
       k: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"bad (minShared=$minShared, maxDf=$maxDf)")
+    // fpos is lazily checkpointed: it has THREE consumers (the distinct
+    // pair table and the two per-side coverage joins), and each gram of
+    // every document pays an md5 inside the fingerprint native — the
+    // round-21 x64 plan re-ran that explode FIFTEEN times across the
+    // consumer subtrees (the pair table's own two consumers compound).
+    // The checkpointed frame is the fingerprint-position table,
+    // ~2/(w+1) of the gram count — bounded well below the corpus.
+    // (overlapPairs deliberately keeps recompute-over-reshuffle for its
+    // ONE duplicated pass of the cheaper positionless native; here the
+    // pass is heavier and the fan-out is 3x compounding.)
     val fpos = fingerprintPositions(docs, idCol, textCol, k, w)
+      .localCheckpoint(false)
     val fps = fpos.select(col(idCol), col("fp")).distinct()
     val good = fps.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("__dfc"))
@@ -163,6 +174,12 @@ object Winnow {
     val buckets = fps.join(good, "fp")
       .groupBy("fp")
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    // pf keeps lazy double-computation for its two consumers (the
+    // n_shared aggregate and the qualifying join probe): both read the
+    // CHECKPOINTED fingerprints, so the duplicate is two cheap
+    // bucket-explode passes that overlap inside one job — a pf
+    // checkpoint was measured round 21 at parity (median 2.0s both
+    // ways at sf0.1) and refused for the extra job barrier.
     val pf = buckets
       .select(col("fp"), col("ids"), posexplode(col("ids")).as(Seq("__i", "a")))
       .select(col("fp"), col("a"),
