@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * the iteration cap is a formality for any physically possible graph
   * (2^25 diameter) rather than a correctness cliff for long chains.
   * Near-dup graphs are dense cliques that finish in 2-3 rounds either
-  * way. Each round is two joins + one aggregate, all shuffles on the
-  * node id; lineage is cut with localCheckpoint every round so the plan
+  * way. Each round is ONE aggregate over a union of contribution
+  * streams (self ∪ neighbor labels) plus the pointer-jump self-join —
+  * the neighbor join probes the broadcast label table and pipelines
+  * with the union into a single stage, then one id-keyed exchange;
+  * lineage is cut with localCheckpoint every round so the plan
   * does not grow exponentially across iterations (the classic iterative-
   * Spark trap), and that one materialization also carries convergence
-  * detection (changed-row accumulator), so a round costs exactly one
-  * action.
+  * detection (the label-sum metric — labels are monotone decreasing,
+  * so the sum is constant exactly at the fixpoint), so a round costs
+  * exactly one action.
   *
   * The reference has nothing transitive at all (its only "join" is the
   * materialized cross product, /root/reference/sqlengine.py:120-135);
@@ -68,26 +72,46 @@ object Components {
       .localCheckpoint(true)
     var converged = false
     var it = 0
+    // Convergence signal: labels only ever DECREASE (every contribution
+    // is min-folded with the node's own label), so the label-sum is
+    // strictly decreasing until the fixpoint and constant exactly at
+    // it — one aggregate metric riding the round's checkpoint replaces
+    // the old/new per-row comparison (which forced the propagate step
+    // to be a row-preserving JOIN so the old value could ride along).
+    // DECIMAL(38,0) keeps the sum exact far past any physical id mass
+    // (10^12 rows of 2^63 ids ≈ 10^31 < 10^38); a bigint sum would
+    // overflow ANSI mode at web scale.
+    var prevSum: Option[java.math.BigDecimal] = None
     // Checkpoint blocks superseded inside the loop are freed eagerly:
     // each round caches one copy of the label table, so a run that never
     // unpersisted would hold rounds+2 cached tables at once — on a real
     // cluster that evicts working storage blocks, and across a 90-query
     // bench loop it accumulates into JVM-wide memory pressure.
     while (!converged && it < maxIter) {
-      // each node's best neighbor label this round
-      val nbrBest = sym
+      // Propagation is ONE aggregate over a union of contribution
+      // streams — each node min-folds its own label with its
+      // neighbors' labels; the feeding join probes the broadcast-sized
+      // label table and pipelines with the union into a single codegen
+      // stage before the id-keyed exchange. (The previous formulation
+      // computed a per-node best-neighbor aggregate and then a second
+      // row-preserving join against the label table just to min the
+      // two and keep the old value for convergence counting — one more
+      // join and two more stages per materialized round, measured
+      // round 21 at ~0.3s/round → ~0.25s/round at sf0.1.)
+      val nbr = sym
         .join(labels, sym("b") === labels("id"))
-        .groupBy(sym("a").as("nid"))
-        .agg(min(col("cluster")).as("nbr_cluster"))
-      val propagated = labels
-        .join(nbrBest, labels("id") === nbrBest("nid"), "left")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
+        .select(sym("a").as("id"), col("cluster"))
+      val propagated = labels.unionByName(nbr)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"))
       // pointer jump: my representative's representative is at least as
       // small as mine (labels only ever decrease), so chase one hop —
       // or several (jumpsPerRound), each a lazy self-join inside the
-      // same action, before the round pays its checkpoint
+      // same action, before the round pays its checkpoint. The jump
+      // reads the POST-propagation labels (fresh, not the synchronous
+      // Shiloach–Vishkin read of round-start labels): chains shorten
+      // ~(2^j)·(r+1) per round instead of ~(j+1)·r, which is what the
+      // ComponentsSpec chain dial pins for j=2.
       var jumped = propagated
       var jmp = 0
       while (jmp < jumpsPerRound) {
@@ -97,30 +121,24 @@ object Components {
           .join(reps, jumped("cluster") === reps("rid"), "left")
           .select(jumped("id"),
             least(jumped("cluster"),
-              coalesce(col("rcluster"), jumped("cluster"))).as("cluster"),
-            jumped("old"))
+              coalesce(col("rcluster"), jumped("cluster"))).as("cluster"))
         jmp += 1
       }
-      // Convergence detection rides ON the checkpoint materialization:
-      // the round-start label is already in hand (the propagate join read
-      // it), so an observe() metric folded into the one action this round
-      // runs replaces the dedicated join-and-count probe job — one less
-      // action and one less full shuffle-join of the label table per
-      // round (at a billion nodes that probe join re-exchanged BOTH label
-      // tables every round), and convergence is seen the round it
-      // happens instead of one probe later. CollectMetrics stays inside
-      // the codegen pipeline — no object boundary.
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$it")
       val next = jumped
-        .observe(obs, coalesce(sum(when(col("cluster") =!= col("old"), 1L)
-          .otherwise(0L)), lit(0L)).as("changed"))
-        .drop("old")
+        .observe(obs, sum(col("cluster")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lsum"))
         .localCheckpoint(true)
       // `next` is materialized (eager checkpoint), so the observation is
       // final and the previous round's table has no readers — free it.
       labels.unpersist()
       labels = next
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      val lsum = Option(obs.get("lsum").asInstanceOf[java.math.BigDecimal])
+      converged = lsum match {
+        case None => true // zero rows: nothing to label
+        case some => prevSum == some
+      }
+      prevSum = lsum
       it += 1
     }
     sym.unpersist()
