@@ -675,6 +675,22 @@ case class MatVecProject(child: Expression, rows: Seq[Seq[Double]],
     ArrayType(FloatType, containsNull = false)
   override def nullable: Boolean = true
 
+  // Restrict the child to array<float>/array<double> at ANALYSIS time
+  // (ADVICE r20): evalProject reads elements via getFloat/getDouble, so
+  // an array<int>/array<bigint> child would pass analysis and emit
+  // silent garbage floats — the null posture only covers wrong length
+  // and null elements, not a mistyped column.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mat_vec_project expects array<float> or array<double>, " +
+            s"got ${other.catalogString}")
+    }
+
   @transient private lazy val dim: Int = rows.head.length
   @transient private lazy val mat: Array[Array[Double]] =
     rows.map(_.toArray).toArray

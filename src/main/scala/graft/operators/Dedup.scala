@@ -515,11 +515,19 @@ object Dedup {
     * localCheckpoint of the index, nothing driver-side: the rewrite
     * is one shuffle of each table, the cost a compaction honestly is.
     *
-    * Single-WRITER contract: readers are safe at any moment (they see
-    * the old table until the rename), but an append running
-    * concurrently with the compaction would land files the path read
-    * already missed — run compaction where the daily loop runs the
-    * rebuild, between batches.
+    * Single-WRITER contract, and a caveat for concurrent READERS
+    * (ADVICE r20): the swap is DROP then RENAME, so between the two
+    * statements the index table does not exist and its managed
+    * directory is gone — a reader (including a running stream's
+    * micro-batch, which relists the catalog location every batch, the
+    * StreamingSpec pin) sees old, NOTHING (table-not-found / empty
+    * dir), or new — never torn data, but not "safe at any moment".
+    * Run compaction where the daily loop runs the rebuild, between
+    * batches and with no stream attached. An append running
+    * concurrently would likewise land files the path read already
+    * missed. Crash recovery: if the process dies between DROP and
+    * RENAME, the fully-written `*_compact` table survives — manually
+    * `ALTER TABLE <tbl>_compact RENAME TO <tbl>` to restore the index.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): Unit = {

@@ -56,6 +56,15 @@ object Retrieval {
     * excluded; a true neighbor in an unprobed cell is missed — the
     * standard IVF recall/cost dial, measured against brute force in
     * RetrievalSpec and the scale flows.
+    *
+    * Missing/dropped query ids yield NO output rows (ADVICE r20): an
+    * id absent from the corpus, or whose document was dropped by
+    * featurization (token-less / zero vector — hashedVec's contract),
+    * simply matches nothing in the featurized frame — there is no
+    * per-id existence probe here, because it would cost a corpus-sized
+    * action per call on the hot retrieval path. Callers needing the
+    * distinction compare output qids against their request list (the
+    * Scale10 recall flows score such ids as 0 deliberately).
     */
   def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
       queryIds: Seq[Long], dim: Int, centroidStride: Int,

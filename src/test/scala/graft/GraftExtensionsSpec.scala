@@ -346,6 +346,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  array(array(1.0D)), CAST(vec[1] AS DOUBLE)) FROM ext_mvp_t"""
         .stripMargin))
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // a mistyped child (array<int>) fails ANALYSIS instead of silently
+    // reading int bits as floats (ADVICE r20: evalProject's
+    // getFloat/getDouble would emit garbage projections)
+    Seq(Array(1, 2, 3)).toDF("ivec").createOrReplaceTempView("ext_mvp_i")
+    val te = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT mat_vec_project(ivec,
+        |  array(array(1.0D, 1.0D, 1.0D)), 1.0D) FROM ext_mvp_i"""
+        .stripMargin).collect())
+    assert(te.getMessage.contains("array<float>") ||
+      te.getMessage.contains("DATATYPE_MISMATCH"), te.getMessage)
   }
 
   test("nearest_cells resolves in SQL with a literal centroid family " +
