@@ -91,6 +91,67 @@ object Bench {
     !tries.exists(_ < 0) && (tries.isEmpty ||
       (tries.size < maxTries && tries.min > nominal * factor))
 
+  /** Per-query entries for the FINAL total line, in emission order:
+    * descending recorded clean nominal (ties and nominal-less queries
+    * alphabetical). The driver's per-round PERF comparison reads the
+    * total line's `queries` map, and that line must survive the
+    * harness's fixed stdout tail window (2000 chars, measured across 22
+    * driver rounds), so only the heaviest-nominal entries fit — the
+    * ordering makes the chosen subset DETERMINISTIC for one binary
+    * (nominal-driven, not measurement-driven), so the 32-core and
+    * low-core driver runs emit the same key set and their per-query
+    * scaling ratios line up.
+    */
+  def queryEmitOrder(results: Seq[(String, Double)],
+      nominals: Map[String, Double]): Seq[(String, Double)] =
+    results.sortBy { case (n, _) => (-nominals.getOrElse(n, 0.0), n) }
+
+  /** Greedy prefix of `entries` whose rendered length (with a 1-char
+    * separator each) stays within `budget`. Stops at the FIRST entry
+    * that does not fit — a skip-and-continue would make the emitted key
+    * set depend on name lengths deep in the tail for marginal gain.
+    */
+  def fitEntries(entries: Seq[String], budget: Int): Seq[String] = {
+    var used = 0
+    entries.takeWhile { e =>
+      val cost = e.length + 1
+      if (used + cost <= budget) { used += cost; true } else false
+    }
+  }
+
+  /** Assemble the final total JSON line: every scalar the congestion
+    * machinery produces, plus as many per-query entries as fit under
+    * `lineBudget` chars (see queryEmitOrder/fitEntries for why there is
+    * a budget at all). Pure so the line-length contract is unit-testable
+    * without running the bench.
+    */
+  def totalLine(results: Seq[(String, Double)],
+      nominals: Map[String, Double], total: Double, canaryHead: Double,
+      preGateWaits: Int, midGateWaits: Int, midGateHot: Int,
+      retriesJson: String, retriesOmitted: Int, widenedCount: Int,
+      suspect: Boolean, adjusted: Double, normalized: Double,
+      sfDir: String, lineBudget: Int = 1800): String = {
+    def f(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val head = s"""{"metric":"total","value":${f(total)},"unit":"sec"""" +
+      s""","timed":"materialize","canary_sec":${f(canaryHead)}""" +
+      s""","pre_gate_waits":$preGateWaits,"mid_gate_waits":$midGateWaits""" +
+      s""","mid_gate_hot":$midGateHot,"retries":$retriesJson""" +
+      s""","retries_omitted":$retriesOmitted""" +
+      s""","widened_retries":$widenedCount""" +
+      s""","suspect_congestion":$suspect,"adjusted_total":${f(adjusted)}""" +
+      s""","normalized_total":${f(normalized)},"queries":{"""
+    // reserve the worst-case closing segment ("}," + queries_omitted up
+    // to 4 digits + sf) before fitting entries
+    def close(omitted: Int) =
+      s"""},"queries_omitted":$omitted,"sf":"$sfDir"}"""
+    val fitted = fitEntries(
+      queryEmitOrder(results, nominals)
+        .map { case (n, t) => "\"" + n + "\":" + f(t) },
+      lineBudget - head.length - close(9999).length)
+    head + fitted.mkString(",") + close(results.size - fitted.size)
+  }
+
   /** The OTHER congestion signature (VERDICT r10 nit 2): a uniformly-
     * moderate window inflates many queries 1.5-2.9x their clean nominal
     * without pushing ANY single one past the outlier threshold
@@ -319,25 +380,38 @@ object Bench {
       allRetried.collectFirst { case (`n`, (first, retry)) if retry >= 0 =>
         math.min(first, retry) }.getOrElse(t)
     }.sum
-    // the retries map rides on the LAST output line, which must stay
-    // within the harness's ~2000-char stdout tail — cap the displayed
-    // entries at the 16 largest first-run times (every entry still
-    // counts in adjusted_total/normalized_total)
-    val shown = allRetried.sortBy(-_._2._1).take(16)
-    val retriesJson = shown.map { case (n, (first, retry)) =>
-      "\"" + n + "\":{\"first\":" + f(first) + ",\"retry\":" + f(retry) + "}"
-    }.mkString("{", ",", "}")
-    val omitted = allRetried.size - shown.size
-    // The harness captures only the LAST ~2000 chars of stdout. With 90+
-    // queries the combined map outgrows that window, so a single line with
-    // the total at its head gets its head cut off (rounds 1 AND 2 both
-    // produced parsed:null this way). Emit the big per-query map on its own
-    // line FIRST, then a short, self-contained, total-only line LAST — the
-    // tail then always ends with a complete parseable JSON object.
+    // The harness captures only the LAST 2000 chars of stdout (measured:
+    // every BENCH_r01-r21 archive carries a tail of exactly 2000 chars).
+    // With 150 queries the full per-query map alone is ~4.5k chars, so a
+    // single line with the total at its head gets its head cut off
+    // (rounds 1 AND 2 both produced parsed:null this way). Three lines,
+    // least-critical first:
+    //   1. the FULL per-query map (humans / gen_nominals read the log);
+    //   2. bench_diag: the bulky congestion diagnostics (canary series,
+    //      gate-hot samples, the full retry map) that rounds 1-21 carried
+    //      on the total line — moved here to make room on the final line;
+    //   3. the total line, which must survive the tail window COMPLETE:
+    //      every congestion scalar plus as many per-query entries as fit
+    //      under the line budget, heaviest clean-nominal first (VERDICT
+    //      r21 item 1: the driver's PERF comparison reads the total
+    //      line's `queries` map, and an empty map left it blind to
+    //      per-query regressions every round).
     // canary_sec stays the start-of-run value (round-over-round
     // comparable with BENCH_r02-r04); canaries_sec is the full series,
     // one per `canaryStride` queries plus a closing sample — flat series
     // = clean host; a spike localizes congestion to that loop segment.
+    val diagShown = allRetried.sortBy(-_._2._1).take(24)
+    val diagRetriesJson = diagShown.map { case (n, (first, retry)) =>
+      "\"" + n + "\":{\"first\":" + f(first) + ",\"retry\":" + f(retry) + "}"
+    }.mkString("{", ",", "}")
+    // the total line keeps the 4 largest retries inline (direct
+    // congestion evidence — a retry halving a first run — stays readable
+    // from the parsed line alone); the rest ride bench_diag
+    val shown = allRetried.sortBy(-_._2._1).take(4)
+    val retriesJson = shown.map { case (n, (first, retry)) =>
+      "\"" + n + "\":{\"first\":" + f(first) + ",\"retry\":" + f(retry) + "}"
+    }.mkString("{", ",", "}")
+    val omitted = allRetried.size - shown.size
     val cs = canaries.map(f).mkString("[", ",", "]")
     // normalized_total additionally rescales the NON-retried queries by
     // each loop segment's canary (see normalizedTotal) — the number a
@@ -345,15 +419,18 @@ object Bench {
     val normalized =
       normalizedTotal(results, allRetried, canaries.toSeq, canaryStride)
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    // "timed" self-identifies the round-14 primitive change (count ->
-    // full materialization): totals are NOT comparable with rounds <= 13,
-    // which benchmarked the count()-weakened plans (~17s less work)
     // gate_hot_samples carries the VALUES, keyed by the series index of
     // the canary that observed them (ADVICE r17: a count alone makes the
     // hot segment impossible to localize or correct offline)
     val hotJson = gateHot
       .map { case (idx, v) => s"[$idx,${f(v)}]" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","timed":"materialize","queries":{},"canary_sec":${f(canaries.head)},"canaries_sec":$cs,"canary_stride":$canaryStride,"pre_gate_waits":$preGateWaits,"mid_gate_waits":$midGateWaits,"mid_gate_hot":${gateHot.size},"gate_hot_samples":$hotJson,"retries":$retriesJson,"retries_omitted":$omitted,"widened_retries":${widened.size},"suspect_congestion":$suspect,"adjusted_total":${f(adjusted)},"normalized_total":${f(normalized)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"bench_diag","canary_stride":$canaryStride,"canaries_sec":$cs,"gate_hot_samples":$hotJson,"retries":$diagRetriesJson,"retries_omitted":${allRetried.size - diagShown.size},"sf":"$sfDir"}""")
+    // "timed" self-identifies the round-14 primitive change (count ->
+    // full materialization): totals are NOT comparable with rounds <= 13,
+    // which benchmarked the count()-weakened plans (~17s less work)
+    println(totalLine(results, nominals, total, canaries.head,
+      preGateWaits, midGateWaits, gateHot.size, retriesJson, omitted,
+      widened.size, suspect, adjusted, normalized, sfDir))
     spark.stop()
   }
 }

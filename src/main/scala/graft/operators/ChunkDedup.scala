@@ -48,10 +48,15 @@ import org.apache.spark.sql.functions._
   *     rewriting documents.
   *
   * Digest join key: a 128-bit pair of xxhash64 values (seed 42 and a
-  * re-seeded second draw) — the same 2^-64-scale collision odds at
-  * 10^9+ distinct chunks as the md5-16-byte convention it replaced,
-  * and 16 fixed bytes through both shuffles instead of variable-length
-  * text, but hashed by the compiled non-cryptographic family (the
+  * re-seeded second draw). NOT a true 128-bit digest — the draws are
+  * correlated seeds of one non-cryptographic function, so an input
+  * pair that collides robustly across XXH64 seeds collides in both
+  * draws — but for natural-text chunks the pair sits far below the
+  * single-draw 64-bit birthday regime that matters at 10^9+ distinct
+  * chunks, which is ample for this internal equality-only use (md5's
+  * cryptographic 128 bits were never the load-bearing property). It is
+  * 16 fixed bytes through both shuffles instead of variable-length
+  * text, hashed by the compiled non-cryptographic family (the
   * production default everywhere the hash VALUE never reaches the
   * output — Dedup.simhashNearDups' dial): the digest is internal
   * equality-only here, and md5 paid a MessageDigest allocation plus a

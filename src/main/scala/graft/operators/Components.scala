@@ -19,14 +19,20 @@ import org.apache.spark.sql.functions._
   * Near-dup graphs are dense cliques that finish in 2-3 rounds either
   * way. Each round is ONE aggregate over a union of contribution
   * streams (self ∪ neighbor labels) plus the pointer-jump self-join —
-  * the neighbor join probes the broadcast label table and pipelines
-  * with the union into a single stage, then one id-keyed exchange;
+  * the neighbor join pipelines with the union into a single stage, then
+  * one id-keyed exchange (no broadcast hint: at 100 TB the label table
+  * is corpus-sized and the join correctly degrades to a shuffle);
   * lineage is cut with localCheckpoint every round so the plan
   * does not grow exponentially across iterations (the classic iterative-
   * Spark trap), and that one materialization also carries convergence
-  * detection (the label-sum metric — labels are monotone decreasing,
-  * so the sum is constant exactly at the fixpoint), so a round costs
-  * exactly one action.
+  * detection (an observed changed-row count — labels are monotone
+  * decreasing, so zero decreases means fixpoint), so a round costs
+  * exactly one action. When a round's change count collapses to a
+  * handful, a cheap checkpoint-fed stability probe (no checkpoint
+  * write, no aggregate exchange) asks whether the CURRENT labelling is
+  * already edge-stable — detecting the fixpoint the round it happens
+  * instead of paying one more full propagate+jump+checkpoint round just
+  * to observe zero changes (the round-21 shape's confirmation round).
   *
   * The reference has nothing transitive at all (its only "join" is the
   * materialized cross product, /root/reference/sqlengine.py:120-135);
@@ -41,11 +47,15 @@ object Components {
     * Returns (id, cluster) with cluster = min id reachable (including
     * itself, so isolated nodes label themselves).
     *
-    * Precondition: edge endpoints ⊆ `nodes` — an edge mentioning an id
-    * absent from `nodes` contributes propagation through that id's LABEL
-    * (it has none) and is effectively ignored; callers derive `edges`
+    * Precondition: edge endpoints ⊆ `nodes` — callers derive `edges`
     * from the same frame as `nodes` (as x32 does), which satisfies this
-    * by construction. Throws if maxIter rounds pass without convergence
+    * by construction. Out-of-contract endpoints absent from `nodes` are
+    * NOT ignored: the union-aggregate propagation emits a label row for
+    * any endpoint a labelled neighbor reaches (they join the output and
+    * relay labels like real nodes — the pre-round-21 left-join silently
+    * dropped them instead), and an endpoint's first appearance counts as
+    * a change so convergence waits for phantom chains to finish
+    * populating. Throws if maxIter rounds pass without convergence
     * rather than returning a partially-propagated labelling.
     */
   /** `jumpsPerRound`: how many pointer jumps to chain after each
@@ -70,18 +80,9 @@ object Components {
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
+    val labelType = labels.schema("cluster").dataType
     var converged = false
     var it = 0
-    // Convergence signal: labels only ever DECREASE (every contribution
-    // is min-folded with the node's own label), so the label-sum is
-    // strictly decreasing until the fixpoint and constant exactly at
-    // it — one aggregate metric riding the round's checkpoint replaces
-    // the old/new per-row comparison (which forced the propagate step
-    // to be a row-preserving JOIN so the old value could ride along).
-    // DECIMAL(38,0) keeps the sum exact far past any physical id mass
-    // (10^12 rows of 2^63 ids ≈ 10^31 < 10^38); a bigint sum would
-    // overflow ANSI mode at web scale.
-    var prevSum: Option[java.math.BigDecimal] = None
     // Checkpoint blocks superseded inside the loop are freed eagerly:
     // each round caches one copy of the label table, so a run that never
     // unpersisted would hold rounds+2 cached tables at once — on a real
@@ -90,20 +91,37 @@ object Components {
     while (!converged && it < maxIter) {
       // Propagation is ONE aggregate over a union of contribution
       // streams — each node min-folds its own label with its
-      // neighbors' labels; the feeding join probes the broadcast-sized
-      // label table and pipelines with the union into a single codegen
-      // stage before the id-keyed exchange. (The previous formulation
-      // computed a per-node best-neighbor aggregate and then a second
-      // row-preserving join against the label table just to min the
-      // two and keep the old value for convergence counting — one more
-      // join and two more stages per materialized round, measured
-      // round 21 at ~0.3s/round → ~0.25s/round at sf0.1.)
+      // neighbors' labels; the feeding join pipelines with the union
+      // into a single codegen stage before the id-keyed exchange. (The
+      // pre-round-21 formulation computed a per-node best-neighbor
+      // aggregate and then a second row-preserving join against the
+      // label table just to min the two and keep the old value for
+      // convergence counting — one more join and two more stages per
+      // materialized round, measured round 21 at ~0.3s/round →
+      // ~0.25s/round at sf0.1.)
+      //
+      // The self stream tags its own label as __old (null on neighbor
+      // rows — max() recovers the unique non-null per id), so the
+      // changed-row count can be OBSERVED on the round's one action
+      // with no extra join: labels only ever decrease, so
+      // final < __old ⇔ this round changed the row, and a null __old
+      // (an out-of-contract endpoint appearing for the first time)
+      // counts as a change so phantom chains keep the loop alive until
+      // they stop producing new rows — exactly the rounds the previous
+      // label-sum metric ran (a new row moved the sum; a decrease moved
+      // the sum; nothing else did). Cost: one extra 8-byte slot per
+      // union row through the id exchange, bought back with interest by
+      // the probe below retiring the full zero-change confirmation
+      // round.
       val nbr = sym
         .join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("cluster"))
-      val propagated = labels.unionByName(nbr)
+        .select(sym("a").as("id"), col("cluster"),
+          lit(null).cast(labelType).as("__old"))
+      val propagated = labels
+        .select(col("id"), col("cluster"), col("cluster").as("__old"))
+        .unionByName(nbr)
         .groupBy(col("id"))
-        .agg(min(col("cluster")).as("cluster"))
+        .agg(min(col("cluster")).as("cluster"), max(col("__old")).as("__old"))
       // pointer jump: my representative's representative is at least as
       // small as mine (labels only ever decrease), so chase one hop —
       // or several (jumpsPerRound), each a lazy self-join inside the
@@ -121,24 +139,58 @@ object Components {
           .join(reps, jumped("cluster") === reps("rid"), "left")
           .select(jumped("id"),
             least(jumped("cluster"),
-              coalesce(col("rcluster"), jumped("cluster"))).as("cluster"))
+              coalesce(col("rcluster"), jumped("cluster"))).as("cluster"),
+            jumped("__old"))
         jmp += 1
       }
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$it")
       val next = jumped
-        .observe(obs, sum(col("cluster")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("lsum"))
+        .observe(obs,
+          sum(when(col("__old").isNull || col("cluster") < col("__old"),
+            lit(1L)).otherwise(lit(0L))).as("chg"),
+          count(lit(1)).as("n"))
+        .select(col("id"), col("cluster"))
         .localCheckpoint(true)
       // `next` is materialized (eager checkpoint), so the observation is
       // final and the previous round's table has no readers — free it.
       labels.unpersist()
       labels = next
-      val lsum = Option(obs.get("lsum").asInstanceOf[java.math.BigDecimal])
-      converged = lsum match {
-        case None => true // zero rows: nothing to label
-        case some => prevSum == some
+      val n = obs.get("n").asInstanceOf[java.lang.Long].longValue
+      val chg = if (n == 0L) 0L
+        else obs.get("chg").asInstanceOf[java.lang.Long].longValue
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$it n=$n chg=$chg")
+      converged = chg == 0L
+      // Endgame probe: a round that changed almost nothing is very
+      // likely THE fixpoint already, and confirming that used to cost
+      // one more full round (propagate + jump + checkpoint write) whose
+      // only output was "zero changes". When the change count collapses
+      // (≤ max(1, n/1000) — the regime where the propagation tail is
+      // about to die), ask directly whether the labelling is already
+      // edge-stable: a labelling is the fixpoint iff every edge's
+      // endpoints agree (symmetric edges ⇒ labels uniform per
+      // component ⇒ the pointer jump is also a no-op, since a
+      // component's label is one of its member ids and that member
+      // carries the same label). The probe reads the checkpointed label
+      // table twice plus the cached edge list — no aggregate exchange,
+      // no checkpoint write — and left joins so an endpoint MISSING
+      // from the labelling (a phantom chain still populating) reads as
+      // unstable rather than vacuously passing. A threshold miss only
+      // costs one wasted cheap action; the answer is exact either way.
+      if (!converged && chg <= math.max(1L, n / 1000L)) {
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[cc] probe at round=$it chg=$chg")
+        val lb = labels
+          .select(col("id").as("__bid"), col("cluster").as("__bc"))
+        val la = labels
+          .select(col("id").as("__aid"), col("cluster").as("__ac"))
+        converged = sym
+          .join(lb, sym("b") === col("__bid"), "left")
+          .join(la, sym("a") === col("__aid"), "left")
+          .filter(col("__ac").isNull || col("__bc").isNull ||
+            col("__ac") =!= col("__bc"))
+          .isEmpty
       }
-      prevSum = lsum
       it += 1
     }
     sym.unpersist()

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * Scale shape at 100 TB:
   *  - both sides explode to n-grams map-side (a codegen'd
   *    transform+explode over the token array — no UDFs), and
-  *    immediately reduce each gram to a 128-bit digest (two xxhash64
-  *    draws, 16 fixed bytes — the same collision class as the md5
-  *    digest it replaced, minus the MessageDigest allocation and at
+  *    immediately reduce each gram to a 128-bit digest (two correlated
+  *    xxhash64 draws, 16 fixed bytes — not a true 128-bit digest like
+  *    the md5 it replaced, but far below the 64-bit birthday regime on
+  *    natural-text grams, ample for equality-only use — minus the
+  *    MessageDigest allocation and at
   *    half the bytes of the old 32-char hex form) so no raw n-gram
   *    string is ever shuffled (same never-shuffle-raw-text rule as
   *    Dedup.exact); the digest is internal equality-only — it never

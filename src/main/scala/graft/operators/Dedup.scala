@@ -770,7 +770,7 @@ object Dedup {
   def crossDocDupFraction(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    Seq("n_grams", "n_dup", "dup_frac", "g1", "g2", "occ",
+    Seq("n_grams", "n_dup", "dup_frac", "gram", "g1", "g2", "occ",
       "docs_with").foreach(
       c => require(idCol != c, s"Dedup.crossDocDupFraction reserves '$c'"))
     // grams reduce to a 128-bit digest pair before the aggregate: the

@@ -85,13 +85,17 @@ object Importance {
     // two corpora; two were exactly these totals), and the
     // single-consumer window form removes that failure class outright —
     // the Novelty first-seen lesson applied to the histograms. Each
-    // unpartitioned window is a single task over ≤`buckets` rows BY
-    // CONSTRUCTION (bounded like the broadcasts, not corpus-sized).
-    // Nt rides the broadcast ht as a column (summed over ALL target
-    // buckets BEFORE the left join, so target-only buckets still
-    // count); the raw side sees it only on matched rows, so a final
-    // max-over-all-rows window rebroadcasts the constant to the
-    // unmatched ones (coalesce 0 covers the empty-target case).
+    // unpartitioned window is a single task over exactly `buckets` rows
+    // BY CONSTRUCTION (bounded like the broadcasts, not corpus-sized).
+    // Both histograms hang as broadcast left joins off a COMPLETE
+    // `buckets`-row spine (every bucket id is pmod-bounded into
+    // [0, buckets)), so the post-join window sums see every bucket of
+    // both corpora and Nt/Nr are exact even when the two histograms
+    // share no bucket at all — the round-21 form summed Nt on ht before
+    // the join and rebroadcast it to unmatched raw rows via max(),
+    // which read 0 under zero overlap (ADVICE r21 #1). Spine-only and
+    // target-only rows are dropped AFTER the totals (their buckets
+    // contain no raw gram, so the scoring join could never match them).
     val bl = lit(buckets.toLong)
     val totW = org.apache.spark.sql.expressions.Window
       .partitionBy()
@@ -102,11 +106,14 @@ object Importance {
         (col("nr") + bl).cast("double")) /
       ((col("cr") + lit(1L)).cast("double") *
         (col("nt") + bl).cast("double"))
-    val htTot = ht.withColumn("nt0", sum(col("ct")).over(totW))
-    val bucketPpm = hr
-      .withColumn("nr", sum(col("cr")).over(totW))
-      .join(broadcast(htTot), Seq("b"), "left")
-      .withColumn("nt", coalesce(max(col("nt0")).over(totW), lit(0L)))
+    val spine = raw.sparkSession.range(0, buckets.toLong)
+      .select(col("id").as("b"))
+    val bucketPpm = spine
+      .join(broadcast(ht), Seq("b"), "left")
+      .join(broadcast(hr), Seq("b"), "left")
+      .withColumn("nt", sum(coalesce(col("ct"), lit(0L))).over(totW))
+      .withColumn("nr", sum(coalesce(col("cr"), lit(0L))).over(totW))
+      .filter(col("cr").isNotNull)
       .select(col("b"), floor(ratio * lit(1e6)).as("ppm"))
     val grams = Dedup.fanOut(raw)
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))

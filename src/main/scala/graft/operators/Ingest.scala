@@ -166,9 +166,18 @@ object Ingest {
   def writeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int, boilerplate: Seq[String], tablePrefix: String, buckets: Int,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): Unit = {
+    // The cleaned corpus feeds BOTH index writes (the banded frame and
+    // the shingle-set table), and the strip is the expensive upstream
+    // (chunk explode + boiler anti-join + reassembly, a full corpus
+    // pass with a shuffle) — lazily checkpoint it so the second write
+    // reads the materialized (id, text_clean) frame instead of
+    // re-running the strip (guide §2.4; the same shared-intermediate
+    // idiom ingestVerdicts already uses on this exact shape). Lives
+    // inside one call's execution, rebuilt from source every call.
     val corpusClean =
       ChunkDedup.applyBoilerplate(corpus, idCol, textCol, k, boilerplate)
         .select(col(idCol), col("text_clean"))
+        .localCheckpoint(false)
     Dedup.writeNearDupIndex(corpusClean, idCol, "text_clean",
       tablePrefix, buckets, shingleK, numHashes, bands)
   }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *  2. rank locally inside each range (a window PARTITIONED by the range
   *     id — parallel across shards);
   *  3. offset each shard's local ranks by the total size of the shards
-  *     before it (a triangular self-join of the S-row size frame — S^2/2
-  *     comparisons on S ~ parallelism, negligible — broadcast back).
+  *     before it (an exclusive prefix-sum window over the S-row size
+  *     frame — unpartitioned, but a single task over S ~ parallelism
+  *     rows BY CONSTRUCTION, the same bounded-summary exemption the
+  *     repo's other tiny windows use — broadcast back).
   *
   * The result is byte-identical to the global row_number whatever
   * boundaries the range sampler picks, PROVIDED `order` is a total order
@@ -65,10 +67,17 @@ object Ranking {
     val local = parted.withColumn("__lrank",
       row_number().over(Window.partitionBy("__pid").orderBy(order: _*)))
     val sizes = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
-    val offs = sizes.as("a")
-      .join(sizes.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    // Exclusive prefix sum over the ≤shards-row sizes frame. The window
+    // is unpartitioned, which is exactly the shape this operator exists
+    // to avoid — but over S ~ parallelism rows it is one trivial task
+    // (the bounded-summary exemption), and it replaces the previous
+    // triangular self-join + re-aggregate (two more operators and a
+    // broadcast-side exchange on every plan that ranks; round-22 A/B on
+    // x25 below).
+    val offs = sizes.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
     local.join(broadcast(offs), "__pid")
       .withColumn(outCol, col("__off") + col("__lrank") - 1)
       .drop("__pid", "__lrank", "__off")
@@ -113,10 +122,12 @@ object Ranking {
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     val sizes = parted.groupBy("__pid").agg(sum(col("__v")).as("__n"))
-    val offs = sizes.as("a")
-      .join(sizes.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    // same bounded exclusive-prefix-sum window as globalOrdinal's
+    // offsets (see the comment there)
+    val offs = sizes.withColumn("__off",
+      coalesce(sum(col("__n")).over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
     local.join(broadcast(offs), "__pid")
       .withColumn(outCol, col("__off") + col("__lsum"))
       .drop("__pid", "__v", "__lsum", "__off")

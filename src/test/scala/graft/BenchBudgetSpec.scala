@@ -146,4 +146,65 @@ class BenchBudgetSpec extends SparkTestBase {
       Seq(0.3, 0.3), 2)
     assert(math.abs(n - 2.1) < 1e-9, n)
   }
+
+  test("queryEmitOrder: heaviest clean nominal first, alphabetical " +
+    "ties, nominal-less queries last alphabetically") {
+    val results = Seq("c" -> 0.1, "a" -> 9.0, "b" -> 0.2, "d" -> 0.3)
+    val nominals = Map("b" -> 2.0, "c" -> 2.0, "d" -> 5.0)
+    assert(Bench.queryEmitOrder(results, nominals).map(_._1) ==
+      Seq("d", "b", "c", "a"))
+  }
+
+  test("fitEntries keeps a greedy prefix within the budget and never " +
+    "skips past the first non-fitting entry") {
+    val es = Seq("aaaa", "bbbb", "cc", "dddddddd")
+    // 5 + 5 = 10 fits a budget of 12; "cc" (3 more) does not
+    assert(Bench.fitEntries(es, 12) == Seq("aaaa", "bbbb"))
+    // "cc" would fit a budget of 13 but sits behind the cut — greedy
+    // prefix only, so the emitted key set is a deterministic prefix of
+    // the nominal ordering
+    assert(Bench.fitEntries(es, 13) == Seq("aaaa", "bbbb", "cc"))
+    assert(Bench.fitEntries(es, 0) == Seq.empty)
+    assert(Bench.fitEntries(Seq.empty, 100) == Seq.empty)
+  }
+
+  test("totalLine stays inside the harness tail window with the full " +
+    "150-query inventory, parses as JSON, and carries the heaviest " +
+    "queries plus every congestion scalar") {
+    import scala.jdk.CollectionConverters._
+    // realistic shape: the actual inventory names + nominal highs
+    val names = BenchNominals.sf01.keys.toSeq.sorted
+    assert(names.size >= 140, s"expected the full inventory, ${names.size}")
+    val results = names.map(n => n -> 1.234)
+    val nominals = BenchNominals.forDir("/root/testdata/sf0.1")
+    val retriesJson = (1 to 4).map(i =>
+      s""""x6${i}_some_query_name":{"first":18.610,"retry":2.246}""")
+      .mkString("{", ",", "}")
+    val line = Bench.totalLine(results, nominals, 169.0, 0.441,
+      0, 0, 1, retriesJson, 17, 13, suspect = true, 121.71, 121.71,
+      "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(tree.get("metric").asText == "total")
+    assert(tree.get("value").asDouble == 169.0)
+    assert(tree.get("unit").asText == "sec")
+    assert(tree.get("timed").asText == "materialize")
+    assert(tree.get("suspect_congestion").asBoolean)
+    assert(tree.get("adjusted_total").asDouble == 121.71)
+    assert(tree.get("normalized_total").asDouble == 121.71)
+    assert(tree.get("widened_retries").asInt == 13)
+    assert(tree.get("retries").size == 4)
+    val qs = tree.get("queries")
+    val emitted = qs.fieldNames.asScala.toSeq
+    // every emitted entry carries the measured value
+    emitted.foreach(n => assert(qs.get(n).asDouble == 1.234, n))
+    assert(emitted.size + tree.get("queries_omitted").asInt == names.size)
+    // the emitted set is exactly the heaviest-nominal prefix — the
+    // deterministic subset contract the low-core scaling run relies on
+    val expectedOrder = Bench.queryEmitOrder(results, nominals).map(_._1)
+    assert(emitted == expectedOrder.take(emitted.size))
+    // substantial coverage: the window fits at least the top 40
+    assert(emitted.size >= 40, s"only ${emitted.size} entries fit")
+  }
 }

@@ -203,12 +203,29 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("x25: vocab ranking plans NO unpartitioned window (the global " +
-    "ordinal is range-shard + local rank + offsets)") {
+  /** The bounded-offsets exemption for Ranking's shard-offset window:
+    * an unpartitioned window is corpus-scale poison UNLESS it reads the
+    * per-shard size aggregate (grouping on Ranking's __pid working
+    * column) — a frame of ≤ shards ~ parallelism rows BY CONSTRUCTION,
+    * the same bounded-summary class as the repo's histogram windows.
+    */
+  private def isBoundedOffsetsWindow(
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean =
+    w.child.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(
+          _.references.exists(_.name == "__pid")) => a
+    }.nonEmpty
+
+  test("x25: vocab ranking plans no corpus-scale unpartitioned window " +
+    "(the global ordinal is range-shard + local rank + bounded offsets)") {
     val ws = windowsOf(q("x25_vocab_encode"))
-    assert(ws.nonEmpty, "expected the shard-local rank window")
-    assert(ws.forall(_.partitionSpec.nonEmpty),
-      "an unpartitioned window would sort the whole vocabulary in one task")
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "expected the shard-local rank window")
+    ws.filter(_.partitionSpec.isEmpty).foreach(w =>
+      assert(isBoundedOffsetsWindow(w),
+        s"unpartitioned window over a corpus-sized stream would sort " +
+          s"the whole vocabulary in one task:\n$w"))
   }
 
   test("x31: the packing prefix-sum window is keyed by the pack group " +
@@ -379,9 +396,12 @@ class PlanSpec extends SparkTestBase {
   test("x39: the training-order shuffle plans NO unpartitioned window " +
     "(global position comes from the range-sharded ordinal)") {
     val ws = windowsOf(q("x39_shuffle_shards"))
-    assert(ws.nonEmpty, "expected the shard-local rank window")
-    assert(ws.forall(_.partitionSpec.nonEmpty),
-      "an unpartitioned window would sort the whole corpus in one task")
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "expected the shard-local rank window")
+    ws.filter(_.partitionSpec.isEmpty).foreach(w =>
+      assert(isBoundedOffsetsWindow(w),
+        s"unpartitioned window over a corpus-sized stream would sort " +
+          s"the whole corpus in one task:\n$w"))
   }
 
   test("x40: repetition signals are one explode + two hash-aggregates — " +
@@ -422,8 +442,13 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
     // the totals must not re-run the gram explode: one explode per
     // histogram fit plus one for scoring = exactly 3 (was 5 when each
-    // total re-derived its histogram from scratch)
-    assert("Generate explode".r.findAllIn(plan).size == 3, plan)
+    // total re-derived its histogram from scratch). Counted as
+    // GenerateExec NODES, not a rendered-string regex (ADVICE r21 #5:
+    // substring counting is brittle against plan-format changes and
+    // unrelated Generate operators).
+    val gens = deepNodes(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 3, s"expected 3 gram explodes, got $gens:\n$plan")
   }
 
   test("x36: k-means cell histograms are map-side argmin + hash-aggregate " +
@@ -707,8 +732,11 @@ class PlanSpec extends SparkTestBase {
     "local-sum/shard-size branches") {
     val df = q("x58_corpus_offsets")
     val ws = windowsOf(df)
-    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+    assert(ws.exists(_.partitionSpec.nonEmpty),
       "the local cumulative sum must be per-shard, never corpus-global")
+    ws.filter(_.partitionSpec.isEmpty).foreach(w =>
+      assert(isBoundedOffsetsWindow(w),
+        s"unpartitioned window over a corpus-sized stream:\n$w"))
     df.collect()
     val reused = deepNodes(df.queryExecution.executedPlan).filter(
       _.isInstanceOf[
