@@ -122,13 +122,23 @@ class GraphAnnSpec extends SparkTestBase {
     assert(e.getMessage.contains("prime"))
   }
 
-  test("scale pin: no unpartitioned window anywhere in GraphAnn " +
-    "plans — ringInit densifies ids via the sharded global ordinal, " +
-    "not a corpus-serializing row_number over an empty partitionSpec") {
+  test("scale pin: no corpus-scale unpartitioned window anywhere in " +
+    "GraphAnn plans — ringInit densifies ids via the sharded global " +
+    "ordinal, not a corpus-serializing row_number over an empty " +
+    "partitionSpec (the round-22 bounded-offsets window above the " +
+    "≤shards-row __pid aggregate is exempt, same rule as PlanSpec's)") {
     def unpartitioned(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
+          if w.partitionSpec.isEmpty &&
+            // bounded-offsets exemption (PlanSpec.isBoundedOffsetsWindow):
+            // the window reading Ranking's per-shard size aggregate is a
+            // ≤ shards ~ parallelism row frame by construction
+            w.child.collect {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+                if a.groupingExpressions.exists(
+                  _.references.exists(_.name == "__pid")) => a
+            }.isEmpty => w
       }
     val shards = spark.sessionState.conf.numShufflePartitions
     assert(unpartitioned(GraphAnn.ringRanked(emb, "id", shards)).isEmpty,
